@@ -1,0 +1,57 @@
+"""Benchmark harness: runs the headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall-clock seconds.
+
+Each query is executed with a count-style action that forces full evaluation
+without collecting result rows to the driver (write.format("noop")).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from social_media_sentiment_analysis_spark.queries.registry import QUERIES
+from social_media_sentiment_analysis_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: aggregation, enrichment scan, top-k, time-window, rollup.
+BENCH_QUERIES = [
+    "sentiment_summary",
+    "sentiment_enrich",
+    "recent_tweets",
+    "trailing_window",
+    "hourly_rollup",
+    "export",
+]
+
+
+def run() -> dict:
+    spark = get_spark("bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    timings: dict[str, float] = {}
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # warm the JVM + file listing once so timings measure query execution
+    QUERIES[names[0]].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    for name in names:
+        start = time.perf_counter()
+        QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

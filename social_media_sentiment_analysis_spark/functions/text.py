@@ -1,0 +1,123 @@
+"""Text transforms as pure Column expressions (JVM-side, codegen-friendly).
+
+Covers the reference's scalar surface (SURVEY §2.7: F1 clean_text, F2 trim,
+F3 truncate) plus the engine's text-analysis extensions (token counting,
+quality scoring, language-ID heuristic, document fingerprinting). Everything
+here is expressible in ANSI SQL so the DuckDB oracle can verify it — no
+Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopwords present in the testdata vocabulary; a real deployment would use a
+# per-language list. Deterministic + SQL-expressible by design.
+STOPWORDS = ("the", "a")
+
+
+def clean_text(col: Column) -> Column:
+    """F1 (twitter_streamer.py:86-96): '' if null, drop every literal 'RT @',
+    collapse whitespace runs to single spaces, trim.
+
+    The reference uses str.replace (all occurrences), so the global
+    regexp_replace matches its semantics exactly.
+    """
+    no_rt = F.replace(F.coalesce(col, F.lit("")), F.lit("RT @"), F.lit(""))
+    return F.trim(F.regexp_replace(no_rt, r"\s+", " "))
+
+
+def truncate_display(col: Column, n: int = 50) -> Column:
+    """F3: display truncation (twitter_streamer.py:260)."""
+    return F.substring(col, 1, n)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of already-cleaned (single-spaced) text."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    """Token count over cleaned text; 0 for empty strings."""
+    return F.when(col == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def word_hits(col: Column, word: str) -> Column:
+    """Whole-word occurrence count (split-then-filter, not substring count —
+    substring counting would conflate 'a' with 'table' etc.)."""
+    return F.size(F.filter(tokens(col), lambda x: x == F.lit(word)))
+
+
+def multi_word_hits(col: Column, words: tuple[str, ...]) -> Column:
+    hits = [word_hits(col, w) for w in words]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def stopword_hits(col: Column) -> Column:
+    return multi_word_hits(col, STOPWORDS)
+
+
+def quality_columns(col: Column) -> dict[str, Column]:
+    """Quality-scoring features over cleaned text: length, token count,
+    stopword ratio, mean token length, and a composite [0,1] score.
+
+    Composite = 0.4·min(tokens/100,1) + 0.3·(1−stop_ratio) + 0.3·min(avg_len/6,1)
+    — a deterministic heuristic in the spirit of C4/Gopher-style quality
+    filters, kept as plain arithmetic so the oracle can verify it.
+    """
+    n_tok = token_count(col)
+    n_chars = F.length(col)
+    stop_ratio = stopword_hits(col) / (n_tok + F.lit(1.0))
+    # single-space-separated => non-space chars = length - (tokens - 1)
+    avg_token_len = (n_chars - (n_tok - F.lit(1))) / (n_tok + F.lit(1.0))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * F.least(avg_token_len / F.lit(6.0), F.lit(1.0))
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "stopword_ratio": stop_ratio,
+        "avg_token_len": avg_token_len,
+        "quality_score": score,
+    }
+
+
+def lang_id_column(col: Column, threshold: float = 0.05) -> Column:
+    """Language-ID heuristic: English-stopword density over tokens.
+
+    A real system would use char-n-gram profiles per language (the classic
+    Cavnar-Trenkle approach) — that profile table is just a broadcast-joined
+    dim at scale. On the synthetic corpus the deterministic density rule keeps
+    the operator oracle-checkable.
+    """
+    n_tok = token_count(col)
+    density = stopword_hits(col) / (n_tok + F.lit(1.0))
+    return F.when(density > threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-content fingerprint: md5 of cleaned text."""
+    return F.md5(col)
+
+
+def bag_fingerprint(col: Column) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token set
+    (catches word-order shuffles, the classic near-dup fingerprint trick)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of cleaned text as array<string> — the MinHash /
+    Jaccard unit. Built with transform over token indices (JVM-side)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )

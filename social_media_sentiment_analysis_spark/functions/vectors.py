@@ -1,0 +1,33 @@
+"""Vector math over array<float> embedding columns as Column expressions.
+
+``F.zip_with`` + ``F.aggregate`` keep the arithmetic JVM-side (no Python
+boundary); everything is computed in double precision with explicit casts so
+results are deterministic across engines. For very hot paths a pandas UDF
+over numpy matrices can beat this, but at 100 TB the first-order win is
+avoiding the Python boundary entirely, which this does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i], sequential left-to-right accumulation in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    ))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot/(|a|·|b|), NULL-safe on zero norms."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,251 @@
+"""Queries mirroring the reference's serving surface (SURVEY §2/§3.3).
+
+Each builder takes (spark, sf_dir) and returns a lazy DataFrame; its DuckDB
+oracle twin lives beside it. The ``documents`` testdata table stands in for
+the tweet stream (text + language), ``events`` for the processing-time
+stream; engagement counts are deterministic functions of doc_id since the
+synthetic tables carry none.
+
+Scale notes: every query here is a single declarative plan — scan (with
+pushed filters / pruned columns) → codegen'd projection → hash aggregate /
+top-k. Nothing shuffles more than once, and sorts after aggregation operate
+on grouped (small) data. ``orderBy(...).limit(n)`` plans as
+TakeOrderedAndProject — a true distributed top-k, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sentiment import sentiment_enrich
+from ..sources.batch import load_table
+from .sqlgen import ENRICHED_DOCS_CTE
+
+
+def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's `tweets` relation: documents cleaned, scored, labeled
+    (U4/U6 composite) with deterministic synthetic engagement counts."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumnRenamed("text", "tweet_text")
+        .withColumnRenamed("lang", "language")
+        .withColumn("like_count", F.col("doc_id") % 100)
+        .withColumn("retweet_count", (F.col("doc_id") * 7) % 50)
+    )
+    return sentiment_enrich(docs, text_col="tweet_text")
+
+
+# ---------------------------------------------------------------------------
+# A1+A2: sentiment summary (GET /summary, sentiment_analysis.py:450-519)
+# ---------------------------------------------------------------------------
+
+def q_sentiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        enriched_documents(spark, sf_dir)
+        .groupBy("final_sentiment")
+        .agg(
+            F.count(F.lit(1)).alias("tweet_count"),
+            F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
+            F.sum("like_count").alias("total_likes"),
+            F.sum("retweet_count").alias("total_retweets"),
+        )
+        .orderBy(F.desc("tweet_count"), F.asc("final_sentiment"))
+    )
+
+
+ORACLE_SENTIMENT_SUMMARY = ENRICHED_DOCS_CTE + """
+SELECT final_sentiment,
+       COUNT(*) AS tweet_count,
+       round(AVG(confidence_score), 4) AS avg_confidence,
+       CAST(SUM(like_count) AS BIGINT) AS total_likes,
+       CAST(SUM(retweet_count) AS BIGINT) AS total_retweets
+FROM enriched
+GROUP BY final_sentiment
+ORDER BY tweet_count DESC, final_sentiment ASC
+"""
+
+
+def q_sentiment_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 grand total — in the reference this is an app-side sum over the
+    summary (sentiment_analysis.py:628); here a global aggregate."""
+    return enriched_documents(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("total_tweets"),
+        F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
+    )
+
+
+ORACLE_SENTIMENT_TOTAL = ENRICHED_DOCS_CTE + """
+SELECT COUNT(*) AS total_tweets,
+       round(AVG(confidence_score), 4) AS avg_confidence
+FROM enriched
+"""
+
+
+# ---------------------------------------------------------------------------
+# U4/U6: full enriched projection (POST /analyze surface + S8 export shape)
+# ---------------------------------------------------------------------------
+
+_ENRICHED_COLS = [
+    "doc_id", "tweet_text", "cleaned_text", "language",
+    "like_count", "retweet_count",
+    "vader_sentiment", "vader_compound", "vader_positive", "vader_negative",
+    "vader_neutral", "textblob_sentiment", "textblob_polarity",
+    "textblob_subjectivity", "final_sentiment", "confidence_score",
+]
+
+
+def q_sentiment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enriched_documents(spark, sf_dir).select(*_ENRICHED_COLS)
+
+
+ORACLE_SENTIMENT_ENRICH = ENRICHED_DOCS_CTE + f"""
+SELECT {', '.join(_ENRICHED_COLS)}
+FROM enriched
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 (+P4): recent-N top-k (GET /tweets, sentiment_analysis.py:521-573)
+# documents carry no timestamp; recency key = doc_id (monotone insert order).
+# ---------------------------------------------------------------------------
+
+def q_recent_tweets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        enriched_documents(spark, sf_dir)
+        .select("doc_id", "cleaned_text", "final_sentiment", "confidence_score")
+        .orderBy(F.desc("doc_id"))
+        .limit(50)
+    )
+
+
+ORACLE_RECENT_TWEETS = ENRICHED_DOCS_CTE + """
+SELECT doc_id, cleaned_text, final_sentiment, confidence_score
+FROM enriched
+ORDER BY doc_id DESC
+LIMIT 50
+"""
+
+
+def q_recent_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 with the P4 sentiment-equality filter (?sentiment=negative)."""
+    return (
+        enriched_documents(spark, sf_dir)
+        .filter(F.col("final_sentiment") == "negative")
+        .select("doc_id", "cleaned_text", "final_sentiment", "confidence_score")
+        .orderBy(F.desc("doc_id"))
+        .limit(20)
+    )
+
+
+ORACLE_RECENT_NEGATIVE = ENRICHED_DOCS_CTE + """
+SELECT doc_id, cleaned_text, final_sentiment, confidence_score
+FROM enriched
+WHERE final_sentiment = 'negative'
+ORDER BY doc_id DESC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2/P3: language + empty-text filters (twitter_streamer.py:159-161)
+# ---------------------------------------------------------------------------
+
+def q_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        enriched_documents(spark, sf_dir)
+        .filter((F.col("language") == "en") & (F.trim(F.col("cleaned_text")) != ""))
+        .select("doc_id", "language", "cleaned_text", "final_sentiment")
+    )
+
+
+ORACLE_LANG_FILTER = ENRICHED_DOCS_CTE + """
+SELECT doc_id, language, cleaned_text, final_sentiment
+FROM enriched
+WHERE language = 'en' AND trim(cleaned_text) <> ''
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5: trailing-time-window predicate (INTERVAL 'N hours'), on the events
+# stream table. Anchored to max(ts) in-data (now() would be nondeterministic).
+# ---------------------------------------------------------------------------
+
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        events.join(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.desc("event_count"), F.asc("event_type"))
+    )
+
+
+ORACLE_TRAILING_WINDOW = """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       round(SUM(value), 4) AS total_value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+GROUP BY event_type
+ORDER BY event_count DESC, event_type ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: hourly rollup (sentiment_summary table the reference declared but never
+# populated — batch date_trunc form; streaming twin in streaming/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("date_hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("date_hour", "event_type")
+    )
+
+
+ORACLE_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS date_hour,
+       event_type,
+       COUNT(*) AS event_count,
+       round(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY date_hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# O3/S8: export — time-filtered full projection, sorted (GET /export)
+# ---------------------------------------------------------------------------
+
+def q_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        events.join(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 72 HOURS"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+
+
+ORACLE_EXPORT = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 72 HOUR
+ORDER BY ts DESC, event_id DESC
+"""

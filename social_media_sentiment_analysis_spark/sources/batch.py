@@ -1,0 +1,63 @@
+"""Batch IO: parquet/JSONL readers over the driver's testdata layout.
+
+Scale notes: ``spark.read.parquet`` gives vectorized scans, predicate
+pushdown and partition pruning for free; loaders here deliberately return
+*lazy* DataFrames (no caching) so Catalyst can prune columns per-query.
+At 100 TB the same call pattern works unchanged — partitioning/pruning is a
+property of the table layout, not of this code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table lazily.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long and truncate to
+    microseconds (matching DuckDB's ns→us truncation). The rebuild uses
+    TIMESTAMP_NTZ arithmetic so results are independent of the session
+    timezone (parquet ts is wall-clock; LTZ would shift under non-UTC
+    drivers and diverge from the TZ-naive DuckDB oracle).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        return (
+            spark.read.parquet(table_path(sf_dir, name))
+            .withColumn("ts", F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register each table as a temp view for spark.sql() use."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read append-only JSONL (the reference's file-sink format,
+    twitter_streamer.py:206-210) with an explicit schema when given."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,74 @@
+"""Unit tests for pure-Column text transforms (SURVEY §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from social_media_sentiment_analysis_spark.functions.text import (
+    bag_fingerprint,
+    clean_text,
+    lang_id_column,
+    quality_columns,
+    shingles,
+    token_count,
+    word_hits,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], ["t"]).select(col.alias("out"))
+    return df.collect()[0]["out"]
+
+
+class TestCleanText:
+    """F1 semantics (twitter_streamer.py:86-96): remove every 'RT @',
+    collapse whitespace, trim; '' for null."""
+
+    def test_removes_rt_prefix(self, spark):
+        assert _one(spark, "RT @user hello", clean_text(F.col("t"))) == "user hello"
+
+    def test_removes_all_occurrences(self, spark):
+        assert _one(spark, "RT @a and RT @b", clean_text(F.col("t"))) == "a and b"
+
+    def test_collapses_whitespace(self, spark):
+        assert _one(spark, "  a \t b\n\nc  ", clean_text(F.col("t"))) == "a b c"
+
+    def test_null_becomes_empty(self, spark):
+        df = spark.createDataFrame([(None,)], "t string")
+        assert df.select(clean_text(F.col("t")).alias("o")).collect()[0]["o"] == ""
+
+
+class TestTokenStats:
+    def test_token_count(self, spark):
+        assert _one(spark, "a b c", token_count(F.col("t"))) == 3
+
+    def test_token_count_empty(self, spark):
+        assert _one(spark, "", token_count(F.col("t"))) == 0
+
+    def test_word_hits_whole_word_only(self, spark):
+        # 'a' must not match inside 'table'
+        assert _one(spark, "a table a", word_hits(F.col("t"), "a")) == 2
+        assert _one(spark, "a table a", word_hits(F.col("t"), "table")) == 1
+
+    def test_quality_score_in_unit_interval(self, spark):
+        cols = quality_columns(F.col("t"))
+        score = _one(spark, "the fast big table scan runs fast", cols["quality_score"])
+        assert 0.0 <= score <= 1.0
+
+    def test_lang_id(self, spark):
+        assert _one(spark, "the quick the lazy the dog", lang_id_column(F.col("t"))) == "en"
+        assert _one(spark, "rapido perezoso perro", lang_id_column(F.col("t"))) == "other"
+
+
+class TestFingerprints:
+    def test_bag_fingerprint_order_insensitive(self, spark):
+        a = _one(spark, "x y z", bag_fingerprint(F.col("t")))
+        b = _one(spark, "z x y", bag_fingerprint(F.col("t")))
+        assert a == b
+
+    def test_shingles(self, spark):
+        got = _one(spark, "a b c d", shingles(F.col("t"), 3))
+        assert got == ["a b c", "b c d"]
+
+    def test_shingles_short_text(self, spark):
+        assert _one(spark, "a b", shingles(F.col("t"), 3)) == ["a b"]
