@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all expressed as DataFrame plans (no Python in the hot path):
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle, fully
+  scalable; at 100 TB this is the cheapest possible dedup.
+- **MinHash + LSH**: word-shingles → k minhash signatures (xxhash64 with k
+  seeds) → banded bucket-join → exact-Jaccard verify of candidates only.
+  The classic near-dup pipeline (Broder '97 / Leskovec-Rajaraman-Ullman
+  ch.3); candidate generation is linear in corpus size, the quadratic
+  verify is confined to same-bucket groups.
+- **SimHash**: 64-bit sign-aggregated token-hash fingerprint (Charikar '02,
+  used by Google for web dedup); near-dups collide on bands of the
+  fingerprint; hamming distance verifies.
+- **n-gram Jaccard**: exact shingle-set Jaccard over blocked pairs —
+  SQL-expressible (array_intersect), used both standalone and as the
+  verify stage of the LSH families.
+
+Determinism: all hashing is Spark's xxhash64 with fixed seeds — stable
+across runs, sessions and clusters. Random-looking parameters (band seeds)
+are fixed constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep-first-by-fingerprint: one row per distinct content, carrying the
+    smallest id (deterministic keeper) and the duplicate count.
+
+    Plan: project(md5) → partial agg → single shuffle on fingerprint →
+    final agg. Scales linearly; skew only if one document dominates.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return df minus non-keeper duplicate rows (window-free: min-id join
+    back, so the heavy side shuffles once on the fingerprint)."""
+    keepers = exact_dedup(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """doc → array of `num_hashes` minhash values over word-k-shingles.
+
+    Each hash family member is xxhash64(shingle, seed=i); the signature is
+    the per-seed minimum. Computed entirely as Column expressions over the
+    shingle array (transform + array_min) — no explode, no shuffle: the
+    signature projection is map-side only.
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+
+    def seeded_min(seed: int):
+        # closure (not a default arg) — a 2-param lambda would be given the
+        # array *index* as its second argument by F.transform
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidates(signatures: DataFrame, id_col: str,
+                   num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band of their signature become candidate
+    pairs (a_id < b_id). One explode (bands per doc) + one shuffle on the
+    band key; bucket sizes stay small for realistic corpora, so the
+    within-bucket pairing is cheap. Returns distinct (a_id, b_id)."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.col("minhash")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ]),
+                    F.lit(b),
+                )
+                for b in range(num_bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str,
+                   id_col: str, shingle_k: int = 3,
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs >= threshold.
+    Shingle sets are joined in twice (broadcast-sized in the candidate-verify
+    stage since candidates << corpus)."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = sets_df.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sets_df.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    return (
+        candidates.join(a, "a_id").join(b, "b_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                            num_hashes: int = 32, shingle_k: int = 3,
+                            num_bands: int = 8, rows_per_band: int = 4,
+                            threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: signatures → banded candidates → exact verify.
+    Returns (a_id, b_id, jaccard) pairs at or above threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    return jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text_col: Column, bits: int = 64, shingle_k: int = 3) -> Column:
+    """Charikar simhash: for each bit position, sum +1/-1 votes from each
+    feature's xxhash64 bit; the sign pattern is the fingerprint.
+
+    Features are word-k-shingles (``shingle_k=0`` falls back to unigram
+    tokens). Shingles matter on vocabulary-dense corpora: unigram features
+    make unrelated docs with similar word distributions collide, while
+    shingles push unrelated pairs to ~random (≈32-bit) hamming distance and
+    keep true near-dups within a few bits.
+
+    Pure Column expression (aggregate over the feature array) — map-side only.
+    """
+    feats = tokens(text_col) if shingle_k == 0 else shingles(text_col, shingle_k)
+    hashes = F.transform(feats, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        # token hash bit i set -> +1 else -1; sum over tokens
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(bit_vote(i) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                            band_bits: int = 8,
+                            max_hamming: int = 14,
+                            shingle_k: int = 3) -> DataFrame:
+    """Near-dups by simhash: candidates collide on any band_bits-wide band of
+    the 64-bit fingerprint (8 bands of 8 bits guarantee recall up to hamming
+    7 and catch hamming ≲ 16 with high probability); verify by exact hamming
+    distance ≤ max_hamming."""
+    fp = df.select(
+        F.col(id_col),
+        simhash(F.col(text_col), shingle_k=shingle_k).alias("simhash"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ])).alias("band", "band_val"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+            F.col("l.simhash").alias("a_sim"),
+            F.col("r.simhash").alias("b_sim"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine above threshold within blocks)
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(df: DataFrame, vec_col: str, id_col: str,
+                              block_col: str | None = None,
+                              threshold: float = 0.95) -> DataFrame:
+    """Cosine-similarity near-dups over an embedding column. Pairs are
+    blocked (same ``block_col``; at scale use an LSH bucket column from
+    operators.similarity.hyperplane_bucket) so the join is not all-pairs."""
+    from ..functions.vectors import cosine_similarity
+
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    base = df.select(*cols)
+    a = base.toDF(*[f"a_{id_col}", f"a_{vec_col}"] + ([f"a_{block_col}"] if block_col else []))
+    b = base.toDF(*[f"b_{id_col}", f"b_{vec_col}"] + ([f"b_{block_col}"] if block_col else []))
+    cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a_{block_col}") == F.col(f"b_{block_col}"))
+    sim = cosine_similarity(F.col(f"a_{vec_col}"), F.col(f"b_{vec_col}"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"a_{id_col}").alias("a_id"),
+                F.col(f"b_{id_col}").alias("b_id"),
+                "cosine")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **Brute-force top-k**: cosine against a (broadcast) query vector over the
+  full corpus, `orderBy(desc(sim)).limit(k)` → TakeOrderedAndProject. Exact;
+  linear scan — the baseline, and correct at any scale (it's one pass,
+  map-side compute, k-sized result).
+- **LSH-bucketed ANN (random hyperplanes)**: each vector gets a b-bit sign
+  bucket from b fixed pseudo-random hyperplanes; search only probes the
+  query's bucket (optionally + 1-bit-flip neighbor buckets). At 100 TB the
+  bucket column is precomputed at ingest and the table is partitioned /
+  clustered by it, so a probe reads a tiny fraction of the data. This is
+  IVF-style partition pruning expressed in plain Spark.
+
+Hyperplanes are deterministic: component h[j] of plane i is ±1 derived from
+md5(i,j) — fixed across runs, no RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], vec_col: str,
+                     id_col: str, k: int = 10) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is inlined as an array literal → the comparison is a
+    map-side Column expression; no join, no shuffle; the top-k is a
+    TakeOrderedAndProject (per-partition heaps + k-row merge)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(i: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane: component j = sign bit of md5(i || j)."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{i}:{j}".encode()).digest()
+        out.append(1 if h[0] & 1 else -1)
+    return out
+
+
+def hyperplane_bucket(vec_col: Column, dim: int, bits: int = 8) -> Column:
+    """b-bit LSH bucket id: bit i = sign of <v, h_i> for fixed ±1 planes.
+    Pure Column expression (aggregate over the array), map-side only."""
+    bucket = F.lit(0)
+    for i in range(bits):
+        plane = _hyperplane(i, dim)
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk(df: DataFrame, query_vec: list[float], vec_col: str, id_col: str,
+             k: int = 10, dim: int | None = None, bits: int = 6,
+             probe_hamming: int = 2) -> DataFrame:
+    """Approximate top-k: restrict the scan to hyperplane buckets within
+    hamming distance ``probe_hamming`` of the query's bucket (multi-probe
+    LSH), then exact cosine rank inside the probed set.
+
+    Recall/cost dial: probed fraction ≈ Σ_{i≤h} C(bits,i) / 2^bits
+    (bits=6, h=2 → 22/64 ≈ 34% of the corpus). At scale the bucket column is
+    materialized at ingest and the table partitioned by it, so the probe is
+    partition pruning, not a filter over a full scan.
+    """
+    from itertools import combinations
+
+    dim = dim or len(query_vec)
+    # query bucket computed driver-side with the same planes
+    qb = 0
+    for i in range(bits):
+        plane = _hyperplane(i, dim)
+        if sum(p * float(x) for p, x in zip(plane, query_vec)) > 0:
+            qb |= 1 << i
+    buckets = [qb]
+    for h in range(1, probe_hamming + 1):
+        for flips in combinations(range(bits), h):
+            b = qb
+            for i in flips:
+                b ^= 1 << i
+            buckets.append(b)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, bits))
+        .filter(F.col("bucket").isin(buckets))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
+                       left_id: str, right_id: str, k: int = 5) -> DataFrame:
+    """For each left row, its k nearest right rows — LSH-bucketed join then
+    windowed rank. The all-pairs fallback of vector search engines, kept
+    bucket-local so the join is |bucket|² not |corpus|²."""
+    from pyspark.sql import Window
+
+    dim_probe = right.select(F.size(F.col(vec_col))).first()[0]
+    lb = left.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim_probe))
+    rb = right.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim_probe))
+    l = lb.toDF(*[f"l_{c}" if c != "bucket" else c for c in lb.columns])
+    r = rb.toDF(*[f"r_{c}" if c != "bucket" else c for c in rb.columns])
+    sim = cosine_similarity(F.col(f"l_{vec_col}"), F.col(f"r_{vec_col}"))
+    w = Window.partitionBy(f"l_{left_id}").orderBy(
+        F.desc("cosine"), F.asc(f"r_{right_id}"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col(f"l_{left_id}") != F.col(f"r_{right_id}"))
+        .withColumn("cosine", F.round(sim, 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(f"l_{left_id}").alias("query_id"),
+                F.col(f"r_{right_id}").alias("neighbor_id"),
+                "cosine", "rank")
+    )

@@ -1,0 +1,309 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis — registry wrappers over operators/ with DuckDB oracles wherever the
+computation is SQL-expressible (exact dedup, Jaccard pairs, text stats,
+vector cosine); hash-based operators (MinHash, SimHash — xxhash64 has no
+DuckDB twin) are registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import clean_text, lang_id_column, quality_columns, tokens
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..sources.batch import load_table
+from .sqlgen import sql_clean, sql_label  # noqa: F401  (sql_clean reused below)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "cleaned_text", clean_text(F.col("text")))
+
+
+_SQL_DOCS = f"""
+WITH docs AS (
+    SELECT *, {sql_clean('text')} AS cleaned_text FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dd.exact_dedup(_docs(spark, sf_dir), "cleaned_text", "doc_id")
+        .orderBy("keeper_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = _SQL_DOCS + """
+SELECT md5(cleaned_text) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       COUNT(*) AS copies
+FROM docs
+GROUP BY md5(cleaned_text)
+ORDER BY keeper_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (prefix-blocked, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+_PREFIX_TOKENS = 10
+_JACCARD_THRESHOLD = 0.5
+_SHINGLE_K = 3
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard, blocked on the md5 of the
+    first 10 tokens (the planted dups are copy+suffix, so prefix blocking
+    has full recall there while keeping the pair space tiny)."""
+    from ..functions.text import shingles
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("cleaned_text")), 1, _PREFIX_TOKENS)))
+        .alias("block"),
+        F.array_distinct(shingles(F.col("cleaned_text"), _SHINGLE_K)).alias("sh"),
+    )
+    a = docs.toDF("a_id", "block", "a_sh")
+    b = docs.toDF("b_id", "block", "b_sh")
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# DuckDB: shingle set via list comprehension over token positions; jaccard by
+# list_intersect/list_distinct. Same prefix blocking, same threshold.
+ORACLE_DEDUP_NGRAM = _SQL_DOCS + f"""
+, toked AS (
+    SELECT doc_id,
+           string_split(cleaned_text, ' ') AS toks
+    FROM docs
+), blocked AS (
+    SELECT doc_id,
+           md5(array_to_string(toks[1:{_PREFIX_TOKENS}], ' ')) AS block,
+           CASE WHEN len(toks) < {_SHINGLE_K}
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct([
+                    array_to_string(toks[i:i+{_SHINGLE_K}-1], ' ')
+                    for i in range(1, len(toks) - {_SHINGLE_K} + 2)])
+           END AS sh
+    FROM toked
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= {_JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH and SimHash near-dup (hash-based; rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dd.minhash_near_duplicates(
+            _docs(spark, sf_dir), "cleaned_text", "doc_id", threshold=0.5)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dd.simhash_near_duplicates(
+            _docs(spark, sf_dir), "cleaned_text", "doc_id")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + similarity search
+# ---------------------------------------------------------------------------
+
+_EMB_SIM_THRESHOLD = 0.35   # testdata has no planted vector near-dups
+_EMB_TOPK = 50              # (max within-label cosine ≈ 0.47), so this is a
+                            # "most-similar pairs" report with the same plan
+                            # shape as a 0.95-threshold near-dup sweep.
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-similar within-label pairs above 0.35 cosine — the
+    embedding near-dup operator (thresholds filter on the rounded value so
+    both engines cut at identical boundaries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        dd.embedding_near_duplicates(
+            emb, "embedding", "vec_id", block_col="label", threshold=-1.0)
+        .withColumn("cosine", F.round(F.col("cosine"), 4))
+        .filter(F.col("cosine") >= _EMB_SIM_THRESHOLD)
+        .orderBy(F.desc("cosine"), "a_id", "b_id")
+        .limit(_EMB_TOPK)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, cosine
+FROM dots
+WHERE cosine >= {_EMB_SIM_THRESHOLD}
+ORDER BY cosine DESC, a_id, b_id
+LIMIT {_EMB_TOPK}
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 (excluded from results)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), "embedding", "vec_id", k=10)
+
+
+ORACLE_KNN_BRUTEFORCE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))),
+           4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+)
+SELECT vec_id, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for vec_id=0 (rows-only check;
+    recall-vs-bruteforce is asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ann_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), "embedding", "vec_id",
+        k=10, bits=6, probe_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cols = quality_columns(F.col("cleaned_text"))
+    return docs.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].alias("n_tokens"),
+        F.round(cols["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(cols["avg_token_len"], 4).alias("avg_token_len"),
+        F.round(cols["quality_score"], 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS = _SQL_DOCS + """
+, feats AS (
+    SELECT doc_id,
+           length(cleaned_text) AS n_chars,
+           CASE WHEN cleaned_text = '' THEN 0
+                ELSE len(string_split(cleaned_text, ' ')) END AS n_tok,
+           len(list_filter(string_split(cleaned_text, ' '), t -> t = 'the'))
+             + len(list_filter(string_split(cleaned_text, ' '), t -> t = 'a'))
+           AS stop_hits
+    FROM docs
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(stop_hits / (n_tok + 1.0), 4) AS stopword_ratio,
+       round((n_chars - (n_tok - 1)) / (n_tok + 1.0), 4) AS avg_token_len,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - stop_hits / (n_tok + 1.0))
+             + 0.3 * least(((n_chars - (n_tok - 1)) / (n_tok + 1.0)) / 6.0, 1.0),
+             4) AS quality_score
+FROM feats
+ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column, aggregated."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "lang_guess", lang_id_column(F.col("cleaned_text")))
+    return (
+        docs.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+ORACLE_LANG_ID = _SQL_DOCS + """
+, guessed AS (
+    SELECT lang,
+           CASE WHEN (len(list_filter(string_split(cleaned_text, ' '), t -> t = 'the'))
+                      + len(list_filter(string_split(cleaned_text, ' '), t -> t = 'a')))
+                     / ((CASE WHEN cleaned_text = '' THEN 0
+                              ELSE len(string_split(cleaned_text, ' ')) END) + 1.0)
+                     > 0.05
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM docs
+)
+SELECT lang, lang_guess, COUNT(*) AS doc_count
+FROM guessed
+GROUP BY lang, lang_guess
+ORDER BY lang, lang_guess
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + order-insensitive bag fingerprints per document."""
+    from ..functions.text import bag_fingerprint, fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("cleaned_text")).alias("content_fp"),
+        bag_fingerprint(F.col("cleaned_text")).alias("bag_fp"),
+    ).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINTS = _SQL_DOCS + """
+SELECT doc_id,
+       md5(cleaned_text) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(cleaned_text, ' '))), ' '))
+         AS bag_fp
+FROM docs
+ORDER BY doc_id
+"""

@@ -13,7 +13,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import reference
+from . import llmdata, reference, star
 
 
 @dataclass(frozen=True)
@@ -52,6 +52,64 @@ _ALL: list[Query] = [
     Query("export", reference.q_export,
           reference.ORACLE_EXPORT,
           "O3/S8: filtered, sorted export projection"),
+    # --- star-schema join surface (J1 generalized, SURVEY §2.3) ---
+    Query("author_enrichment", star.q_author_enrichment,
+          star.ORACLE_AUTHOR_ENRICHMENT,
+          "J1: broadcast left equi-join of small dim onto fact stream"),
+    Query("segment_engagement", star.q_segment_engagement,
+          star.ORACLE_SEGMENT_ENGAGEMENT,
+          "join + hash agg + distinct count per segment"),
+    Query("revenue_by_region", star.q_revenue_by_region,
+          star.ORACLE_REVENUE_BY_REGION,
+          "4-table broadcast star join with aggregation"),
+    Query("pricing_summary", star.q_pricing_summary,
+          star.ORACLE_PRICING_SUMMARY,
+          "TPC-H Q1 shape: filtered scan + partial/final hash agg"),
+    Query("top_customers", star.q_top_customers,
+          star.ORACLE_TOP_CUSTOMERS,
+          "top-k over join+agg (TakeOrderedAndProject)"),
+    Query("inactive_customers", star.q_inactive_customers,
+          star.ORACLE_INACTIVE_CUSTOMERS,
+          "left anti join (NOT EXISTS)"),
+    Query("active_customer_segments", star.q_active_customer_segments,
+          star.ORACLE_ACTIVE_CUSTOMER_SEGMENTS,
+          "left semi join (EXISTS) + agg"),
+    Query("top_order_per_customer", star.q_top_order_per_customer,
+          star.ORACLE_TOP_ORDER_PER_CUSTOMER,
+          "window function: row_number top-1 per group"),
+    Query("priority_rollup", star.q_priority_rollup,
+          star.ORACLE_PRIORITY_ROLLUP,
+          "ROLLUP with subtotals + grand total"),
+    # --- LLM-data-pipeline operators (BASELINE north star) ---
+    Query("dedup_exact", llmdata.q_dedup_exact,
+          llmdata.ORACLE_DEDUP_EXACT,
+          "exact dedup: md5 hash-groupBy, keeper id + copy count"),
+    Query("dedup_ngram_jaccard", llmdata.q_dedup_ngram_jaccard,
+          llmdata.ORACLE_DEDUP_NGRAM,
+          "near-dup pairs: word-3-gram Jaccard, prefix-blocked"),
+    Query("dedup_minhash", llmdata.q_dedup_minhash, None,
+          "near-dup pairs: MinHash sigs → banded LSH → Jaccard verify "
+          "(xxhash64-based; rows-only check, parity vs ngram in tests)"),
+    Query("dedup_simhash", llmdata.q_dedup_simhash, None,
+          "near-dup pairs: 64-bit SimHash, 16-bit bands, hamming verify "
+          "(rows-only check)"),
+    Query("dedup_embedding", llmdata.q_dedup_embedding,
+          llmdata.ORACLE_DEDUP_EMBEDDING,
+          "near-dup pairs: cosine >= 0.95, label-blocked"),
+    Query("knn_bruteforce", llmdata.q_knn_bruteforce,
+          llmdata.ORACLE_KNN_BRUTEFORCE,
+          "exact cosine top-10 for a query vector (TakeOrderedAndProject)"),
+    Query("knn_ann", llmdata.q_knn_ann, None,
+          "LSH-bucketed approximate top-10 (rows-only; recall in tests)"),
+    Query("text_stats", llmdata.q_text_stats,
+          llmdata.ORACLE_TEXT_STATS,
+          "token/char counts, stopword ratio, quality score"),
+    Query("lang_id", llmdata.q_lang_id,
+          llmdata.ORACLE_LANG_ID,
+          "heuristic language-ID vs labels, aggregated"),
+    Query("fingerprints", llmdata.q_fingerprints,
+          llmdata.ORACLE_FINGERPRINTS,
+          "content + order-insensitive bag fingerprints"),
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

@@ -1,0 +1,288 @@
+"""Star-schema join queries — J1 (author enrichment, the reference's only
+join, twitter_producer.py:69-71/:184-188) generalized to the full Spark join
+surface the driver's TPC-H-ish testdata exercises: broadcast-hash dim joins,
+semi/anti, windowed top-per-group, and aggregation-heavy scans.
+
+Scale notes:
+- Dim tables (region/nation/customer/supplier/part) are explicitly
+  ``broadcast()`` — at 100 TB the fact side never shuffles for these joins;
+  only the final small aggregate exchanges data.
+- ``orderBy().limit(n)`` top-ks plan as TakeOrderedAndProject.
+- Aggregates are partial (map-side) before the single shuffle — verify with
+  ``.explain``: HashAggregate(partial) → Exchange → HashAggregate(final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+
+# ---------------------------------------------------------------------------
+# J1 generalized: enrich a fact stream with a small dimension (broadcast).
+# ---------------------------------------------------------------------------
+
+def q_author_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events left-joined to customer (the author dim): the Spark twin of
+    carrying `includes.users` beside each tweet. Broadcast left equi-join —
+    zero shuffle of the fact side."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(
+            F.broadcast(customer),
+            events.user_id == customer.c_custkey,
+            "left",
+        )
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            "c_name", "c_mktsegment",
+        )
+    )
+
+
+ORACLE_AUTHOR_ENRICHMENT = """
+SELECT event_id, user_id, event_type, value, c_name, c_mktsegment
+FROM events LEFT JOIN customer ON events.user_id = customer.c_custkey
+"""
+
+
+def q_segment_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate: engagement per customer market segment."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(F.broadcast(customer),
+                    events.user_id == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+        .orderBy(F.desc("event_count"), F.asc("c_mktsegment"))
+    )
+
+
+ORACLE_SEGMENT_ENGAGEMENT = """
+SELECT c_mktsegment,
+       COUNT(*) AS event_count,
+       round(SUM(value), 4) AS total_value,
+       COUNT(DISTINCT user_id) AS active_users
+FROM events JOIN customer ON events.user_id = customer.c_custkey
+GROUP BY c_mktsegment
+ORDER BY event_count DESC, c_mktsegment ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-dim star join: orders ⋈ customer ⋈ nation ⋈ region.
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
+        )
+        .orderBy(F.desc("total_revenue"), F.asc("r_name"))
+    )
+
+
+ORACLE_REVENUE_BY_REGION = """
+SELECT r_name,
+       COUNT(*) AS order_count,
+       round(SUM(o_totalprice), 4) AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY total_revenue DESC, r_name ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: the aggregation-heavy scan (bench headliner).
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice), 4) AS sum_base_price,
+       round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       round(AVG(l_extendedprice), 4) AS avg_price,
+       round(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k over join (TPC-H Q3 flavor).
+# ---------------------------------------------------------------------------
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       COUNT(*) AS order_count,
+       round(SUM(o_totalprice), 4) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins.
+# ---------------------------------------------------------------------------
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no event activity — left anti join (NOT EXISTS).
+    (events covers a small user range, so this is non-trivially selective.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        customer.join(events, customer.c_custkey == events.user_id, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_active_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment counts of customers that do have orders — left semi (EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+        .orderBy(F.desc("customer_count"), F.asc("c_mktsegment"))
+    )
+
+
+ORACLE_ACTIVE_CUSTOMER_SEGMENTS = """
+SELECT c_mktsegment, COUNT(*) AS customer_count
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY customer_count DESC, c_mktsegment ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window function: top order per customer (deterministic tiebreak).
+# ---------------------------------------------------------------------------
+
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup with grand total (A2's rollup form).
+# ---------------------------------------------------------------------------
+
+def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by status × priority with subtotal/grand-total rows
+    (ROLLUP) — the principled form of the reference's app-side grand total
+    (sentiment_analysis.py:628)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+ORACLE_PRIORITY_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS order_count,
+       round(SUM(o_totalprice), 4) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""

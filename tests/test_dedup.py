@@ -1,0 +1,124 @@
+"""Dedup operator family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine — recall against the corpus's planted near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_sentiment_analysis_spark.functions.text import clean_text
+from social_media_sentiment_analysis_spark.operators import dedup as dd
+from social_media_sentiment_analysis_spark.queries.llmdata import (
+    q_dedup_minhash,
+    q_dedup_ngram_jaccard,
+    q_dedup_simhash,
+)
+from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def planted_pairs(spark, sf_dir):
+    """Ground truth: pairs found by exact (oracle-checked) n-gram Jaccard."""
+    return {
+        (r["a_id"], r["b_id"])
+        for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+
+
+class TestExactDedup:
+    def test_collapses_identical_content(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello world"), (3, "other text")],
+            ["id", "text"],
+        )
+        out = {r["keeper_id"]: r["copies"]
+               for r in dd.exact_dedup(df, "text", "id").collect()}
+        assert out == {1: 2, 3: 1}
+
+    def test_drop_exact_duplicates_keeps_first(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "z")], ["id", "text"])
+        kept = sorted(r["id"] for r in
+                      dd.drop_exact_duplicates(df, "text", "id").collect())
+        assert kept == [1, 3]
+
+    def test_no_false_merges_on_corpus(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "cleaned", clean_text(F.col("text")))
+        n_docs = docs.count()
+        n_groups = dd.exact_dedup(docs, "cleaned", "doc_id").count()
+        assert n_groups == n_docs  # corpus has near-dups, no exact dups
+
+
+class TestMinHashLSH:
+    def test_full_recall_of_planted_dups(self, spark, sf_dir, planted_pairs):
+        got = {(r["a_id"], r["b_id"])
+               for r in q_dedup_minhash(spark, sf_dir).collect()}
+        assert planted_pairs, "testdata should contain planted near-dups"
+        missing = planted_pairs - got
+        assert not missing, f"minhash missed {missing}"
+
+    def test_jaccard_values_above_threshold(self, spark, sf_dir):
+        for r in q_dedup_minhash(spark, sf_dir).collect():
+            assert r["jaccard"] >= 0.5
+
+    def test_signature_shape(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f g h")], ["id", "text"])
+        sig = dd.minhash_signatures(df, "text", "id", num_hashes=16).first()["minhash"]
+        assert len(sig) == 16
+        # distinct seeds must give distinct hash families (regression: a
+        # 2-arg transform lambda silently received the array index as seed)
+        assert len(set(sig)) > 1
+
+    def test_candidates_detect_shared_prefix_docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " dup"), (3, "completely different words here")],
+            ["id", "text"],
+        )
+        pairs = dd.minhash_near_duplicates(df, "text", "id", threshold=0.5).collect()
+        assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+
+
+class TestSimHash:
+    def test_recall_of_planted_dups(self, spark, sf_dir, planted_pairs):
+        got = {(r["a_id"], r["b_id"])
+               for r in q_dedup_simhash(spark, sf_dir).collect()}
+        missing = planted_pairs - got
+        assert not missing, f"simhash missed {missing}"
+
+    def test_identical_texts_zero_hamming(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            ["id", "text"],
+        )
+        out = dd.simhash_near_duplicates(df, "text", "id").collect()
+        assert len(out) == 1 and out[0]["hamming"] == 0
+
+    def test_fingerprint_is_deterministic_long(self, spark):
+        df = spark.createDataFrame([(1, "some stable text")], ["id", "text"])
+        a = df.select(dd.simhash(F.col("text")).alias("s")).first()["s"]
+        b = df.select(dd.simhash(F.col("text")).alias("s")).first()["s"]
+        assert a == b and isinstance(a, int)
+
+
+class TestEmbeddingDedup:
+    def test_finds_identical_vectors(self, spark):
+        v = [1.0, 2.0, 3.0, 4.0]
+        w = [-1.0, 0.5, 2.0, -3.0]
+        df = spark.createDataFrame(
+            [(1, v, 0), (2, v, 0), (3, w, 0)],
+            "id: long, vec: array<float>, label: int",
+        )
+        out = dd.embedding_near_duplicates(
+            df, "vec", "id", block_col="label", threshold=0.99).collect()
+        assert {(r["a_id"], r["b_id"]) for r in out} == {(1, 2)}
+        assert out[0]["cosine"] == pytest.approx(1.0)
+
+    def test_blocking_limits_pairs(self, spark):
+        v = [1.0, 0.0]
+        df = spark.createDataFrame(
+            [(1, v, 0), (2, v, 1)], "id: long, vec: array<float>, label: int")
+        out = dd.embedding_near_duplicates(
+            df, "vec", "id", block_col="label", threshold=0.5).collect()
+        assert out == []  # identical vectors but different blocks

@@ -1,0 +1,94 @@
+"""Similarity search: brute-force exactness, ANN recall, pairwise top-k."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_sentiment_analysis_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+from social_media_sentiment_analysis_spark.operators import similarity as sim
+from social_media_sentiment_analysis_spark.queries.llmdata import (
+    q_knn_ann,
+    q_knn_bruteforce,
+)
+from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+
+class TestVectorMath:
+    def test_dot_and_norm(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a: array<float>, b: array<float>")
+        row = df.select(
+            dot(F.col("a"), F.col("b")).alias("d"),
+            l2_norm(F.col("a")).alias("n"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+        ).first()
+        assert row["d"] == pytest.approx(32.0)
+        assert row["n"] == pytest.approx(math.sqrt(14.0))
+        assert row["c"] == pytest.approx(32.0 / (math.sqrt(14) * math.sqrt(77)))
+
+    def test_orthogonal_is_zero(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.0, 1.0])], "a: array<float>, b: array<float>")
+        assert df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")
+                         ).first()["c"] == pytest.approx(0.0)
+
+
+class TestBruteForce:
+    def test_exact_self_similarity(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0]), (2, [1.0, 0.9]), (3, [-1.0, -1.0])],
+            "id: long, vec: array<float>")
+        out = sim.brute_force_topk(df, [1.0, 1.0], "vec", "id", k=2).collect()
+        assert [r["id"] for r in out] == [1, 2]
+        assert out[0]["cosine"] == pytest.approx(1.0)
+
+    def test_corpus_topk_is_sorted(self, spark, sf_dir):
+        rows = q_knn_bruteforce(spark, sf_dir).collect()
+        assert len(rows) == 10
+        sims = [r["cosine"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != 0 for r in rows)
+
+
+class TestANN:
+    def test_recall_vs_bruteforce(self, spark, sf_dir):
+        """Bucketed ANN with 1-bit probing must recover most of the exact
+        top-10 (random-hyperplane LSH recall on 64-dim data)."""
+        exact = [r["vec_id"] for r in q_knn_bruteforce(spark, sf_dir).collect()]
+        approx = [r["vec_id"] for r in q_knn_ann(spark, sf_dir).collect()]
+        overlap = len(set(exact) & set(approx))
+        assert overlap >= 5, f"ANN recall too low: {overlap}/10 ({approx} vs {exact})"
+
+    def test_bucket_determinism(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings").limit(20)
+        b1 = emb.select(sim.hyperplane_bucket(F.col("embedding"), 64).alias("b")).collect()
+        b2 = emb.select(sim.hyperplane_bucket(F.col("embedding"), 64).alias("b")).collect()
+        assert [r["b"] for r in b1] == [r["b"] for r in b2]
+
+    def test_bucket_range(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.select(
+            F.min(sim.hyperplane_bucket(F.col("embedding"), 64, bits=8)).alias("lo"),
+            F.max(sim.hyperplane_bucket(F.col("embedding"), 64, bits=8)).alias("hi"),
+        ).first()
+        assert 0 <= row["lo"] and row["hi"] <= 255
+
+
+class TestPairwiseTopK:
+    def test_each_query_gets_ranked_neighbors(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings").limit(100)
+        out = sim.pairwise_topk_join(emb, emb, "embedding", "vec_id", "vec_id", k=3)
+        pdf = out.toPandas()
+        assert (pdf.groupby("query_id")["rank"].max() <= 3).all()
+        assert (pdf["query_id"] != pdf["neighbor_id"]).all()
+        # ranks within a query are strictly increasing with falling cosine
+        for _, grp in pdf.groupby("query_id"):
+            g = grp.sort_values("rank")
+            assert list(g["cosine"]) == sorted(g["cosine"], reverse=True)
