@@ -1,0 +1,125 @@
+"""Structured Streaming pipelines — the reference's dataflow path (SURVEY
+§3.2) as one declarative stream job.
+
+Reference shape (twitter_streamer.py:236-288): Kafka consumer loop →
+json.loads → nested projection → clean → filter → per-tweet sentiment RPC →
+JSONL file + per-tweet HTTP store thread. Here that whole chain is a single
+``readStream`` plan sharing the *batch* transform code (same Column
+expressions), so batch and streaming can't drift.
+
+Streaming semantics upgrades over the reference (SURVEY §2.9):
+- event-time watermarks bound all state (the reference cleared a 10k-entry
+  set wholesale, twitter_producer.py:202-205);
+- dedup is ``dropDuplicates`` within the watermark — the principled version
+  of D1, and exactly-once lands via the idempotent sink (S6/D2);
+- the hourly rollup (A3 — declared in the reference's DDL but never
+  implemented) is a watermarked tumbling window aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sentiment import sentiment_enrich
+from ..schemas import TWEET_ENVELOPE_SCHEMA
+
+
+def read_tweet_file_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based stream of tweet envelopes (JSONL of TWEET_ENVELOPE_SCHEMA).
+    The file source stands in for Kafka in tests; swap ``read_kafka_stream``
+    in production — downstream code is identical."""
+    reader = spark.readStream.schema(TWEET_ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
+                      topic: str, starting_offsets: str = "latest",
+                      max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """Kafka source (S4, twitter_streamer.py:34-84): subscribe + JSON parse.
+    Offsets ride the checkpoint (replacing consumer-group auto-commit);
+    ``maxOffsetsPerTrigger`` is the backpressure dial (S2's rate-limit sleep).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return (
+        reader.load()
+        .select(F.from_json(F.col("value").cast("string"),
+                            TWEET_ENVELOPE_SCHEMA).alias("envelope"))
+        .select("envelope.*")
+    )
+
+
+def flatten_envelope(df: DataFrame) -> DataFrame:
+    """P1 nested projection (twitter_streamer.py:141-154) with the
+    reference's missing→default semantics (''/0 via coalesce)."""
+    return df.select(
+        F.coalesce(F.col("data.id"), F.lit("")).alias("tweet_id"),
+        F.coalesce(F.col("data.text"), F.lit("")).alias("tweet_text"),
+        F.to_timestamp(F.col("data.created_at")).alias("created_at"),
+        F.coalesce(F.col("data.author_id"), F.lit("")).alias("author_id"),
+        F.coalesce(F.col("data.lang"), F.lit("")).alias("language"),
+        F.coalesce(F.col("data.public_metrics.retweet_count"), F.lit(0)).alias("retweet_count"),
+        F.coalesce(F.col("data.public_metrics.like_count"), F.lit(0)).alias("like_count"),
+        F.coalesce(F.col("data.public_metrics.reply_count"), F.lit(0)).alias("reply_count"),
+        F.coalesce(F.col("data.public_metrics.quote_count"), F.lit(0)).alias("quote_count"),
+        F.col("includes.users").alias("users"),
+        F.col("kafka_timestamp"),
+        F.timestamp_millis(F.col("kafka_timestamp")).alias("event_time"),
+    )
+
+
+def enrich_tweet_stream(df: DataFrame,
+                        language: str = "en",
+                        watermark: str = "1 hour") -> DataFrame:
+    """The full dataflow: flatten → filter (P2/P3) → clean+score+ensemble
+    (U4, same Column pipeline as batch) → watermarked dedup (D1).
+
+    Equivalent to the reference's process_tweet + producer dedup, minus the
+    two RPC hops (SURVEY §3.2)."""
+    flat = flatten_envelope(df)
+    enriched = sentiment_enrich(flat, text_col="tweet_text")
+    filtered = enriched.filter(
+        (F.col("language") == language)
+        & (F.trim(F.col("cleaned_text")) != "")
+    )
+    return (
+        filtered
+        .withWatermark("event_time", watermark)
+        .dropDuplicates(["tweet_id"])
+    )
+
+
+def hourly_rollup_stream(enriched: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """A3: tumbling 1-hour sentiment rollup with watermark-bounded state —
+    the `sentiment_summary` table writer the reference never implemented
+    (sentiment_analysis.py:136-149)."""
+    return (
+        enriched
+        .withWatermark("event_time", watermark)
+        .groupBy(
+            F.window(F.col("event_time"), "1 hour").alias("w"),
+            F.col("final_sentiment").alias("sentiment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("tweet_count"),
+            F.avg("confidence_score").alias("avg_confidence"),
+            F.sum("like_count").alias("total_likes"),
+            F.sum("retweet_count").alias("total_retweets"),
+        )
+        .select(
+            F.col("w.start").alias("date_hour"),
+            "sentiment", "tweet_count", "avg_confidence",
+            "total_likes", "total_retweets",
+        )
+    )

@@ -1,0 +1,145 @@
+"""Streaming-layer integration tests (file source, availableNow trigger — no
+live Kafka needed, per SURVEY §5/§7.2 step 6).
+
+Covers: envelope parse + flatten (P1), filters (P2/P3), shared enrichment
+pipeline on a stream (U4), watermarked dedup (D1), tumbling hourly rollup
+(A3), hour-partitioned JSONL sink (S5-intent), and replay-idempotent keyed
+parquet sink (S6/D2 exactly-once effect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from social_media_sentiment_analysis_spark.streaming import (
+    enrich_tweet_stream,
+    flatten_envelope,
+    hourly_rollup_stream,
+    idempotent_parquet_sink,
+    jsonl_sink,
+    read_tweet_file_stream,
+    run_available_now,
+)
+from social_media_sentiment_analysis_spark.functions.sentiment import sentiment_enrich
+
+# epoch millis anchors: 2024-01-15 10:00:00 UTC and 11:00:00 UTC
+H10 = 1705312800000
+H11 = 1705316400000
+
+
+def _envelope(tid, text, lang="en", ts=H10, likes=5, retweets=2):
+    return {
+        "data": {
+            "id": tid,
+            "text": text,
+            "created_at": "2024-01-15T10:00:00Z",
+            "author_id": f"author_{tid}",
+            "lang": lang,
+            "public_metrics": {
+                "retweet_count": retweets,
+                "like_count": likes,
+                "reply_count": 1,
+                "quote_count": 0,
+            },
+        },
+        "includes": {
+            "users": [
+                {"id": f"author_{tid}", "name": "N", "username": "u",
+                 "public_metrics": {"followers_count": 10}}
+            ]
+        },
+        "kafka_timestamp": ts,
+    }
+
+
+ENVELOPES = [
+    _envelope("t1", "RT @alice this launch is fast   big fast", ts=H10),
+    _envelope("t1", "RT @alice this launch is fast   big fast", ts=H10),  # dup
+    _envelope("t2", "slow small slow experience", ts=H10),
+    _envelope("t3", "the sky is blue today", ts=H11),
+    _envelope("t4", "no hablo ingles", lang="es", ts=H11),                # P2 drop
+    _envelope("t5", "   ", ts=H11),                                       # P3 drop
+]
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    with open(d / "batch0.jsonl", "w") as f:
+        for e in ENVELOPES:
+            f.write(json.dumps(e) + "\n")
+    return str(d)
+
+
+def _mem_query(df, name, mode="append"):
+    return (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+
+
+def test_enrich_stream_dedup_and_filters(spark, stream_input):
+    stream = read_tweet_file_stream(spark, stream_input)
+    assert stream.isStreaming
+    enriched = enrich_tweet_stream(stream)
+    name = "enriched_" + uuid.uuid4().hex[:8]
+    q = _mem_query(enriched, name)
+    q.awaitTermination()
+    rows = {r.tweet_id: r for r in spark.table(name).collect()}
+    # t1 deduped to one row; t4 (lang) and t5 (empty) filtered out
+    assert sorted(rows) == ["t1", "t2", "t3"]
+    # F1 removes the literal "RT @" (not the handle) and collapses whitespace
+    assert rows["t1"].cleaned_text == "alice this launch is fast big fast"
+    assert rows["t1"].final_sentiment == "positive"
+    assert rows["t2"].final_sentiment == "negative"
+    assert rows["t3"].final_sentiment == "neutral"
+    assert rows["t1"].like_count == 5 and rows["t1"].retweet_count == 2
+
+
+def test_hourly_rollup_stream(spark, stream_input):
+    stream = read_tweet_file_stream(spark, stream_input)
+    flat = flatten_envelope(stream).filter("language = 'en'")
+    enriched = sentiment_enrich(flat, text_col="tweet_text").filter(
+        "trim(cleaned_text) != ''"
+    )
+    rollup = hourly_rollup_stream(enriched)
+    name = "rollup_" + uuid.uuid4().hex[:8]
+    q = _mem_query(rollup, name, mode="complete")
+    q.awaitTermination()
+    got = {(r.date_hour.hour, r.sentiment): r for r in spark.table(name).collect()}
+    # hour 10: t1+dup(positive ×2), t2(negative); hour 11: t3(neutral)
+    assert got[(10, "positive")].tweet_count == 2
+    assert got[(10, "positive")].total_likes == 10
+    assert got[(10, "negative")].tweet_count == 1
+    assert got[(11, "neutral")].tweet_count == 1
+
+
+def test_jsonl_sink_hour_partitions(spark, stream_input, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_tweet_file_stream(spark, stream_input)
+    enriched = enrich_tweet_stream(stream)
+    run_available_now(jsonl_sink(enriched, out, ckpt))
+    parts = sorted(p for p in os.listdir(out) if p.startswith("hour="))
+    assert parts == ["hour=20240115_10", "hour=20240115_11"]
+    back = spark.read.json(out)
+    assert back.count() == 3
+
+
+def test_idempotent_sink_replay(spark, stream_input, tmp_path):
+    out = str(tmp_path / "tweets_tbl")
+    stream = read_tweet_file_stream(spark, stream_input)
+    enriched = enrich_tweet_stream(stream)
+    run_available_now(
+        idempotent_parquet_sink(enriched, out, str(tmp_path / "ck1")))
+    assert spark.read.parquet(out).count() == 3
+    # replay the same input through a fresh checkpoint (simulates source
+    # replay after checkpoint loss) — keyed anti-join keeps the table stable
+    run_available_now(
+        idempotent_parquet_sink(enriched, out, str(tmp_path / "ck2")))
+    df = spark.read.parquet(out)
+    assert df.count() == 3
+    assert df.select("tweet_id").distinct().count() == 3
