@@ -1,0 +1,79 @@
+"""Multimodal registry queries: opaque-binary media columns derived from the
+``documents`` table (TESTDATA has no media table), metadata analytics as pure
+Column plans (oracle-checked), and Arrow-batched fake-decode feature
+extraction (rows-only — mapInPandas has no SQL twin; parity vs a pure-pandas
+reference lives in tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_media, extract_media_features
+from ..sources.batch import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_media(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality metadata rollup over the opaque-payload media table.
+    Payload bytes never cross to Python — metadata analytics stay columnar
+    (the point of the binary+metadata design)."""
+    return (
+        _media(spark, sf_dir)
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("media_count"),
+            F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+            F.round(F.avg(F.octet_length("payload")), 4).alias("avg_bytes"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("duration_ms"), 4).alias("avg_duration_ms"),
+        )
+        .orderBy("modality")
+    )
+
+
+ORACLE_MEDIA_METADATA = """
+WITH media AS (
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           doc_id
+    FROM documents
+), typed AS (
+    SELECT modality, n_bytes,
+           CASE WHEN modality = 'image' THEN (n_bytes % 64) + 16 END AS width,
+           CASE WHEN modality <> 'image' THEN n_bytes * 10 END AS duration_ms
+    FROM media
+)
+SELECT modality,
+       COUNT(*) AS media_count,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       round(AVG(n_bytes), 4) AS avg_bytes,
+       round(AVG(width), 4) AS avg_width,
+       round(AVG(duration_ms), 4) AS avg_duration_ms
+FROM typed
+GROUP BY modality
+ORDER BY modality
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (deterministic fake decoder),
+    aggregated per modality. Rows-only for the driver; byte-exact parity vs a
+    pure-pandas reference is asserted in tests."""
+    feats = extract_media_features(_media(spark, sf_dir))
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("media_count"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("modality")
+    )

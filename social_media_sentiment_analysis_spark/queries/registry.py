@@ -13,7 +13,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llmdata, reference, star
+from . import llmdata, multimodal, reference, star
 
 
 @dataclass(frozen=True)
@@ -110,6 +110,13 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    # --- multimodal: opaque binary payload + typed metadata ---
+    Query("media_metadata", multimodal.q_media_metadata,
+          multimodal.ORACLE_MEDIA_METADATA,
+          "per-modality metadata rollup, payload stays opaque/columnar"),
+    Query("media_features", multimodal.q_media_features, None,
+          "mapInPandas decode→features (deterministic fake codec; "
+          "rows-only check, pandas parity in tests)"),
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

@@ -1,0 +1,86 @@
+"""Multimodal plumbing tests: MEDIA_SCHEMA shape, Arrow-batch feature
+extraction parity vs a pure-pandas reference, decode stub contract, and the
+oracle twin for the metadata rollup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from social_media_sentiment_analysis_spark.operators.multimodal import (
+    _fake_decode_stats,
+    attach_media,
+    decode_payload,
+    extract_media_features,
+)
+from social_media_sentiment_analysis_spark.queries.multimodal import (
+    ORACLE_MEDIA_METADATA,
+    q_media_features,
+    q_media_metadata,
+)
+from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+
+def test_attach_media_schema_and_modality(spark, sf_dir):
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "modality", "payload", "mime_type",
+        "width", "height", "duration_ms", "sample_rate",
+    ]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    rows = media.limit(50).collect()
+    for r in rows:
+        assert r.modality in ("image", "audio", "video")
+        if r.modality == "image":
+            assert r.width is not None and r.duration_ms is None
+        else:
+            assert r.width is None and r.duration_ms is not None
+        assert isinstance(r.payload, (bytes, bytearray))
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x01", "image/png")
+
+
+def test_feature_extraction_matches_pandas_reference(spark, sf_dir):
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    got = {r.media_id: r for r in extract_media_features(media).collect()}
+    for r in media.collect():
+        exp = _fake_decode_stats(bytes(r.payload), r.modality)
+        g = got[r.media_id]
+        assert (g.n_bytes, g.byte_min, g.byte_max, g.n_frames) == (
+            exp[0], exp[3], exp[4], exp[5])
+        assert g.byte_mean == pytest.approx(exp[1])
+        assert g.byte_std == pytest.approx(exp[2])
+    # byte-level sanity on one known payload
+    assert _fake_decode_stats(b"abc", "video") == (
+        3, np.mean([97, 98, 99]), np.std([97, 98, 99]), 97, 99, 1)
+
+
+def test_video_frame_sampling_cardinality():
+    assert _fake_decode_stats(b"\x01" * 700, "video")[5] == 3   # ceil(700/256)
+    assert _fake_decode_stats(b"\x01" * 700, "image")[5] == 1
+
+
+def test_media_metadata_oracle_parity(spark, sf_dir, duck):
+    spark_rows = {r.modality: r for r in q_media_metadata(spark, sf_dir).collect()}
+    duck_rows = duck.execute(ORACLE_MEDIA_METADATA).df().to_dict("records")
+    assert len(spark_rows) == len(duck_rows) == 3
+    for d in duck_rows:
+        s = spark_rows[d["modality"]]
+        assert s.media_count == d["media_count"]
+        assert s.total_bytes == d["total_bytes"]
+        assert s.avg_bytes == pytest.approx(d["avg_bytes"])
+        assert (s.avg_width is None) == (d["avg_width"] is None or
+                                         np.isnan(d["avg_width"]))
+
+
+def test_media_features_rollup(spark, sf_dir):
+    rows = {r.modality: r for r in q_media_features(spark, sf_dir).collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    # frame sampling only multiplies frames for video
+    assert rows["image"].total_frames == rows["image"].media_count
+    assert rows["audio"].total_frames == rows["audio"].media_count
+    assert rows["video"].total_frames >= rows["video"].media_count
