@@ -1,0 +1,110 @@
+"""IO-edge tests: CSV/JSON export writers (S8), DDL generation (S10), and
+the streaming progress listener (A4). JDBC wrappers (S9) are
+shape-checked only — no database/driver jar in this environment.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import io
+import time
+
+from social_media_sentiment_analysis_spark.schemas import (
+    SENTIMENT_SUMMARY_SCHEMA,
+    TWEETS_TABLE_SCHEMA,
+)
+from social_media_sentiment_analysis_spark.sources.export import (
+    ddl_for,
+    export_csv,
+    export_csv_string,
+    export_json,
+)
+from social_media_sentiment_analysis_spark.queries.reference import q_export
+
+
+def test_export_csv_roundtrip(spark, sf_dir, tmp_path):
+    df = q_export(spark, sf_dir).limit(20)
+    out = str(tmp_path / "csv")
+    export_csv(df, out, single_file=True)
+    parts = glob.glob(out + "/part-*.csv")
+    assert len(parts) == 1
+    with open(parts[0]) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 20
+    assert set(rows[0]) == set(df.columns)
+
+
+def test_export_csv_distributed_parts(spark, sf_dir, tmp_path):
+    df = q_export(spark, sf_dir).repartition(4)
+    out = str(tmp_path / "csv_many")
+    export_csv(df, out)
+    assert len(glob.glob(out + "/part-*.csv")) == 4  # no driver funnel
+
+
+def test_export_json_roundtrip(spark, sf_dir, tmp_path):
+    df = q_export(spark, sf_dir)
+    out = str(tmp_path / "json")
+    export_json(df, out)
+    assert spark.read.json(out).count() == df.count()
+
+
+def test_export_csv_string_matches_reference_contract(spark, sf_dir):
+    df = q_export(spark, sf_dir).limit(5)
+    s = export_csv_string(df)
+    rows = list(csv.DictReader(io.StringIO(s)))
+    assert len(rows) == 5 and set(rows[0]) == set(df.columns)
+
+
+def test_ddl_generation(spark):
+    ddl = ddl_for(TWEETS_TABLE_SCHEMA, "tweets", partitioned_by=("language",))
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS tweets")
+    assert "tweet_id STRING" in ddl and "confidence_score DOUBLE" in ddl
+    assert "PARTITIONED BY (language)" in ddl
+    rollup_ddl = ddl_for(SENTIMENT_SUMMARY_SCHEMA, "sentiment_summary")
+    assert "date_hour TIMESTAMP" in rollup_ddl
+    # generated DDL must actually parse/execute in Spark SQL
+    spark.sql("DROP TABLE IF EXISTS sentiment_summary")
+    spark.sql(rollup_ddl)
+    try:
+        assert spark.table("sentiment_summary").columns == [
+            f.name for f in SENTIMENT_SUMMARY_SCHEMA.fields]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sentiment_summary")
+
+
+def test_progress_listener_counts(spark, tmp_path):
+    import json as _json
+
+    from social_media_sentiment_analysis_spark.streaming import (
+        read_tweet_file_stream,
+    )
+    from social_media_sentiment_analysis_spark.streaming.observability import (
+        ProgressCounter,
+    )
+    from tests.test_streaming import ENVELOPES
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b.jsonl", "w") as f:
+        for e in ENVELOPES:
+            f.write(_json.dumps(e) + "\n")
+
+    hits = []
+    listener = ProgressCounter(log_every=2, on_every=hits.append)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            read_tweet_file_stream(spark, str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 20   # listener bus is async
+        while time.time() < deadline and listener.total() < len(ENVELOPES):
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.total() == len(ENVELOPES)
+    assert hits and hits[-1] == len(ENVELOPES)  # fired at the 10s-analog cadence
