@@ -36,8 +36,10 @@ def run() -> dict:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    # warm the JVM + file listing once so timings measure query execution
-    QUERIES[names[0]].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # warm each query once (JVM, file listing, per-plan codegen compile) so
+    # timings measure steady-state execution, not first-run compilation
+    for name in names:
+        QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     for name in names:
         start = time.perf_counter()
         QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import clean_text, multi_word_hits, token_count
+from .text import array_word_hits, clean_text, multi_word_hits, token_count, tokens
 
 # Deterministic lexicon over the testdata vocabulary. A production lexicon
 # (VADER's is ~7.5k entries) would be a broadcast map; two words keep the
@@ -128,14 +128,56 @@ def ensemble_columns(vader_label: Column, textblob_label: Column) -> dict[str, C
 def sentiment_enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
     """U4 composite as one declarative pipeline: clean → model scores →
     ensemble. Adds cleaned_text, all per-model score/label columns, and
-    final_sentiment/confidence_score. Single projection — Catalyst collapses
-    it into one whole-stage-codegen stage over the scan."""
-    cleaned = clean_text(F.col(text_col))
-    df = df.withColumn("cleaned_text", cleaned)
-    scores = lexicon_scores(F.col("cleaned_text"))
-    df = df.withColumns(scores)
-    ens = ensemble_columns(F.col("vader_sentiment"), F.col("textblob_sentiment"))
-    return df.withColumns(ens)
+    final_sentiment/confidence_score.
+
+    Staged through intermediate columns (token hits, then scores, then
+    labels, then ensemble) so each expensive subexpression — especially the
+    token split — is computed ONCE per row. Inlining everything instead
+    repeats split() ~20× in the projection: lambda variables get unique IDs
+    per occurrence, which defeats codegen subexpression elimination, and at
+    100 TB that is a >10× CPU difference in the hot scan. Catalyst's
+    CollapseProject keeps multiply-referenced non-cheap aliases staged, and
+    whole-stage codegen still fuses all stages into one pass over the scan.
+    Numeric results are bit-identical to the inline form (same op order).
+    """
+    df = df.withColumn("cleaned_text", clean_text(F.col(text_col)))
+    df = df.withColumn("__toks", tokens(F.col("cleaned_text")))
+    df = df.withColumns({
+        "__pos_n": array_word_hits(F.col("__toks"), POSITIVE_WORDS),
+        "__neg_n": array_word_hits(F.col("__toks"), NEGATIVE_WORDS),
+        "__n_tok": F.when(F.col("cleaned_text") == "", F.lit(0))
+                    .otherwise(F.size(F.col("__toks"))),
+    })
+    p, n, t = F.col("__pos_n"), F.col("__neg_n"), F.col("__n_tok")
+    df = df.withColumns({
+        "vader_compound": (p - n) / (p + n + F.lit(1.0)),
+        "vader_positive": p / (t + F.lit(1.0)),
+        "vader_negative": n / (t + F.lit(1.0)),
+        "textblob_polarity": (p - n) / (t + F.lit(1.0)),
+        "textblob_subjectivity": (p + n) / (t + F.lit(1.0)),
+    })
+    df = df.withColumns({
+        "vader_neutral": F.lit(1.0) - F.col("vader_positive") - F.col("vader_negative"),
+        "vader_sentiment": _label_from(
+            F.col("vader_compound"), VADER_POS_THRESHOLD, strict=False),
+        "textblob_sentiment": _label_from(
+            F.col("textblob_polarity"), TEXTBLOB_POS_THRESHOLD, strict=True),
+    })
+    df = df.withColumn(
+        "combined_score",
+        F.lit(ENSEMBLE_VADER_WEIGHT) * _label_to_num(F.col("vader_sentiment"))
+        + F.lit(ENSEMBLE_TEXTBLOB_WEIGHT) * _label_to_num(F.col("textblob_sentiment")),
+    )
+    base_conf = F.abs(F.col("combined_score"))
+    df = df.withColumns({
+        "final_sentiment": _label_from(
+            F.col("combined_score"), FINAL_THRESHOLD, strict=True),
+        "confidence_score": F.when(
+            F.col("vader_sentiment") == F.col("textblob_sentiment"),
+            F.least(base_conf * F.lit(AGREEMENT_BOOST), F.lit(CONFIDENCE_CAP)),
+        ).otherwise(base_conf),
+    })
+    return df.drop("__toks", "__pos_n", "__neg_n", "__n_tok")
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,17 @@ def word_hits(col: Column, word: str) -> Column:
     return F.size(F.filter(tokens(col), lambda x: x == F.lit(word)))
 
 
+def array_word_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Total occurrence count of ``words`` over a PRE-COMPUTED token array.
+    Hot-path variant: callers materialize the split once (an intermediate
+    column) and count all words from it — one tokenization per row however
+    many words are counted."""
+    out = F.size(F.filter(toks, lambda x: x == F.lit(words[0])))
+    for w in words[1:]:
+        out = out + F.size(F.filter(toks, lambda x: x == F.lit(w)))
+    return out
+
+
 def multi_word_hits(col: Column, words: tuple[str, ...]) -> Column:
     hits = [word_hits(col, w) for w in words]
     out = hits[0]
