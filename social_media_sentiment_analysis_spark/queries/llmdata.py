@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import clean_text, lang_id_column, quality_columns, tokens
+from ..functions.text import clean_text, lang_id_column, quality_columns, quality_enrich, tokens
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..sources.batch import load_table
@@ -221,15 +221,14 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    cols = quality_columns(F.col("cleaned_text"))
+    docs = quality_enrich(_docs(spark, sf_dir))
     return docs.select(
         "doc_id",
-        cols["n_chars"].alias("n_chars"),
-        cols["n_tokens"].alias("n_tokens"),
-        F.round(cols["stopword_ratio"], 4).alias("stopword_ratio"),
-        F.round(cols["avg_token_len"], 4).alias("avg_token_len"),
-        F.round(cols["quality_score"], 4).alias("quality_score"),
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("stopword_ratio"), 4).alias("stopword_ratio"),
+        F.round(F.col("avg_token_len"), 4).alias("avg_token_len"),
+        F.round(F.col("quality_score"), 4).alias("quality_score"),
     ).orderBy("doc_id")
 
 
@@ -259,9 +258,13 @@ ORDER BY doc_id
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID vs the labeled lang column, aggregated."""
-    docs = _docs(spark, sf_dir).withColumn(
-        "lang_guess", lang_id_column(F.col("cleaned_text")))
+    """Heuristic language-ID vs the labeled lang column, aggregated.
+    Stopword density comes from the staged quality pipeline (stopword_ratio
+    is the same expression lang_id_column computes inline)."""
+    docs = quality_enrich(_docs(spark, sf_dir)).withColumn(
+        "lang_guess",
+        F.when(F.col("stopword_ratio") > 0.05, F.lit("en"))
+        .otherwise(F.lit("other")))
     return (
         docs.groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("doc_count"))
