@@ -1,0 +1,87 @@
+"""Temporal operators Spark lacks natively: as-of join and batch
+sessionization helpers.
+
+The as-of (point-in-time) join is the classic time-series operator — for
+each left row, the most recent right row at or before the left timestamp,
+per key. Spark has no built-in; the scalable formulation here is a
+union + window forward-fill:
+
+    tag left(1)/right(0) rows → union → window per key ordered by
+    (ts, tag) → last(right_payload, ignorenulls) → keep left rows
+
+One shuffle total (the window partitioning), no range explosion, no
+per-key driver loops — at 100 TB this is a single sort-based exchange, the
+same cost class as a sort-merge join on the key. The alternative
+(join on key + time-bucket, then max-per-left-row) shuffles twice and
+explodes candidate pairs on dense keys.
+
+Determinism: if the right side can carry multiple rows per (key, ts),
+pre-aggregate to one (see q_asof_latest_order) — otherwise "last" among
+equal timestamps is tie-broken arbitrarily (both here and in DuckDB's
+ASOF JOIN).
+
+Skewed keys: a hot key serializes into one window partition, like any
+keyed shuffle. Mitigate upstream (filter), or salt the key and as-of join
+per salt with boundary patching; AQE does not split window skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str) -> DataFrame:
+    """Backward as-of join: all left columns + right payload columns, where
+    the right values come from the latest right row with
+    ``right.right_ts <= left.left_ts`` for the same ``on`` key (equal
+    timestamps match — inclusive). Left rows with no prior right row keep
+    nulls (left-join semantics)."""
+    rpayload = [c for c in right.columns if c not in (on, right_ts)]
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        left_struct.alias("__row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in rpayload],
+    )
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l2.schema["__row"].dataType).alias("__row"),
+        *[F.col(c).alias(f"__r_{c}") for c in rpayload],
+    )
+    # right rows sort before left at equal ts (__is_left 0 < 1) → inclusive
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r2.unionByName(l2).select(
+        "__is_left", "__row",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+          for c in rpayload],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        F.col("__row.*"),
+        *[F.col(f"__f_{c}").alias(c) for c in rpayload],
+    )
+
+
+def session_rollup(df: DataFrame, key: str, ts: str, gap: str,
+                   aggs: list) -> DataFrame:
+    """Batch sessionization via Spark's native session_window: events for a
+    key belong to one session while each is < gap after the previous
+    (window end = last event + gap). One shuffle on the key; at scale this
+    is the built-in, state-free form of the gaps-and-islands pattern."""
+    return (
+        df.groupBy(F.session_window(F.col(ts), gap).alias("__w"), F.col(key))
+        .agg(*aggs)
+        .withColumn("session_start", F.col("__w.start"))
+        .withColumn("session_end", F.col("__w.end"))
+        .drop("__w")
+    )

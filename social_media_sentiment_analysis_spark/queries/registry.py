@@ -13,7 +13,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llmdata, multimodal, reference, star
+from . import llmdata, multimodal, reference, star, temporal
 
 
 @dataclass(frozen=True)
@@ -110,6 +110,13 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    # --- temporal: as-of join + sessionization ---
+    Query("asof_latest_order", temporal.q_asof_latest_order,
+          temporal.ORACLE_ASOF_LATEST_ORDER,
+          "backward as-of join via union + window forward-fill (one shuffle)"),
+    Query("sessionization", temporal.q_sessionization,
+          temporal.ORACLE_SESSIONIZATION,
+          "per-key session_window rollup (30-min gap)"),
     # --- multimodal: opaque binary payload + typed metadata ---
     Query("media_metadata", multimodal.q_media_metadata,
           multimodal.ORACLE_MEDIA_METADATA,
