@@ -43,6 +43,20 @@ def token_count(col: Column) -> Column:
     return F.when(col == "", F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+# BPE-style pre-tokenizer classes: letter runs, digit runs, punctuation runs
+# (the unit a byte-pair tokenizer would merge within — GPT-2's pre-tokenizer
+# splits the same three classes before BPE merges). Shared dialect subset of
+# Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under a BPE-style pre-tokenization — a closer proxy for
+    LLM token budgets than whitespace counting ('don't!' is 1 whitespace
+    token but 4 BPE-ish pieces). Pure regexp_count, JVM-side."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 def word_hits(col: Column, word: str) -> Column:
     """Whole-word occurrence count (split-then-filter, not substring count —
     substring counting would conflate 'a' with 'table' etc.)."""

@@ -222,10 +222,14 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = quality_enrich(_docs(spark, sf_dir))
+    from ..functions.text import bpe_ish_token_count
+
     return docs.select(
         "doc_id",
         "n_chars",
         "n_tokens",
+        bpe_ish_token_count(F.col("cleaned_text")).cast("bigint")
+        .alias("bpe_tokens"),
         F.round(F.col("stopword_ratio"), 4).alias("stopword_ratio"),
         F.round(F.col("avg_token_len"), 4).alias("avg_token_len"),
         F.round(F.col("quality_score"), 4).alias("quality_score"),
@@ -238,6 +242,8 @@ ORACLE_TEXT_STATS = _SQL_DOCS + """
            length(cleaned_text) AS n_chars,
            CASE WHEN cleaned_text = '' THEN 0
                 ELSE len(string_split(cleaned_text, ' ')) END AS n_tok,
+           len(regexp_extract_all(cleaned_text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens,
            len(list_filter(string_split(cleaned_text, ' '), t -> t = 'the'))
              + len(list_filter(string_split(cleaned_text, ' '), t -> t = 'a'))
            AS stop_hits
@@ -246,6 +252,7 @@ ORACLE_TEXT_STATS = _SQL_DOCS + """
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
        round(stop_hits / (n_tok + 1.0), 4) AS stopword_ratio,
        round((n_chars - (n_tok - 1)) / (n_tok + 1.0), 4) AS avg_token_len,
        round(0.4 * least(n_tok / 100.0, 1.0)
@@ -288,6 +295,25 @@ FROM guessed
 GROUP BY lang, lang_guess
 ORDER BY lang, lang_guess
 """
+
+
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile per event_type: HLL distinct users
+    (approx_count_distinct) + t-digest value quantiles (approx_percentile).
+    Sketches merge associatively, so this is one map-side-combining shuffle
+    at any scale — the exact versions (distinct shuffle / global sort) are
+    the queries to avoid at 100 TB. Rows-only for the driver (sketch error
+    is implementation-defined); accuracy vs exact is asserted in tests."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_percentile("value", F.array(
+                F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("value_quantiles"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

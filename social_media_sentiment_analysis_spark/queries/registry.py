@@ -110,6 +110,9 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    Query("sketch_profile", llmdata.q_sketch_profile, None,
+          "HLL distinct + t-digest quantiles per group (rows-only; "
+          "accuracy-vs-exact asserted in tests)"),
     # --- temporal: as-of join + sessionization ---
     Query("asof_latest_order", temporal.q_asof_latest_order,
           temporal.ORACLE_ASOF_LATEST_ORDER,

@@ -1,0 +1,77 @@
+"""Skew-mitigation and sketch tests: salted join equivalence under a hot
+key, two-stage distinct-count parity, and sketch accuracy vs exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_sentiment_analysis_spark.operators.skew import (
+    salted_join,
+    two_stage_distinct_count,
+)
+from social_media_sentiment_analysis_spark.queries.llmdata import q_sketch_profile
+from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share key 1 — the classic hot-key shape
+    rows = [(i, 1 if i % 10 else 2, float(i)) for i in range(2000)]
+    return spark.createDataFrame(rows, "row_id long, k long, v double")
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, label string")
+
+
+def test_salted_join_matches_plain_join(spark, skewed, dim):
+    plain = skewed.join(dim, "k").select("row_id", "label")
+    salted = salted_join(skewed, dim, on="k", salt_from="row_id") \
+        .select("row_id", "label")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark, skewed, dim):
+    salted_big = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(16)))
+    buckets = (
+        salted_big.filter(F.col("k") == 1)
+        .groupBy("__salt").count().collect()
+    )
+    assert len(buckets) == 16                      # hot key uses every bucket
+    counts = [r["count"] for r in buckets]
+    assert max(counts) < 2 * min(counts)           # roughly even spread
+
+
+def test_two_stage_distinct_count_parity(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    got = {r.event_type: r.distinct_user_id
+           for r in two_stage_distinct_count(events, "event_type", "user_id").collect()}
+    exact = {r.event_type: r.d for r in events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("d")).collect()}
+    assert got == exact
+
+
+def test_sketch_profile_accuracy(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    approx = {r.event_type: r for r in q_sketch_profile(spark, sf_dir).collect()}
+    exact_users = {r.event_type: r.users for r in events.groupBy("event_type")
+                   .agg(F.countDistinct("user_id").alias("users")).collect()}
+    values = {et: sorted(r.value for r in rows) for et, rows in (
+        (et, events.filter(F.col("event_type") == et).select("value").collect())
+        for et in exact_users)}
+    assert set(approx) == set(exact_users)
+    for et, a in approx.items():
+        assert a.approx_users == pytest.approx(exact_users[et], rel=0.05)
+        # the honest accuracy property for a rank sketch: each returned
+        # quantile's empirical rank is close to the target percentile
+        # (value-space comparison vs interpolated exact is meaningless for
+        # small groups / fat tails)
+        vs, n = values[et], len(values[et])
+        for qa, p in zip(a.value_quantiles, (0.5, 0.95, 0.99)):
+            rank = sum(1 for v in vs if v <= qa) / n
+            assert abs(rank - p) <= 0.03, (et, p, rank)
