@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): Spark Column implementations vs
+pure-Python reference semantics on arbitrary inputs.
+
+Each example runs one small Spark job, so example counts are modest; the
+value is edge coverage (empty strings, repeated markers, adjacent
+timestamps) that fixture tests miss.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from social_media_sentiment_analysis_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    clean_text,
+)
+from social_media_sentiment_analysis_spark.operators.temporal import as_of_join
+
+# printable ASCII (no exotic unicode whitespace: Java \s and str.strip()
+# disagree outside ASCII — documented engine behavior is ASCII whitespace)
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=80)
+
+SETTINGS = dict(max_examples=25, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def clean_reference(t: str | None) -> str:
+    """The reference's clean_text (twitter_streamer.py:86-96) verbatim."""
+    if not t:
+        return ""
+    t = t.replace("RT @", "")
+    t = re.sub(r"\s+", " ", t)
+    return t.strip()
+
+
+@pytest.mark.slow
+@given(st.lists(ASCII_TEXT | st.none(), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_clean_text_matches_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.c for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
+    assert got == [clean_reference(t) for t in texts]
+
+
+@pytest.mark.slow
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_bpe_count_matches_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.n for r in df.select(
+        bpe_ish_token_count(F.col("t")).alias("n")).collect()]
+    assert got == [len(re.findall(BPE_ISH_PATTERN, t)) for t in texts]
+
+
+def asof_reference(left, right):
+    """Naive per-row as-of: latest right (k, rt) with rt <= t."""
+    out = []
+    for k, t in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, rv)
+        out.append((k, t, best[1] if best else None))
+    return sorted(out)
+
+
+@pytest.mark.slow
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+             min_size=1, max_size=15, unique=True),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+             min_size=0, max_size=15, unique=True),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_reference(spark, left_rows, right_rows):
+    right_vals = [(k, t, f"v{k}_{t}") for k, t in right_rows]  # unique (k,t)
+    left = spark.createDataFrame(
+        [(k, t) for k, t in left_rows], "k long, t long")
+    right = spark.createDataFrame(
+        right_vals or [(None, None, None)], "k long, rt long, rv string"
+    ).filter(F.col("k").isNotNull())
+    got = sorted(
+        (r.k, r.t, r.rv)
+        for r in as_of_join(left, right, "k", "t", "rt").collect())
+    assert got == asof_reference(left_rows, right_vals)
