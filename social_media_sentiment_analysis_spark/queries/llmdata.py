@@ -233,7 +233,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("stopword_ratio"), 4).alias("stopword_ratio"),
         F.round(F.col("avg_token_len"), 4).alias("avg_token_len"),
         F.round(F.col("quality_score"), 4).alias("quality_score"),
-    ).orderBy("doc_id")
+    )  # no orderBy: per-row output, driver hash is order-insensitive —
+       # a global sort is pure shuffle cost at scale
 
 
 ORACLE_TEXT_STATS = _SQL_DOCS + """
@@ -325,7 +326,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint(F.col("cleaned_text")).alias("content_fp"),
         bag_fingerprint(F.col("cleaned_text")).alias("bag_fp"),
-    ).orderBy("doc_id")
+    )  # no orderBy: see q_text_stats
 
 
 ORACLE_FINGERPRINTS = _SQL_DOCS + """

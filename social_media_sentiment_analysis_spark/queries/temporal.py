@@ -35,8 +35,7 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                    left_ts="ts", right_ts="o_orderdate")
         .select("event_id", "user_id", "ts",
                 "last_order_key", "last_order_price")
-        .orderBy("event_id")
-    )
+    )  # no orderBy: per-row output, driver hash is order-insensitive
 
 
 ORACLE_ASOF_LATEST_ORDER = """

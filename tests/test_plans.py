@@ -1,0 +1,76 @@
+"""Plan-quality contract tests: assert the physical plans we designed for,
+so a correctness-green regression (lost broadcast, lost pushdown, full sort
+instead of top-k, extra shuffle) fails loudly instead of becoming a 100 TB
+bottleneck. See plans/inspect.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from social_media_sentiment_analysis_spark.plans.inspect import (
+    exchange_count,
+    has_broadcast_join,
+    has_sort_merge_join,
+    is_top_k,
+    pushed_filters,
+    scan_schemas,
+)
+from social_media_sentiment_analysis_spark.queries.registry import QUERIES
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name].builder(spark, sf_dir)
+
+
+def test_star_joins_broadcast_small_dims(spark, sf_dir):
+    for name in ("author_enrichment", "revenue_by_region", "top_customers",
+                 "inactive_customers", "active_customer_segments"):
+        df = q(name, spark, sf_dir)
+        assert has_broadcast_join(df), name
+        assert not has_sort_merge_join(df), name
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    for name in ("recent_tweets", "recent_negative", "top_customers",
+                 "knn_bruteforce"):
+        assert is_top_k(q(name, spark, sf_dir)), name
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    filters = pushed_filters(q("pricing_summary", spark, sf_dir))
+    assert any("l_shipdate" in f for f in filters)
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    # sentiment_summary needs only doc_id+text of documents' 5 columns
+    schemas = scan_schemas(q("sentiment_summary", spark, sf_dir))
+    assert schemas and all(
+        "doc_id" in s and "text" in s and "source" not in s and "lang" not in s
+        for s in schemas)
+    # pricing_summary reads 7 of lineitem's 16 columns
+    ps = scan_schemas(q("pricing_summary", spark, sf_dir))
+    assert ps and "l_orderkey" not in ps[0] and "l_comment" not in ps[0]
+
+
+def test_single_shuffle_operators(spark, sf_dir):
+    # agg-only queries: one shuffle for the agg (+1 range for global sort)
+    assert exchange_count(q("sentiment_summary", spark, sf_dir)) <= 2
+    assert exchange_count(q("dedup_exact", spark, sf_dir)) <= 2
+    # enrichment and per-row analytics are pure projections: zero shuffles
+    assert exchange_count(q("sentiment_enrich", spark, sf_dir)) == 0
+    assert exchange_count(q("text_stats", spark, sf_dir)) == 0
+    assert exchange_count(q("fingerprints", spark, sf_dir)) == 0
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    for name, query in QUERIES.items():
+        plan = physical_plan(query.builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin is acceptable only for the tiny
+        # broadcast-anchor pattern (a 1-row max-ts scalar joined to the scan)
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in ("trailing_window", "export"), name
