@@ -20,7 +20,9 @@ from social_media_sentiment_analysis_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: aggregation, enrichment scan, top-k, time-window, rollup.
+# Headline set: the reference surface (aggregation, enrichment scan, top-k,
+# time-window, rollup, export) + one representative per engine extension
+# (star join, exact dedup, knn, as-of, sessionization, text stats, media).
 BENCH_QUERIES = [
     "sentiment_summary",
     "sentiment_enrich",
@@ -28,6 +30,14 @@ BENCH_QUERIES = [
     "trailing_window",
     "hourly_rollup",
     "export",
+    "revenue_by_region",
+    "pricing_summary",
+    "dedup_exact",
+    "knn_bruteforce",
+    "asof_latest_order",
+    "sessionization",
+    "text_stats",
+    "media_features",
 ]
 
 
