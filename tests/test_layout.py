@@ -1,0 +1,60 @@
+"""Table-layout tests: partition pruning actually prunes, and a
+bucketed-bucketed join plans with zero shuffle exchanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_sentiment_analysis_spark.plans.inspect import (
+    exchange_count,
+    formatted_plan,
+)
+from social_media_sentiment_analysis_spark.sources.batch import load_table
+from social_media_sentiment_analysis_spark.sources.layout import (
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(
+        load_table(spark, sf_dir, "events"), out, ("event_type",))
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = formatted_plan(pruned)
+    # the filter must land in PartitionFilters (pruned scan), and the scan
+    # must touch only the matching partition directory
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters")[1].split("\n")[0]
+    n_click = pruned.count()
+    total = spark.read.parquet(out).count()
+    assert 0 < n_click < total
+
+
+@pytest.fixture
+def bucketed_tables(spark, sf_dir):
+    write_bucketed(load_table(spark, sf_dir, "orders"),
+                   "orders_b", "o_custkey", 8, sort_col="o_custkey")
+    write_bucketed(load_table(spark, sf_dir, "customer"),
+                   "customer_b", "c_custkey", 8, sort_col="c_custkey")
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    orders = spark.table("orders_b")
+    customer = spark.table("customer_b")
+    # force the shuffle-sensitive path: no broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+        # co-located bucketed join: the only exchange is the final agg's
+        assert exchange_count(joined) == 1
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
