@@ -3,10 +3,14 @@ from .text import (  # noqa: F401
     tokens,
     token_count,
     word_hits,
+    array_word_hits,
     stopword_hits,
     quality_columns,
+    quality_enrich,
+    bpe_ish_token_count,
     lang_id_column,
     fingerprint,
+    bag_fingerprint,
     shingles,
 )
 from .sentiment import (  # noqa: F401
@@ -15,5 +19,6 @@ from .sentiment import (  # noqa: F401
     lexicon_scores,
     ensemble_columns,
     sentiment_enrich,
+    vader_textblob_udfs,
 )
 from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401

@@ -194,7 +194,7 @@ def vader_textblob_udfs():
     UDFs. The reference instead made one HTTP RPC per tweet
     (twitter_streamer.py:98-136).
     """
-    import pandas as pd  # noqa: F401
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer  # noqa
@@ -202,9 +202,7 @@ def vader_textblob_udfs():
 
     _STATE: dict = {}
 
-    @pandas_udf("compound double, pos double, neg double, neu double")
-    def vader_udf(texts: "pd.Series") -> "pd.DataFrame":
-        import pandas as pd
+    def _vader(texts):
         if "an" not in _STATE:
             _STATE["an"] = SentimentIntensityAnalyzer()
         an = _STATE["an"]
@@ -220,10 +218,7 @@ def vader_textblob_udfs():
             [score(t) for t in texts], columns=["compound", "pos", "neg", "neu"]
         )
 
-    @pandas_udf("polarity double, subjectivity double")
-    def textblob_udf(texts: "pd.Series") -> "pd.DataFrame":
-        import pandas as pd
-
+    def _textblob(texts):
         def score(t):
             try:
                 s = TextBlob(t or "").sentiment
@@ -234,4 +229,13 @@ def vader_textblob_udfs():
             [score(t) for t in texts], columns=["polarity", "subjectivity"]
         )
 
+    # annotations set as real objects: this module uses `from __future__
+    # import annotations`, which stringifies inline hints — pandas_udf's
+    # type-hint inference can't evaluate 'pd.Series' (pd is local here)
+    for f in (_vader, _textblob):
+        f.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    vader_udf = pandas_udf(
+        _vader, "compound double, pos double, neg double, neu double")
+    textblob_udf = pandas_udf(
+        _textblob, "polarity double, subjectivity double")
     return vader_udf, textblob_udf
