@@ -51,12 +51,28 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    return (
-        reader.load()
-        .select(F.from_json(F.col("value").cast("string"),
-                            TWEET_ENVELOPE_SCHEMA).alias("envelope"))
-        .select("envelope.*")
-    )
+    good, _rejects = parse_envelopes(reader.load(), "value")
+    return good
+
+
+def parse_envelopes(raw: DataFrame, value_col: str = "value"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Bad-record-tolerant envelope parse (SURVEY §2.9 fault tolerance —
+    the reference's try/except-log-continue per message,
+    twitter_streamer.py:279-281, as a dataflow split).
+
+    Returns (good, rejects): ``from_json`` yields null for malformed JSON,
+    and an envelope without a tweet id is unusable downstream (dedup key),
+    so both route to the rejects side, which carries the raw payload for a
+    quarantine sink. Works identically on batch and streaming frames."""
+    parsed = raw.withColumn(
+        "envelope",
+        F.from_json(F.col(value_col).cast("string"), TWEET_ENVELOPE_SCHEMA))
+    bad = F.col("envelope").isNull() | F.col("envelope.data.id").isNull()
+    good = parsed.filter(~bad).select("envelope.*")
+    rejects = parsed.filter(bad).select(
+        F.col(value_col).cast("string").alias("raw"))
+    return good, rejects
 
 
 def flatten_envelope(df: DataFrame) -> DataFrame:

@@ -129,6 +129,21 @@ def test_jsonl_sink_hour_partitions(spark, stream_input, tmp_path):
     assert back.count() == 3
 
 
+def test_parse_envelopes_rejects_bad_records(spark):
+    from social_media_sentiment_analysis_spark.streaming import parse_envelopes
+
+    raw = spark.createDataFrame(
+        [(json.dumps(_envelope("ok1", "fine tweet")),),
+         ("{not json at all",),                       # malformed
+         (json.dumps({"data": {"text": "no id"}}),),  # missing tweet id
+         (json.dumps(_envelope("ok2", "also fine")),)],
+        "value string")
+    good, rejects = parse_envelopes(raw)
+    assert [r.id for r in good.select("data.id").collect()] == ["ok1", "ok2"]
+    bad = [r.raw for r in rejects.collect()]
+    assert len(bad) == 2 and "{not json at all" in bad  # raw payload kept
+
+
 def test_idempotent_sink_replay(spark, stream_input, tmp_path):
     out = str(tmp_path / "tweets_tbl")
     stream = read_tweet_file_stream(spark, stream_input)
