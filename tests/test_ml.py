@@ -1,0 +1,152 @@
+"""MLlib layer: IVF ANN recall, LSH-join agreement with exact operators,
+trainable sentiment classifier roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_sentiment_analysis_spark.ml import (
+    assign_clusters,
+    brp_embedding_pairs,
+    classify,
+    fit_ivf,
+    fit_sentiment_classifier,
+    ivf_topk,
+    minhash_text_pairs,
+)
+from social_media_sentiment_analysis_spark.operators.similarity import (
+    brute_force_topk,
+)
+from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
+
+
+class TestIVF:
+    def test_assignment_covers_all_rows_in_range(self, emb):
+        model = fit_ivf(emb, "embedding", k=8, seed=7)
+        assigned = assign_clusters(emb, "embedding", model)
+        total = emb.count()
+        assert assigned.count() == total
+        stats = assigned.agg(
+            F.min("cluster_id").alias("lo"), F.max("cluster_id").alias("hi"),
+            F.countDistinct("cluster_id").alias("n")).first()
+        assert stats["lo"] >= 0 and stats["hi"] < 8
+        assert stats["n"] > 1  # data actually spreads over cells
+
+    def test_recall_vs_bruteforce(self, emb):
+        qvec = list(emb.filter(F.col("vec_id") == 0)
+                    .select("embedding").first()[0])
+        corpus = emb.filter(F.col("vec_id") != 0)
+        exact = {r["vec_id"] for r in brute_force_topk(
+            corpus, qvec, "embedding", "vec_id", k=10).collect()}
+
+        model = fit_ivf(emb, "embedding", k=8, seed=7)
+        assigned = assign_clusters(corpus, "embedding", model)
+        approx = {r["vec_id"] for r in ivf_topk(
+            assigned, model, qvec, "embedding", "vec_id",
+            k=10, n_probe=4).collect()}
+        # probing half the cells must recover at least half the true top-10
+        assert len(exact & approx) >= 5
+
+    def test_full_probe_equals_bruteforce(self, emb):
+        """n_probe = k scans everything → identical to the exact answer."""
+        qvec = list(emb.filter(F.col("vec_id") == 0)
+                    .select("embedding").first()[0])
+        corpus = emb.filter(F.col("vec_id") != 0)
+        exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(
+            corpus, qvec, "embedding", "vec_id", k=10).collect()]
+        model = fit_ivf(emb, "embedding", k=4, seed=7)
+        assigned = assign_clusters(corpus, "embedding", model)
+        full = [(r["vec_id"], r["cosine"]) for r in ivf_topk(
+            assigned, model, qvec, "embedding", "vec_id",
+            k=10, n_probe=4).collect()]
+        assert full == exact
+
+
+class TestLSHJoins:
+    def test_minhash_pairs_agree_with_exact_jaccard(self, docs, spark):
+        """Every high-similarity exact pair should be recalled, and reported
+        estimates should correlate with exact Jaccard."""
+        from social_media_sentiment_analysis_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        sample = docs.limit(200)
+        exact = ngram_jaccard_pairs(
+            sample, "text", "doc_id", threshold=0.7).collect()
+        got = minhash_text_pairs(
+            sample, "text", "doc_id", jaccard_threshold=0.5,
+            num_hash_tables=8).collect()
+        got_pairs = {(r["a_id"], r["b_id"]) for r in got}
+        exact_pairs = {(r["a_id"], r["b_id"]) for r in exact}
+        if exact_pairs:
+            recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+            assert recall >= 0.8
+        # sanity: join produced ordered unique pairs
+        assert all(a < b for a, b in got_pairs)
+
+    def test_brp_pairs_agree_with_exact_cosine(self, emb):
+        from social_media_sentiment_analysis_spark.operators.dedup import (
+            embedding_near_duplicates,
+        )
+
+        threshold = 0.6
+        exact = embedding_near_duplicates(
+            emb, "embedding", "vec_id", block_col=None,
+            threshold=threshold).collect()
+        got = brp_embedding_pairs(
+            emb, "embedding", "vec_id", cosine_threshold=threshold,
+            bucket_length=2.0, num_hash_tables=6).collect()
+        exact_pairs = {(r["a_id"], r["b_id"]) for r in exact}
+        got_pairs = {(r["a_id"], r["b_id"]) for r in got}
+        if exact_pairs:
+            recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+            assert recall >= 0.8
+        # the LSH join may include a few pairs the exact operator's rounding
+        # excluded, but every reported cosine must clear the threshold
+        assert all(r["cosine"] >= threshold - 1e-6 for r in got)
+
+
+class TestClassifier:
+    def test_train_and_score_roundtrip(self, docs):
+        model = fit_sentiment_classifier(docs, text_col="text",
+                                         num_features=1 << 12)
+        scored = classify(model, docs, text_col="text")
+        assert "predicted_sentiment" in scored.columns
+        from social_media_sentiment_analysis_spark.ml.classifier import (
+            LABELS,
+            weak_labels,
+        )
+
+        teacher = weak_labels(docs, text_col="text").select("doc_id", "label")
+        joined = scored.join(teacher, "doc_id").withColumn(
+            "teacher_label",
+            F.array(*[F.lit(x) for x in LABELS])[F.col("label").cast("int")])
+        n = joined.count()
+        agree = joined.filter(
+            F.col("predicted_sentiment") == F.col("teacher_label")).count()
+        # student fits its own training labels well on a 500-doc corpus
+        assert n > 0 and agree / n >= 0.75
+
+    def test_scoring_is_map_side(self, docs):
+        """transform must not introduce a shuffle (scoring 100 TB is one
+        scan)."""
+        model = fit_sentiment_classifier(docs, text_col="text",
+                                         num_features=1 << 12)
+        scored = classify(model, docs, text_col="text")
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
