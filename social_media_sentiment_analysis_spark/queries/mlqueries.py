@@ -1,0 +1,57 @@
+"""MLlib-path registry queries: IVF ANN, MinHashLSH near-dup join, and the
+trainable sentiment classifier.
+
+All three involve fitted models (KMeans centroids, LSH hash tables, LR
+weights) that DuckDB cannot express, so they are registered rows-only; their
+accuracy contracts (recall vs brute force, agreement vs the exact Jaccard
+operator, fit quality vs the weak-label teacher) are asserted in
+``tests/test_ml.py`` instead. Seeds are fixed so row counts are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.classifier import classify, fit_sentiment_classifier
+from ..ml.ivf import assign_clusters, fit_ivf, ivf_topk
+from ..ml.lsh import minhash_text_pairs
+from ..sources.batch import load_table
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 neighbors of vec_id=0: KMeans coarse quantizer,
+    probe the 4 of 8 cells nearest the query, exact cosine rerank within.
+    Same query convention as knn_bruteforce/knn_ann (vec_id=0 excluded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    model = fit_ivf(emb, "embedding", k=8, seed=7)
+    assigned = assign_clusters(corpus, "embedding", model)
+    return ivf_topk(assigned, model, qvec, "embedding", "vec_id",
+                    k=10, n_probe=4)
+
+
+def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH approxSimilarityJoin near-dup pairs over documents — the
+    library twin of dedup_minhash (hand-rolled banding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_text_pairs(docs, "text", "doc_id",
+                           jaccard_threshold=0.5, num_hash_tables=8)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def q_classify_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train TF-IDF + logistic regression on lexicon weak labels, score the
+    same corpus, and roll up predicted-label counts (stable small output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_sentiment_classifier(docs, text_col="text",
+                                     num_features=1 << 12)
+    return (
+        classify(model, docs, text_col="text")
+        .groupBy("predicted_sentiment")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("predicted_sentiment")
+    )

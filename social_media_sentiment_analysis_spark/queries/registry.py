@@ -13,7 +13,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llmdata, multimodal, reference, star, temporal
+from . import llmdata, mlqueries, multimodal, reference, star, temporal
 
 
 @dataclass(frozen=True)
@@ -113,6 +113,16 @@ _ALL: list[Query] = [
     Query("sketch_profile", llmdata.q_sketch_profile, None,
           "HLL distinct + t-digest quantiles per group (rows-only; "
           "accuracy-vs-exact asserted in tests)"),
+    # --- MLlib path (fitted models; rows-only, accuracy asserted in tests) ---
+    Query("knn_ivf", mlqueries.q_knn_ivf, None,
+          "IVF ANN: KMeans cells + partition-pruned probe + exact rerank "
+          "(rows-only; recall vs brute force in tests)"),
+    Query("dedup_minhash_mllib", mlqueries.q_dedup_minhash_mllib, None,
+          "MinHashLSH approxSimilarityJoin near-dup pairs (rows-only; "
+          "agreement vs exact Jaccard in tests)"),
+    Query("classify_sentiment", mlqueries.q_classify_sentiment, None,
+          "TF-IDF + logistic regression on lexicon weak labels, label "
+          "counts (rows-only; fit quality asserted in tests)"),
     # --- temporal: as-of join + sessionization ---
     Query("asof_latest_order", temporal.q_asof_latest_order,
           temporal.ORACLE_ASOF_LATEST_ORDER,
