@@ -62,6 +62,38 @@ class TestIVF:
         # probing half the cells must recover at least half the true top-10
         assert len(exact & approx) >= 5
 
+    def test_probe_is_partition_pruned_on_laid_out_table(self, emb, spark,
+                                                         tmp_path):
+        """At scale the index IS the layout: assigned vectors written
+        partitioned by cluster_id make each probe a partition-pruned scan
+        reading n_probe/k of the corpus."""
+        from social_media_sentiment_analysis_spark.plans.inspect import (
+            formatted_plan,
+        )
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            write_partitioned,
+        )
+
+        qvec = list(emb.filter(F.col("vec_id") == 0)
+                    .select("embedding").first()[0])
+        corpus = emb.filter(F.col("vec_id") != 0)
+        model = fit_ivf(emb, "embedding", k=8, seed=7)
+        out = str(tmp_path / "emb_by_cluster")
+        write_partitioned(assign_clusters(corpus, "embedding", model), out,
+                          ("cluster_id",))
+
+        table = spark.read.parquet(out)
+        probed = ivf_topk(table, model, qvec, "embedding", "vec_id",
+                          k=10, n_probe=4)
+        plan = formatted_plan(probed)
+        pf_line = plan.split("PartitionFilters")[1].split("\n")[0]
+        assert "cluster_id" in pf_line and "IN" in pf_line.upper()
+        # pruned probe returns the same answer as the in-memory operator
+        in_mem = ivf_topk(assign_clusters(corpus, "embedding", model), model,
+                          qvec, "embedding", "vec_id", k=10, n_probe=4)
+        assert [tuple(r) for r in probed.select("vec_id", "cosine").collect()] \
+            == [tuple(r) for r in in_mem.select("vec_id", "cosine").collect()]
+
     def test_full_probe_equals_bruteforce(self, emb):
         """n_probe = k scans everything → identical to the exact answer."""
         qvec = list(emb.filter(F.col("vec_id") == 0)
