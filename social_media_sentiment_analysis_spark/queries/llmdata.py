@@ -298,6 +298,95 @@ ORDER BY lang, lang_guess
 """
 
 
+_FUNNEL_QUALITY_THRESHOLD = 0.5
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel: raw → lang=en → quality ≥ 0.5 →
+    exact-dedup survivors, reported as (stage, docs_kept, tokens_kept).
+
+    Two map-side-combining aggregation passes (stage counts as conditional
+    aggregates in one; keeper-per-fingerprint in the other), then a 1-row
+    stack unpivot — never four filter+count jobs over the corpus, and the
+    only shuffled rows are partial-agg outputs. Dedup-stage tokens use the
+    keeper's (min-doc_id) token count per fingerprint, matching
+    drop_exact_duplicates semantics (operators/dedup.py).
+    """
+    docs = quality_enrich(_docs(spark, sf_dir))
+    en = F.col("lang") == "en"
+    kept = en & (F.round(F.col("quality_score"), 4)
+                 >= _FUNNEL_QUALITY_THRESHOLD)
+
+    # keeper tokens per fingerprint: min_by over the kept rows only; the
+    # outer agg then sums one value per distinct fingerprint
+    per_fp = (
+        docs.filter(kept)
+        .groupBy(F.md5(F.col("cleaned_text")).alias("fp"))
+        .agg(F.min_by("n_tokens", "doc_id").alias("keeper_tokens"))
+        .agg(F.count(F.lit(1)).alias("dedup_docs"),
+             F.sum("keeper_tokens").alias("dedup_tokens"))
+    )
+    stages = docs.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.count(F.when(en, 1)).alias("en_docs"),
+        F.sum(F.when(en, F.col("n_tokens"))).alias("en_tokens"),
+        F.count(F.when(kept, 1)).alias("q_docs"),
+        F.sum(F.when(kept, F.col("n_tokens"))).alias("q_tokens"),
+    )
+    return (
+        stages.crossJoin(per_fp)
+        .select(F.expr(
+            "stack(4, "
+            "'1_raw', raw_docs, raw_tokens, "
+            "'2_lang_en', en_docs, en_tokens, "
+            "'3_quality', q_docs, q_tokens, "
+            "'4_dedup', dedup_docs, dedup_tokens) "
+            "AS (stage, docs_kept, tokens_kept)"))
+        .orderBy("stage")
+    )
+
+
+# Same single-CTE shape: conditional counts + a keeper-per-fingerprint agg.
+ORACLE_CURATION_FUNNEL = _SQL_DOCS + f"""
+, feats AS (
+    SELECT doc_id, lang,
+           cleaned_text,
+           CASE WHEN cleaned_text = '' THEN 0
+                ELSE len(string_split(cleaned_text, ' ')) END AS n_tok,
+           length(cleaned_text) AS n_chars,
+           len(list_filter(string_split(cleaned_text, ' '), t -> t = 'the'))
+             + len(list_filter(string_split(cleaned_text, ' '), t -> t = 'a'))
+           AS stop_hits
+    FROM docs
+), scored AS (
+    SELECT doc_id, lang, cleaned_text, n_tok,
+           round(0.4 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - stop_hits / (n_tok + 1.0))
+                 + 0.3 * least(((n_chars - (n_tok - 1)) / (n_tok + 1.0)) / 6.0,
+                               1.0), 4) AS q
+    FROM feats
+), kept AS (
+    SELECT * FROM scored
+    WHERE lang = 'en' AND q >= {_FUNNEL_QUALITY_THRESHOLD}
+), keepers AS (
+    SELECT md5(cleaned_text) AS fp,
+           min_by(n_tok, doc_id) AS keeper_tokens
+    FROM kept GROUP BY md5(cleaned_text)
+)
+SELECT '1_raw' AS stage, COUNT(*) AS docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept FROM scored
+UNION ALL
+SELECT '2_lang_en', COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+FROM scored WHERE lang = 'en'
+UNION ALL
+SELECT '3_quality', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM kept
+UNION ALL
+SELECT '4_dedup', COUNT(*), CAST(SUM(keeper_tokens) AS BIGINT) FROM keepers
+ORDER BY stage
+"""
+
+
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based profile per event_type: HLL distinct users
     (approx_count_distinct) + t-digest value quantiles (approx_percentile).

@@ -110,6 +110,10 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    Query("curation_funnel", llmdata.q_curation_funnel,
+          llmdata.ORACLE_CURATION_FUNNEL,
+          "curation funnel: raw → lang → quality → dedup stage counts and "
+          "token volumes, conditional aggregates (no per-stage rescans)"),
     Query("sketch_profile", llmdata.q_sketch_profile, None,
           "HLL distinct + t-digest quantiles per group (rows-only; "
           "accuracy-vs-exact asserted in tests)"),
