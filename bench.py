@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "revenue_by_region",
     "pricing_summary",
     "dedup_exact",
+    "curation_funnel",
     "knn_bruteforce",
     "asof_latest_order",
     "sessionization",

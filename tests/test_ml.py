@@ -174,6 +174,44 @@ class TestClassifier:
         # student fits its own training labels well on a 500-doc corpus
         assert n > 0 and agree / n >= 0.75
 
+    def test_scores_a_stream(self, docs, spark, tmp_path):
+        """Train-batch / score-stream: the fitted pipeline is transform-only
+        (tokenize, hash, IDF weights, LR weights), so it applies to an
+        unbounded stream exactly as written — and stream scores must equal
+        batch scores row for row."""
+        import json
+        import uuid
+
+        model = fit_sentiment_classifier(docs, text_col="text",
+                                         num_features=1 << 12)
+        sample = docs.select("doc_id", "text").limit(20).collect()
+        src = tmp_path / "stream_in"
+        src.mkdir()
+        with open(src / "batch0.jsonl", "w") as f:
+            for r in sample:
+                f.write(json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        + "\n")
+
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .json(str(src)))
+        scored = classify(model, stream, text_col="text")
+        assert scored.isStreaming
+        name = "clf_" + uuid.uuid4().hex[:8]
+        q = (scored.select("doc_id", "predicted_sentiment")
+             .writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r.doc_id: r.predicted_sentiment
+               for r in spark.table(name).collect()}
+
+        ids = [r.doc_id for r in sample]
+        want = {r["doc_id"]: r["predicted_sentiment"]
+                for r in classify(model,
+                                  docs.filter(F.col("doc_id").isin(ids)),
+                                  text_col="text")
+                .select("doc_id", "predicted_sentiment").collect()}
+        assert got == want and len(got) == 20
+
     def test_scoring_is_map_side(self, docs):
         """transform must not introduce a shuffle (scoring 100 TB is one
         scan)."""
