@@ -335,7 +335,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, F.col("n_tokens"))).alias("q_tokens"),
     )
     return (
-        stages.crossJoin(per_fp)
+        stages.crossJoin(F.broadcast(per_fp))
         .select(F.expr(
             "stack(4, "
             "'1_raw', raw_docs, raw_tokens, "

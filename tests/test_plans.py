@@ -62,6 +62,16 @@ def test_single_shuffle_operators(spark, sf_dir):
     assert exchange_count(q("fingerprints", spark, sf_dir)) == 0
 
 
+def test_curation_funnel_prunes_and_single_exchange(spark, sf_dir):
+    # both agg passes must prune documents to (doc_id,) text, lang; the only
+    # exchange is the fingerprint groupBy (stage counts partial-agg to 1 row)
+    df = q("curation_funnel", spark, sf_dir)
+    schemas = scan_schemas(df)
+    assert schemas and all(
+        "text" in s and "lang" in s and "source" not in s for s in schemas)
+    assert exchange_count(df) <= 1
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     from social_media_sentiment_analysis_spark.plans.inspect import (
         physical_plan,
@@ -73,4 +83,5 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         # BroadcastNestedLoopJoin is acceptable only for the tiny
         # broadcast-anchor pattern (a 1-row max-ts scalar joined to the scan)
         if "BroadcastNestedLoopJoin" in plan:
-            assert name in ("trailing_window", "export"), name
+            assert name in ("trailing_window", "export",
+                            "curation_funnel"), name
