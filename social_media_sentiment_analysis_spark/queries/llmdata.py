@@ -406,6 +406,101 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_HEX_DIGITS = ("0", "1")  # 2/16 of the md5 space ≈ 12.5 %
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified down-sampling: keep a document iff the first
+    hex digit of md5(doc_id) falls in a fixed set — the standard
+    reproducible-sampling trick for training corpora. Unlike
+    ``df.sample()``, membership is a pure function of the key: stable
+    across runs, engines, partitionings and cluster sizes, and a later
+    re-run over grown data keeps exactly the previously-selected ids.
+    Reported per source stratum: totals, sampled count, achieved rate.
+    Single scan, one aggregation shuffle (plus the output sort's range
+    exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) \
+        .isin(*_SAMPLE_HEX_DIGITS)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.count(F.when(sampled, 1)).alias("sampled_docs"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(F.col("sampled_docs") / F.col("total_docs"), 4))
+        .orderBy("source")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT source,
+       COUNT(*) AS total_docs,
+       COUNT(*) FILTER (substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN {_SAMPLE_HEX_DIGITS}) AS sampled_docs,
+       round(COUNT(*) FILTER (substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                              IN {_SAMPLE_HEX_DIGITS})
+             / CAST(COUNT(*) AS DOUBLE), 4) AS sample_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+_CHUNK_TOKENS = 50
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training: split each document's token stream
+    into fixed 50-token windows (last chunk ragged), one output row per
+    chunk with a content fingerprint. Pure Column plan — the chunk list is
+    built with transform over a sequence of offsets and posexploded, so the
+    whole op is map-side (zero shuffles): chunking 100 TB is one scan."""
+    docs = _docs(spark, sf_dir).filter(F.col("cleaned_text") != "").select(
+        "doc_id", tokens(F.col("cleaned_text")).alias("toks"))
+    n = F.size("toks")
+    chunks = F.transform(
+        F.sequence(F.lit(0),
+                   F.floor((n - F.lit(1)) / F.lit(_CHUNK_TOKENS))),
+        lambda i: F.slice(F.col("toks"),
+                          i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS))
+    return (
+        docs
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("bigint").alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_fp"),
+        )
+    )  # no orderBy: per-row output, driver hash is order-insensitive
+
+
+ORACLE_CHUNK_DOCUMENTS = _SQL_DOCS + f"""
+, toked AS (
+    SELECT doc_id, string_split(cleaned_text, ' ') AS toks
+    FROM docs
+    WHERE cleaned_text <> ''
+), chunked AS (
+    SELECT doc_id,
+           i AS chunk_id,
+           toks[(i * {_CHUNK_TOKENS} + 1):((i + 1) * {_CHUNK_TOKENS})] AS chunk
+    FROM toked,
+         LATERAL unnest(range(0,
+             CAST(floor((len(toks) - 1) / {_CHUNK_TOKENS}) AS BIGINT) + 1))
+         AS t(i)
+)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_fp
+FROM chunked
+ORDER BY doc_id, chunk_id
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content + order-insensitive bag fingerprints per document."""
     from ..functions.text import bag_fingerprint, fingerprint

@@ -110,6 +110,13 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    Query("stratified_sample", llmdata.q_stratified_sample,
+          llmdata.ORACLE_STRATIFIED_SAMPLE,
+          "deterministic md5-gated stratified sampling, per-source rates"),
+    Query("chunk_documents", llmdata.q_chunk_documents,
+          llmdata.ORACLE_CHUNK_DOCUMENTS,
+          "sequence chunking: 50-token windows, one row per chunk, "
+          "map-side only (zero shuffles)"),
     Query("curation_funnel", llmdata.q_curation_funnel,
           llmdata.ORACLE_CURATION_FUNNEL,
           "curation funnel: raw → lang → quality → dedup stage counts and "

@@ -56,10 +56,13 @@ def test_single_shuffle_operators(spark, sf_dir):
     # agg-only queries: one shuffle for the agg (+1 range for global sort)
     assert exchange_count(q("sentiment_summary", spark, sf_dir)) <= 2
     assert exchange_count(q("dedup_exact", spark, sf_dir)) <= 2
+    assert exchange_count(q("stratified_sample", spark, sf_dir)) <= 2
     # enrichment and per-row analytics are pure projections: zero shuffles
     assert exchange_count(q("sentiment_enrich", spark, sf_dir)) == 0
     assert exchange_count(q("text_stats", spark, sf_dir)) == 0
     assert exchange_count(q("fingerprints", spark, sf_dir)) == 0
+    # chunking explodes in place: map-side only
+    assert exchange_count(q("chunk_documents", spark, sf_dir)) == 0
 
 
 def test_curation_funnel_prunes_and_single_exchange(spark, sf_dir):
