@@ -1,0 +1,127 @@
+"""Distributed connected components over an edge DataFrame.
+
+Dedup pipelines produce *pairs* (MinHash/SimHash/Jaccard candidates), but
+curation needs *clusters*: every document labeled with a canonical
+representative so that "keep one per cluster" is a single filter. Pair →
+cluster is graph connectivity, and the scale-correct way to compute it on
+Spark is the alternating **large-star / small-star** algorithm (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+MapReduce and Beyond", SoCC'14): each round is two shuffle stages of
+degree-bounded fan-out, and the edge set converges to per-component stars
+in O(log n) rounds (2-3 in practice for near-dup graphs, whose components
+are small and dense).
+
+Why not label propagation? Naive min-label flooding needs O(diameter)
+rounds — a 100-node chain takes 100 shuffles. Star contraction halves
+path lengths every round, so the same chain takes ~7. At 100 TB the edge
+set still fits comfortably (pairs are a tiny fraction of the corpus), but
+round *count* is the latency driver, so the O(log) algorithm matters.
+
+Iterative-plan hygiene: every round ends in ``localCheckpoint`` — without
+it the lineage (and thus the optimizer's input) doubles per round and
+planning time explodes exponentially. Convergence is detected with a
+constant-size checksum aggregate (count + xor of xxhash64 over the
+distinct edges),
+not a driver-side collect of the edge set.
+
+Reference parity note: the reference engine has no graph operator (its
+dedup is a 10k-entry in-memory set, twitter_producer.py:202-205); this
+generalizes its intent — "one row per duplicate group" — to transitive
+duplicate groups at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Orient every edge (max, min), drop self-loops and duplicates."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every strictly-larger neighbor of u to u's minimum neighbor.
+
+    Emits (v, m(u)) for each neighbor v > u, where m(u) = min(N(u) ∪ {u}).
+    """
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    )
+    return (
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach every smaller-or-equal neighbor of u (and u itself) to m(u).
+
+    Input must be canonically oriented (u > v); then m(u) = min(N(u)).
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    attached = edges.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v"))
+    rerooted = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        attached.union(rerooted)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label every vertex of the pair graph with its component minimum.
+
+    Returns a DataFrame (node, component) covering every vertex that
+    appears in ``edges``; ``component`` is the smallest vertex id in the
+    node's connected component (so component roots label themselves).
+    Vertices must be orderable (ids); isolated vertices never appear in an
+    edge list, so callers wanting singletons left-join this result and
+    coalesce to the node's own id.
+    """
+    cur = _canonical(edges, src, dst).localCheckpoint(eager=True)
+    if cur.isEmpty():
+        return cur.select(
+            F.col("u").alias("node"), F.col("v").alias("component"))
+    prev_sig = _checksum(cur)
+    for _ in range(max_rounds):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    # Fixed point is a star forest: every edge is (member, root).
+    members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return members.union(roots)

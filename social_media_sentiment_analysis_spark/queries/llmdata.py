@@ -59,10 +59,11 @@ _JACCARD_THRESHOLD = 0.5
 _SHINGLE_K = 3
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard, blocked on the md5 of the
     first 10 tokens (the planted dups are copy+suffix, so prefix blocking
-    has full recall there while keeping the pair space tiny)."""
+    has full recall there while keeping the pair space tiny). Unsorted —
+    shared by the pair query and the cluster query."""
     from ..functions.text import shingles
 
     docs = _docs(spark, sf_dir).select(
@@ -81,13 +82,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
     )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf_dir).orderBy("a_id", "b_id")
 
 
 # DuckDB: shingle set via list comprehension over token positions; jaccard by
 # list_intersect/list_distinct. Same prefix blocking, same threshold.
-ORACLE_DEDUP_NGRAM = _SQL_DOCS + f"""
+_SQL_JACCARD_PAIRS = _SQL_DOCS + f"""
 , toked AS (
     SELECT doc_id,
            string_split(cleaned_text, ' ') AS toks
@@ -102,14 +106,64 @@ ORACLE_DEDUP_NGRAM = _SQL_DOCS + f"""
                     for i in range(1, len(toks) - {_SHINGLE_K} + 2)])
            END AS sh
     FROM toked
+), pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+          >= {_JACCARD_THRESHOLD}
 )
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       round(len(list_intersect(a.sh, b.sh))
-             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh))
-            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= {_JACCARD_THRESHOLD}
-ORDER BY a_id, b_id
+"""
+
+ORACLE_DEDUP_NGRAM = _SQL_JACCARD_PAIRS + """
+SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: the jaccard pair graph closed under transitivity
+    via distributed large-star/small-star connected components
+    (operators/graph.py), each document labeled with its cluster minimum.
+    Pairs answer "are these two copies?"; clusters answer the question
+    curation actually asks — "keep exactly one of each group" — and
+    transitive closure is what makes A~B, B~C collapse to one keeper even
+    when A and C don't pair directly."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    cc = connected_components(_jaccard_pairs(spark, sf_dir), "a_id", "b_id")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+    )
+
+
+# Transitive closure by recursive CTE — tractable at oracle scale; the Spark
+# side uses the O(log n)-round star-contraction algorithm instead.
+ORACLE_DEDUP_CLUSTERS = _SQL_JACCARD_PAIRS.replace(
+    "WITH docs", "WITH RECURSIVE docs") + """
+, edges AS (
+    SELECT a_id AS u, b_id AS v FROM pairs
+    UNION
+    SELECT b_id, a_id FROM pairs
+), reach(node, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.node
+), labels AS (
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+ORDER BY doc_id
 """
 
 

@@ -87,6 +87,10 @@ _ALL: list[Query] = [
     Query("dedup_ngram_jaccard", llmdata.q_dedup_ngram_jaccard,
           llmdata.ORACLE_DEDUP_NGRAM,
           "near-dup pairs: word-3-gram Jaccard, prefix-blocked"),
+    Query("dedup_clusters", llmdata.q_dedup_clusters,
+          llmdata.ORACLE_DEDUP_CLUSTERS,
+          "near-dup clusters: large-star/small-star connected components "
+          "over the jaccard pair graph vs recursive-CTE closure"),
     Query("dedup_minhash", llmdata.q_dedup_minhash, None,
           "near-dup pairs: MinHash sigs → banded LSH → Jaccard verify "
           "(xxhash64-based; rows-only check, parity vs ngram in tests)"),

@@ -1,0 +1,75 @@
+"""Connected components: star-contraction vs a union-find reference."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from social_media_sentiment_analysis_spark.operators.graph import connected_components
+
+
+def union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical label = min node of the component
+    by_root: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        by_root[r] = min(by_root.get(r, n), n)
+    return {n: by_root[find(n)] for n in parent}
+
+
+def spark_labels(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges or [(0, 0)], "a_id long, b_id long")
+    if not edges:
+        df = df.limit(0)
+    out = connected_components(df, "a_id", "b_id").collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 plus triangle 10-11-12 plus an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    got = spark_labels(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # O(diameter) label flooding would need 63 rounds here; star
+    # contraction must finish well inside the 25-round cap.
+    edges = [(i, i + 1) for i in range(64)]
+    got = spark_labels(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2)]
+    got = spark_labels(spark, edges)
+    assert got == {1: 1, 2: 1}
+
+
+def test_empty_edges(spark):
+    assert spark_labels(spark, []) == {}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1, max_size=40))
+def test_matches_union_find(spark, edges):
+    expect = union_find_labels([(u, v) for u, v in edges if u != v])
+    assert spark_labels(spark, edges) == expect
