@@ -13,7 +13,16 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llmdata, mlqueries, multimodal, reference, star, temporal
+from . import (
+    llmdata,
+    mlqueries,
+    multimodal,
+    reference,
+    shaping,
+    star,
+    temporal,
+    windowed,
+)
 
 
 @dataclass(frozen=True)
@@ -80,6 +89,38 @@ _ALL: list[Query] = [
     Query("priority_rollup", star.q_priority_rollup,
           star.ORACLE_PRIORITY_ROLLUP,
           "ROLLUP with subtotals + grand total"),
+    # --- window-function analytics (queries/windowed.py) ---
+    Query("running_total", windowed.q_running_total,
+          windowed.ORACLE_RUNNING_TOTAL,
+          "window: per-customer cumulative spend (ROWS prefix sum)"),
+    Query("daily_value_delta", windowed.q_daily_value_delta,
+          windowed.ORACLE_DAILY_VALUE_DELTA,
+          "window: lag/day-over-day delta over the daily aggregate"),
+    Query("moving_average", windowed.q_moving_average,
+          windowed.ORACLE_MOVING_AVERAGE,
+          "window: 7-row trailing moving average"),
+    Query("customer_spend_quartiles", windowed.q_customer_spend_quartiles,
+          windowed.ORACLE_CUSTOMER_SPEND_QUARTILES,
+          "window: ntile quartiles + percent_rank over per-customer spend"),
+    Query("type_share", windowed.q_type_share,
+          windowed.ORACLE_TYPE_SHARE,
+          "window-over-aggregate: share-of-total without a second scan"),
+    # --- result shaping: cube/pivot/percentiles/set-ops/explode ---
+    Query("type_hour_cube", shaping.q_type_hour_cube,
+          shaping.ORACLE_TYPE_HOUR_CUBE,
+          "CUBE over (event_type, hour band): all subtotals in one pass"),
+    Query("daily_type_pivot", shaping.q_daily_type_pivot,
+          shaping.ORACLE_DAILY_TYPE_PIVOT,
+          "PIVOT with explicit value list → static wide schema"),
+    Query("value_percentiles", shaping.q_value_percentiles,
+          shaping.ORACLE_VALUE_PERCENTILES,
+          "exact p25/p50/p75/p90 per group (linear interpolation)"),
+    Query("cohort_overlap", shaping.q_cohort_overlap,
+          shaping.ORACLE_COHORT_OVERLAP,
+          "set ops: INTERSECT / EXCEPT / UNION cohort sizes"),
+    Query("word_frequency", shaping.q_word_frequency,
+          shaping.ORACLE_WORD_FREQUENCY,
+          "explode/unnest: top-20 word counts over English documents"),
     # --- LLM-data-pipeline operators (BASELINE north star) ---
     Query("dedup_exact", llmdata.q_dedup_exact,
           llmdata.ORACLE_DEDUP_EXACT,

@@ -1,0 +1,228 @@
+"""Result-shaping operators: CUBE, PIVOT, exact percentiles, set
+operations, and explode/unnest — the remainder of the relational surface a
+user migrating off the reference's SQL endpoints
+(sentiment_analysis.py:450-715) would expect from a full engine.
+
+All pure built-in DataFrame ops with exact DuckDB oracles.
+
+Scale notes:
+- ``pivot`` is given an explicit value list so Spark skips the
+  distinct-values pre-query and the output schema is static — mandatory at
+  100 TB (the values scan would be a full pass) and for streaming reuse.
+- ``cube`` expands each input row into the 4 grouping combinations *after*
+  partial aggregation (Expand below partial HashAggregate), so the shuffle
+  carries pre-reduced rows, not 4× the fact table.
+- Exact percentiles shuffle once on the group key; the per-group sort is
+  internal to the ``percentile`` aggregate. For ungrouped/huge groups the
+  sketch path (``sketch_profile``, t-digest) is the scale alternative.
+- Set ops are distinct-based (hash aggregate on the single projected
+  column), not row-by-row — each EXCEPT/INTERSECT is one shuffle of a
+  deduplicated, single-column projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping combinations of (event_type, hour-of-day band).
+# ---------------------------------------------------------------------------
+
+def q_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts cubed over (event_type, 6-hour band): every subtotal in
+    one pass. NULL group markers identify subtotal rows (same convention as
+    q_priority_rollup)."""
+    events = load_table(spark, sf_dir, "events")
+    banded = events.withColumn(
+        "hour_band", F.floor(F.hour("ts") / F.lit(6)) * 6)
+    return (
+        banded.cube("event_type", "hour_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(
+            F.asc_nulls_first("event_type"),
+            F.asc_nulls_first("hour_band"),
+        )
+    )
+
+
+ORACLE_TYPE_HOUR_CUBE = """
+WITH banded AS (
+    SELECT event_type,
+           (hour(ts) // 6) * 6 AS hour_band,
+           value
+    FROM events
+)
+SELECT event_type, hour_band,
+       COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total_value
+FROM banded
+GROUP BY CUBE (event_type, hour_band)
+ORDER BY event_type ASC NULLS FIRST, hour_band ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: wide daily matrix of event-type counts.
+# ---------------------------------------------------------------------------
+
+def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per day, one column per event type (explicit value list →
+    static schema, no distinct-values pre-pass). Missing cells are 0."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        pivoted.select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+              for t in EVENT_TYPES],
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_TYPE_PIVOT = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per group (linear interpolation, both engines).
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90 of event value per type. One shuffle on the
+    group key; the in-group sort lives inside the percentile aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile("value", 0.25), 4).alias("p25"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.75), 4).alias("p75"),
+            F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.9), 4)  AS p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: cohort overlap via INTERSECT / EXCEPT / UNION.
+# ---------------------------------------------------------------------------
+
+def q_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchaser vs signup cohort sizes: both (INTERSECT), purchase-only
+    (EXCEPT), either (UNION) — distinct-based set algebra on a single
+    projected key column."""
+    events = load_table(spark, sf_dir, "events")
+    purchasers = (events.filter(F.col("event_type") == "purchase")
+                  .select("user_id"))
+    signups = (events.filter(F.col("event_type") == "signup")
+               .select("user_id"))
+    both = purchasers.intersect(signups)
+    purchase_only = purchasers.subtract(signups)
+    either = purchasers.union(signups).distinct()
+    return (
+        both.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("both").alias("cohort"), "n_users")
+        .unionByName(
+            purchase_only.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit("purchase_only").alias("cohort"), "n_users"))
+        .unionByName(
+            either.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit("either").alias("cohort"), "n_users"))
+        .orderBy("cohort")
+    )
+
+
+ORACLE_COHORT_OVERLAP = """
+WITH purchasers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), signups AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+)
+SELECT 'both' AS cohort, COUNT(*) AS n_users
+FROM (SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM signups)
+UNION ALL
+SELECT 'purchase_only', COUNT(*)
+FROM (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM signups)
+UNION ALL
+SELECT 'either', COUNT(*)
+FROM (SELECT user_id FROM purchasers UNION SELECT user_id FROM signups)
+ORDER BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explode/unnest: top-20 word frequency over English documents.
+# ---------------------------------------------------------------------------
+
+def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words (≥3 chars) in English documents: lower → regex split →
+    explode → hash agg → top-k. ASCII-letter tokenization keeps Java and
+    DuckDB regex/casing semantics byte-identical.
+
+    explode is map-side (no shuffle); the only exchange is the word-count
+    aggregate, whose partial combine collapses each partition to its
+    distinct words before shuffling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.length("word") >= 3)
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("word"))
+        .limit(20)
+    )
+
+
+ORACLE_WORD_FREQUENCY = """
+WITH words AS (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents WHERE lang = 'en'
+)
+SELECT word, COUNT(*) AS n_occurrences
+FROM words
+WHERE length(word) >= 3
+GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 20
+"""

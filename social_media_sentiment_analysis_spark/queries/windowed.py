@@ -1,0 +1,236 @@
+"""Window-function analytics over the star schema.
+
+The reference's query surface stops at GROUP BY + ORDER BY + LIMIT
+(sentiment_analysis.py:456-482, :530-559); a user replacing its SQL endpoints
+with this engine also gets the full analytic-window surface Spark provides.
+Every query here is pure built-in Column algebra (whole-stage codegen, no
+UDFs) and has an exact DuckDB oracle twin.
+
+Scale notes:
+- A window with ``partitionBy`` shuffles once on the partition key and sorts
+  within partitions — the same single exchange a groupBy would pay. Frames
+  are ROWS-based with a deterministic unique ORDER BY so results (and the
+  driver's value-hash) are stable regardless of physical row order.
+- No global (unpartitioned) windows over fact tables: a window without
+  partitionBy collapses to ONE task and cannot scale. The only global-ish
+  computations here (percentiles, cume_dist over a small agg) run on
+  already-aggregated inputs that are tiny at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+
+# ---------------------------------------------------------------------------
+# Running total: cumulative spend per customer over their order history.
+# ---------------------------------------------------------------------------
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative order value in order-date order.
+
+    ROWS frame + (o_orderdate, o_orderkey) ordering makes the prefix sum
+    deterministic even when a customer places two orders the same day.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 4).alias("cumulative_spend"),
+            F.row_number().over(
+                Window.partitionBy("o_custkey")
+                .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+            ).cast("long").alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS cumulative_spend,
+       row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lag/lead: day-over-day delta of daily event value.
+# ---------------------------------------------------------------------------
+
+def q_daily_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily total event value with previous-day value and delta (lag)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+    )
+    w = Window.orderBy(F.asc("day"))
+    return (
+        daily.select(
+            "day", "day_value",
+            F.lag("day_value", 1).over(w).alias("prev_value"),
+            F.round(
+                F.col("day_value") - F.coalesce(F.lag("day_value", 1).over(w),
+                                                F.lit(0.0)),
+                4,
+            ).alias("delta"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_VALUE_DELTA = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, round(SUM(value), 4) AS day_value
+    FROM events GROUP BY 1
+)
+SELECT day, day_value,
+       lag(day_value, 1) OVER (ORDER BY day ASC) AS prev_value,
+       round(day_value - COALESCE(lag(day_value, 1) OVER (ORDER BY day ASC),
+                                  0.0), 4) AS delta
+FROM daily
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Moving average: 7-day trailing mean over the daily series.
+# ---------------------------------------------------------------------------
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average of daily event value (ROWS 6 PRECEDING).
+
+    The window runs over the *aggregated* daily series (≤ a few thousand rows
+    at any SF), so the unpartitioned sort is trivially small even though the
+    underlying events table is not.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+    )
+    w = Window.orderBy(F.asc("day")).rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            "day", "day_value",
+            F.round(F.avg("day_value").over(w), 4).alias("ma7"),
+            F.count(F.lit(1)).over(w).alias("window_days"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_MOVING_AVERAGE = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, round(SUM(value), 4) AS day_value
+    FROM events GROUP BY 1
+)
+SELECT day, day_value,
+       round(AVG(day_value) OVER (
+           ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+           AS ma7,
+       COUNT(*) OVER (
+           ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS window_days
+FROM daily
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile bucketing: ntile + percent_rank over per-customer spend.
+# ---------------------------------------------------------------------------
+
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into spend quartiles (ntile over the agg result).
+
+    The window input is one row per customer — already reduced — and the
+    ORDER BY carries c_custkey as tiebreak so bucket assignment is total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey", "total_spend",
+            F.ntile(4).over(w).cast("long").alias("spend_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        )
+        .orderBy("spend_quartile", F.desc("total_spend"), "o_custkey")
+    )
+
+
+ORACLE_CUSTOMER_SPEND_QUARTILES = """
+WITH spend AS (
+    SELECT o_custkey, round(SUM(o_totalprice), 4) AS total_spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+       ntile(4) OVER (ORDER BY total_spend DESC, o_custkey ASC)
+           AS spend_quartile,
+       round(percent_rank() OVER (ORDER BY total_spend DESC, o_custkey ASC),
+             6) AS spend_pct_rank
+FROM spend
+ORDER BY spend_quartile, total_spend DESC, o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total: per-group percentage via window over aggregate.
+# ---------------------------------------------------------------------------
+
+def q_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event type's share of total volume and value — the
+    window-over-aggregate idiom (no second scan, no driver-side total)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("type_value"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        agg.select(
+            "event_type", "n_events", "type_value",
+            F.round(F.col("n_events") / F.sum("n_events").over(w), 6)
+             .alias("count_share"),
+            F.round(F.col("type_value") / F.sum("type_value").over(w), 6)
+             .alias("value_share"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )
+
+
+ORACLE_TYPE_SHARE = """
+WITH agg AS (
+    SELECT event_type, COUNT(*) AS n_events,
+           round(SUM(value), 4) AS type_value
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, type_value,
+       round(n_events / SUM(n_events) OVER (), 6) AS count_share,
+       round(type_value / SUM(type_value) OVER (), 6) AS value_share
+FROM agg
+ORDER BY n_events DESC, event_type
+"""
