@@ -85,3 +85,47 @@ def session_rollup(df: DataFrame, key: str, ts: str, gap: str,
         .withColumn("session_end", F.col("__w.end"))
         .drop("__w")
     )
+
+
+def interval_join(left: DataFrame, right: DataFrame, *,
+                  left_ts: str, right_start: str, right_end: str,
+                  keys: tuple[str, ...] = (),
+                  bucket_seconds: int = 3600) -> DataFrame:
+    """Point-in-interval join: each left row matched to every right row
+    whose closed interval [right_start, right_end] contains left's
+    timestamp (plus equality on ``keys`` if given).
+
+    Naive formulations are O(n·m) theta joins (BroadcastNestedLoopJoin when
+    no equi key exists — a non-starter at scale). This uses the banded
+    equi-join strategy: each right interval is exploded into the fixed-width
+    time buckets it covers, the join runs as a hash equi-join on
+    (keys…, bucket), and the exact range predicate filters afterwards. A
+    left point lies in exactly one bucket, so no dedup pass is needed.
+
+    Cost: right side grows by ceil(interval/bucket)+1 rows (pick
+    ``bucket_seconds`` ≈ the typical interval length so the factor stays
+    ≤ ~2); both sides then shuffle once on (keys…, bucket) — the same
+    exchange profile as any equi-join, AQE-skew-splittable.
+
+    Bucket index = floor(seconds-since-epoch / bucket_seconds), computed
+    with TIMESTAMP_NTZ arithmetic so results are session-timezone-proof.
+    """
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+    def bucket_of(col: str):
+        return F.floor(
+            F.expr(f"timestampdiff(SECOND, {epoch}, {col})")
+            / F.lit(bucket_seconds))
+
+    r2 = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket_of(right_start), bucket_of(right_end))))
+    l2 = left.withColumn("__bucket", bucket_of(left_ts))
+    cond = [l2["__bucket"] == r2["__bucket"]]
+    for k in keys:
+        cond.append(l2[k] == r2[k])
+    joined = l2.join(r2, cond, "inner").filter(
+        (l2[left_ts] >= r2[right_start]) & (l2[left_ts] <= r2[right_end]))
+    keep = [l2[c] for c in left.columns] + [
+        r2[c] for c in right.columns if c not in left.columns]
+    return joined.select(*keep)

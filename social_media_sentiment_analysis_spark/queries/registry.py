@@ -186,6 +186,13 @@ _ALL: list[Query] = [
     Query("sessionization", temporal.q_sessionization,
           temporal.ORACLE_SESSIONIZATION,
           "per-key session_window rollup (30-min gap)"),
+    Query("error_impact", temporal.q_error_impact,
+          temporal.ORACLE_ERROR_IMPACT,
+          "range join: views in the 10 min after a same-user error "
+          "(banded equi-join, no theta join)"),
+    Query("gapfill_hourly", temporal.q_gapfill_hourly,
+          temporal.ORACLE_GAPFILL_HOURLY,
+          "gap-fill: dense hourly spine + forward-fill interpolation"),
     # --- multimodal: opaque binary payload + typed metadata ---
     Query("media_metadata", multimodal.q_media_metadata,
           multimodal.ORACLE_MEDIA_METADATA,

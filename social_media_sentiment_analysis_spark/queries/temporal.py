@@ -5,7 +5,7 @@ DuckDB; sessionization oracles as gaps-and-islands SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.temporal import as_of_join, session_rollup
@@ -95,4 +95,136 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (point-in-interval) join: views within 10 minutes after an error.
+# ---------------------------------------------------------------------------
+
+def q_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, the same user's view activity in the 10 minutes
+    that follow — a banded-equi-join range join (operators/temporal.py::
+    interval_join), never a nested-loop theta join. Errors with no views in
+    window are absent (inner semantics)."""
+    from ..operators.temporal import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = (events.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("view_ts"),
+                     F.col("value").alias("view_value")))
+    errors = (events.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"), "user_id",
+                      F.col("ts").alias("win_start"))
+              .withColumn("win_end",
+                          F.col("win_start") + F.expr("INTERVAL 10 MINUTES")))
+    matched = interval_join(
+        views, errors, left_ts="view_ts",
+        right_start="win_start", right_end="win_end",
+        keys=("user_id",), bucket_seconds=600)
+    return (
+        matched.groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.round(F.sum("view_value"), 4).alias("impacted_value"),
+        )
+        .orderBy("error_id")
+    )
+
+
+ORACLE_ERROR_IMPACT = """
+SELECT e.event_id AS error_id,
+       COUNT(*) AS n_views,
+       round(SUM(v.value), 4) AS impacted_value
+FROM events e
+JOIN events v
+  ON v.user_id = e.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= e.ts
+ AND v.ts <= e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY error_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: dense hourly spine + forward-fill interpolation.
+# ---------------------------------------------------------------------------
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (event_type × hour) series: empty hours appear with
+    n_events=0, and hour_value is forward-filled from the last observed
+    hour (``last(..., ignorenulls)`` — the time-series interpolation
+    pattern).
+
+    The spine is sequence()+explode over the global [min,max] hour range
+    crossed with the 5 distinct types — generated, not scanned, so its cost
+    is O(hours×types) regardless of fact-table size. The left join back to
+    the hourly aggregate broadcasts the spine when small or shuffles on
+    (event_type, hour) otherwise; the forward fill is one window shuffle
+    on event_type.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.round(F.sum("value"), 4).alias("hour_value"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"))
+    types = events.select("event_type").distinct()
+    spine = (
+        types.crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)"))
+             .alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour",
+            F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_events"),
+            "hour_value",
+            F.last("hour_value", ignorenulls=True).over(w)
+             .alias("value_ffill"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE_GAPFILL_HOURLY = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_raw, round(SUM(value), 4) AS hour_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS mn,
+           date_trunc('hour', MAX(ts)) AS mx
+    FROM events
+), spine AS (
+    SELECT t.event_type, s.hour
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+                FROM bounds) s
+)
+SELECT s.event_type, s.hour,
+       COALESCE(h.n_raw, 0) AS n_events,
+       h.hour_value,
+       last_value(h.hour_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM spine s
+LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+ORDER BY s.event_type, s.hour
 """

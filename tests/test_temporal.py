@@ -72,3 +72,84 @@ def test_asof_single_shuffle_plan(spark):
     # union + one window exchange — no join operator, no second shuffle
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestIntervalJoin:
+    """interval_join: banded equi-join range join (operators/temporal.py)."""
+
+    def _mk(self, spark):
+        from datetime import datetime as dt
+        left = spark.createDataFrame(
+            [(i, 1 + (i % 2), dt(2024, 1, 1, 0, i)) for i in range(60)],
+            "point_id long, k long, pts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(100, 1, dt(2024, 1, 1, 0, 10), dt(2024, 1, 1, 0, 20)),
+             (101, 1, dt(2024, 1, 1, 0, 15), dt(2024, 1, 1, 0, 25)),
+             (102, 2, dt(2024, 1, 1, 0, 40), dt(2024, 1, 1, 0, 50)),
+             (103, 2, dt(2024, 1, 1, 1, 30), dt(2024, 1, 1, 2, 30))],
+            "iv_id long, k long, istart timestamp_ntz, iend timestamp_ntz")
+        return left, right
+
+    def test_matches_naive_theta_join(self, spark):
+        from social_media_sentiment_analysis_spark.operators.temporal import (
+            interval_join,
+        )
+        left, right = self._mk(spark)
+        got = interval_join(
+            left, right, left_ts="pts", right_start="istart",
+            right_end="iend", keys=("k",), bucket_seconds=300)
+        naive = left.join(
+            right,
+            (left.k == right.k) & (left.pts >= right.istart)
+            & (left.pts <= right.iend)).select(left.point_id, right.iv_id)
+        assert (sorted(map(tuple, got.select("point_id", "iv_id").collect()))
+                == sorted(map(tuple, naive.collect())))
+        # overlapping intervals produce one row per (point, interval) pair
+        assert got.count() == naive.count()
+
+    def test_bounds_inclusive_and_bucket_independent(self, spark):
+        from social_media_sentiment_analysis_spark.operators.temporal import (
+            interval_join,
+        )
+        left, right = self._mk(spark)
+        expected = None
+        for width in (60, 600, 7200):
+            got = sorted(map(tuple, interval_join(
+                left, right, left_ts="pts", right_start="istart",
+                right_end="iend", keys=("k",), bucket_seconds=width)
+                .select("point_id", "iv_id").collect()))
+            if expected is None:
+                expected = got
+            assert got == expected, f"bucket_seconds={width} changed results"
+        # closed bounds: minute-10 and minute-20 points both match iv 100
+        pairs = set(expected)
+        assert (10, 100) in pairs and (20, 100) in pairs
+
+    def test_plans_as_equi_join_not_nested_loop(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.plans.inspect import (
+            physical_plan,
+        )
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+        plan = physical_plan(QUERIES["error_impact"].builder(spark, sf_dir))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestGapfill:
+    def test_spine_is_dense_and_ffill_monotone(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+        pdf = QUERIES["gapfill_hourly"].builder(spark, sf_dir).toPandas()
+        per_type = pdf.groupby("event_type").size()
+        assert per_type.nunique() == 1  # every type has the full spine
+        # filled hours exist (sparse data at this SF) and carry a value
+        gaps = pdf[pdf.n_events == 0]
+        assert len(gaps) > 0
+        # once a type has observed data, every later row carries a fill;
+        # leading gaps (before first observation) stay null by design
+        pdf = pdf.sort_values(["event_type", "hour"])
+        seen = (pdf.n_events > 0).groupby(pdf.event_type).cummax()
+        assert pdf.value_ffill[seen].notna().all()
+        assert pdf.value_ffill[~seen].isna().all()
