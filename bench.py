@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "sessionization",
     "text_stats",
     "media_features",
+    "running_total",
+    "type_hour_cube",
+    "word_frequency",
+    "error_impact",
+    "gapfill_hourly",
 ]
 
 

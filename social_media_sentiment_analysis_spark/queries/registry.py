@@ -115,6 +115,9 @@ _ALL: list[Query] = [
     Query("value_percentiles", shaping.q_value_percentiles,
           shaping.ORACLE_VALUE_PERCENTILES,
           "exact p25/p50/p75/p90 per group (linear interpolation)"),
+    Query("status_priority_sets", shaping.q_status_priority_sets,
+          shaping.ORACLE_STATUS_PRIORITY_SETS,
+          "GROUPING SETS ((status),(priority)): disjoint subtotals, one scan"),
     Query("cohort_overlap", shaping.q_cohort_overlap,
           shaping.ORACLE_COHORT_OVERLAP,
           "set ops: INTERSECT / EXCEPT / UNION cohort sizes"),

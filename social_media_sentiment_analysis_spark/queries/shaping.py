@@ -226,3 +226,39 @@ GROUP BY word
 ORDER BY n_occurrences DESC, word ASC
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: independent subtotal lattices in one pass.
+# ---------------------------------------------------------------------------
+
+def q_status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status and per-priority order subtotals — GROUPING SETS
+    ((status),(priority)): two independent aggregations in one scan, a shape
+    ROLLUP/CUBE can't express (no combined cell, no grand total). Like CUBE,
+    the Expand sits above the partial aggregate, so the shuffle carries
+    reduced rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+ORACLE_STATUS_PRIORITY_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS order_count,
+       round(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
