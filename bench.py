@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "export",
     "revenue_by_region",
     "pricing_summary",
+    "priority_lineitem_revenue",
     "dedup_exact",
     "curation_funnel",
     "knn_bruteforce",

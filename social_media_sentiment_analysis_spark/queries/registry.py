@@ -74,6 +74,9 @@ _ALL: list[Query] = [
     Query("pricing_summary", star.q_pricing_summary,
           star.ORACLE_PRICING_SUMMARY,
           "TPC-H Q1 shape: filtered scan + partial/final hash agg"),
+    Query("priority_lineitem_revenue", star.q_priority_lineitem_revenue,
+          star.ORACLE_PRIORITY_LINEITEM_REVENUE,
+          "fact-to-fact shuffled join (lineitem ⋈ orders) + agg"),
     Query("top_customers", star.q_top_customers,
           star.ORACLE_TOP_CUSTOMERS,
           "top-k over join+agg (TakeOrderedAndProject)"),

@@ -286,3 +286,43 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
+
+
+# ---------------------------------------------------------------------------
+# Fact-to-fact join (TPC-H Q4 flavor): lineitem ⋈ orders on orderkey.
+# ---------------------------------------------------------------------------
+
+def q_priority_lineitem_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted lineitem revenue per order priority — the fact-to-fact
+    join class. Unlike the dim joins above, neither side broadcasts at real
+    scale: this plans as a shuffled join on l_orderkey/o_orderkey (AQE picks
+    broadcast at toy SFs, sort-merge/shuffled-hash + skew-split beyond).
+    Both inputs are pre-projected to join key + needed columns so the
+    exchange moves 2-3 columns, not whole rows; at 100 TB the durable fix is
+    co-bucketing both tables on orderkey (sources/layout.py), which removes
+    the shuffle entirely."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("disc_price"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("lineitem_count"),
+            F.round(F.sum("disc_price"), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY_LINEITEM_REVENUE = """
+SELECT o_orderpriority,
+       COUNT(*) AS lineitem_count,
+       round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -139,3 +139,33 @@ def hourly_rollup_stream(enriched: DataFrame,
             "total_likes", "total_retweets",
         )
     )
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, *,
+                         key: str, right_key: str,
+                         left_ts: str, right_ts: str,
+                         within: str = "30 minutes",
+                         left_watermark: str = "1 hour",
+                         right_watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join: right rows match a left row
+    with the same key when ``left_ts <= right_ts <= left_ts + within``.
+
+    This is the streaming-only join class (e.g. tweets ⋈ trailing
+    engagement updates) the reference's row-at-a-time loop could never
+    express. Both watermarks plus the two-sided time-range predicate are
+    REQUIRED: together they bound each side's join state, so Spark evicts
+    buffered rows once the other stream's watermark passes the range end —
+    without them state grows forever. Key equality keeps the join a hash
+    exchange on the key, exactly like the batch interval_join.
+    """
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"{key} = {right_key} AND "
+            f"{right_ts} >= {left_ts} AND "
+            f"{right_ts} <= {left_ts} + interval {within}"
+        ),
+        "inner",
+    )

@@ -158,3 +158,46 @@ def test_idempotent_sink_replay(spark, stream_input, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 3
     assert df.select("tweet_id").distinct().count() == 3
+
+
+def test_stream_interval_join(spark, tmp_path_factory):
+    """Stream-stream join: engagement updates within 30 min of the tweet
+    match; later updates are excluded by the range predicate."""
+    from social_media_sentiment_analysis_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    tweets_dir = tmp_path_factory.mktemp("ssj_tweets")
+    eng_dir = tmp_path_factory.mktemp("ssj_eng")
+    with open(tweets_dir / "t.jsonl", "w") as f:
+        f.write(json.dumps({"tweet_id": "t1",
+                            "event_time": "2024-01-15T10:00:00"}) + "\n")
+        f.write(json.dumps({"tweet_id": "t2",
+                            "event_time": "2024-01-15T10:05:00"}) + "\n")
+    with open(eng_dir / "e.jsonl", "w") as f:
+        for tid, ts, delta in [
+            ("t1", "2024-01-15T10:10:00", 3),   # in window
+            ("t1", "2024-01-15T11:30:00", 9),   # past 30 min → excluded
+            ("t2", "2024-01-15T10:05:00", 1),   # boundary: equal ts matches
+            ("t9", "2024-01-15T10:10:00", 7),   # no matching tweet
+        ]:
+            f.write(json.dumps({"e_tweet_id": tid, "engagement_time": ts,
+                                "like_delta": delta}) + "\n")
+
+    tweets = (spark.readStream
+              .schema("tweet_id string, event_time timestamp")
+              .json(str(tweets_dir)))
+    eng = (spark.readStream
+           .schema("e_tweet_id string, engagement_time timestamp, "
+                   "like_delta long")
+           .json(str(eng_dir)))
+    joined = stream_interval_join(
+        tweets, eng, key="tweet_id", right_key="e_tweet_id",
+        left_ts="event_time", right_ts="engagement_time",
+        within="30 minutes")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = _mem_query(joined.select("tweet_id", "like_delta"), name)
+    q.awaitTermination(120)
+    rows = {(r.tweet_id, r.like_delta)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert rows == {("t1", 3), ("t2", 1)}
