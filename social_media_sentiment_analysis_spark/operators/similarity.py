@@ -115,15 +115,35 @@ def ann_topk(df: DataFrame, query_vec: list[float], vec_col: str, id_col: str,
 
 
 def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
-                       left_id: str, right_id: str, k: int = 5) -> DataFrame:
-    """For each left row, its k nearest right rows — LSH-bucketed join then
-    windowed rank. The all-pairs fallback of vector search engines, kept
-    bucket-local so the join is |bucket|² not |corpus|²."""
+                       left_id: str, right_id: str, k: int = 5,
+                       bits: int = 6, probe_hamming: int = 2) -> DataFrame:
+    """For each left row, its k nearest right rows — multi-probe LSH join
+    then windowed rank. The all-pairs fallback of vector search engines,
+    kept bucket-local so the join is Σ|bucket|² not |corpus|².
+
+    Each left row probes every bucket within hamming distance
+    ``probe_hamming`` of its own (explode of a precomputed flip-mask array —
+    the same recall/cost dial as ``ann_topk``, expressed as an equi-join
+    key). Right rows stay single-bucket, so only the small/query side
+    fans out (by Σ_{i≤h} C(bits,i) rows).
+    """
+    from itertools import combinations
+
     from pyspark.sql import Window
 
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for flips in combinations(range(bits), h):
+            m = 0
+            for i in flips:
+                m |= 1 << i
+            masks.append(m)
     dim_probe = right.select(F.size(F.col(vec_col))).first()[0]
-    lb = left.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim_probe))
-    rb = right.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim_probe))
+    base = hyperplane_bucket(F.col(vec_col), dim_probe, bits)
+    lb = left.withColumn(
+        "bucket",
+        F.explode(F.array(*[base.bitwiseXOR(F.lit(m)) for m in masks])))
+    rb = right.withColumn("bucket", base)
     l = lb.toDF(*[f"l_{c}" if c != "bucket" else c for c in lb.columns])
     r = rb.toDF(*[f"r_{c}" if c != "bucket" else c for c in rb.columns])
     sim = cosine_similarity(F.col(f"l_{vec_col}"), F.col(f"r_{vec_col}"))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import clean_text, lang_id_column, quality_columns, quality_enrich, tokens
+from ..functions import vectors
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..sources.batch import load_table
@@ -575,3 +576,69 @@ SELECT doc_id,
 FROM docs
 ORDER BY doc_id
 """
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join: top-3 cosine neighbors for each query vector
+    (vec_id < 5) over the rest of the corpus.
+
+    The query set broadcasts (it is k-NN *join*'s small side by
+    construction); cosine is a map-side Column expression over the corpus
+    scan, and the per-query top-3 is a row_number window on query_id. For
+    query sets too large to broadcast, the LSH-bucketed
+    ``pairwise_topk_join`` (operators/similarity.py) is the scale path —
+    registered as ``knn_join_ann``.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    sim = vectors.cosine_similarity(F.col("embedding"), F.col("qvec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", F.round(sim, 4).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_JOIN = """
+WITH queries AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id < 5
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qvec,
+                                x -> x::DOUBLE * x::DOUBLE)))),
+           4) AS cosine
+    FROM embeddings e CROSS JOIN queries q
+    WHERE e.vec_id >= 5
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate k-NN join over the whole corpus (rows-only;
+    per-query agreement vs the exact join is asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pairwise_topk_join(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        "embedding", "vec_id", "vec_id", k=3)

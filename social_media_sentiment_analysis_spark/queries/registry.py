@@ -152,6 +152,12 @@ _ALL: list[Query] = [
           "exact cosine top-10 for a query vector (TakeOrderedAndProject)"),
     Query("knn_ann", llmdata.q_knn_ann, None,
           "LSH-bucketed approximate top-10 (rows-only; recall in tests)"),
+    Query("knn_join", llmdata.q_knn_join,
+          llmdata.ORACLE_KNN_JOIN,
+          "exact k-NN join: broadcast query set, top-3 per query via window"),
+    Query("knn_join_ann", llmdata.q_knn_join_ann, None,
+          "LSH-bucketed approximate k-NN join (rows-only; agreement vs "
+          "exact in tests)"),
     Query("text_stats", llmdata.q_text_stats,
           llmdata.ORACLE_TEXT_STATS,
           "token/char counts, stopword ratio, quality score"),

@@ -84,7 +84,45 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         plan = physical_plan(query.builder(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         # BroadcastNestedLoopJoin is acceptable only for the tiny
-        # broadcast-anchor pattern (a 1-row max-ts scalar joined to the scan)
+        # broadcast-anchor pattern (a 1-row max-ts scalar joined to the
+        # scan) and knn_join's deliberate broadcast of the k-row query set
         if "BroadcastNestedLoopJoin" in plan:
             assert name in ("trailing_window", "export",
-                            "curation_funnel"), name
+                            "curation_funnel", "knn_join",
+                            "gapfill_hourly"), name
+
+
+def test_knn_join_broadcasts_query_set(spark, sf_dir):
+    # deliberate cross join: the k-row query set broadcasts, never shuffles
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+    plan = physical_plan(q("knn_join", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not has_sort_merge_join(q("knn_join", spark, sf_dir))
+
+
+def test_interval_join_is_equi_not_theta(spark, sf_dir):
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+    plan = physical_plan(q("error_impact", spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_expand_sits_above_partial_agg(spark, sf_dir):
+    # CUBE / GROUPING SETS: shuffle carries reduced rows, not 4x input
+    for name in ("type_hour_cube", "status_priority_sets"):
+        assert exchange_count(q(name, spark, sf_dir)) <= 2, name
+
+
+def test_word_frequency_single_agg_shuffle(spark, sf_dir):
+    # explode is map-side; one exchange for the count agg, top-k takes rest
+    assert exchange_count(q("word_frequency", spark, sf_dir)) <= 2
+
+
+def test_windowed_queries_bounded_shuffles(spark, sf_dir):
+    # window on partition key = 1 exchange (+1 for final presentation sort)
+    assert exchange_count(q("running_total", spark, sf_dir)) <= 2
+    # daily agg + tiny unpartitioned window + sort
+    assert exchange_count(q("daily_value_delta", spark, sf_dir)) <= 3

@@ -92,3 +92,20 @@ class TestPairwiseTopK:
         for _, grp in pdf.groupby("query_id"):
             g = grp.sort_values("rank")
             assert list(g["cosine"]) == sorted(g["cosine"], reverse=True)
+
+
+class TestKnnJoin:
+    def test_ann_join_agrees_with_exact(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+        exact = QUERIES["knn_join"].builder(spark, sf_dir).collect()
+        approx = QUERIES["knn_join_ann"].builder(spark, sf_dir).collect()
+        exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+        approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+        assert len(exact_pairs) == 15  # 5 queries × top-3
+        # single-bucket LSH probe: expect meaningful overlap, not identity
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.3, f"recall {recall}"
+        # every approx neighbor must at least share the query's bucket space
+        assert all(q in {p[0] for p in exact_pairs} for q, _ in approx_pairs)
