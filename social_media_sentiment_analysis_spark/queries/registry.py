@@ -124,6 +124,12 @@ _ALL: list[Query] = [
     Query("cohort_overlap", shaping.q_cohort_overlap,
           shaping.ORACLE_COHORT_OVERLAP,
           "set ops: INTERSECT / EXCEPT / UNION cohort sizes"),
+    Query("props_extract", shaping.q_props_extract,
+          shaping.ORACLE_PROPS_EXTRACT,
+          "schema-on-read JSON extraction (get_json_object) + agg"),
+    Query("stats_profile", shaping.q_stats_profile,
+          shaping.ORACLE_STATS_PROFILE,
+          "statistical aggregates: stddev/var/corr/covar/count_if/max_by"),
     Query("word_frequency", shaping.q_word_frequency,
           shaping.ORACLE_WORD_FREQUENCY,
           "explode/unnest: top-20 word counts over English documents"),

@@ -262,3 +262,81 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction (events.props).
+# ---------------------------------------------------------------------------
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column and aggregate by the extracted
+    property's decade bucket — schema-on-read over a string column, the
+    same from_json/get_json_object path the tweet envelope uses.
+    get_json_object is JVM-side (no UDF); at scale prefer materializing the
+    parsed column once at ingest over re-parsing per query."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select((F.floor(k / F.lit(10)) * 10).alias("k_decade"),
+                      "value")
+        .groupBy("k_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_decade")
+    )
+
+
+ORACLE_PROPS_EXTRACT = """
+SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) * 10
+           AS k_decade,
+       COUNT(*) AS n_events,
+       round(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY k_decade
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: stddev / variance / correlation / arg-extremes.
+# ---------------------------------------------------------------------------
+
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution profile: sample stddev/variance, value↔k
+    correlation and covariance, conditional counts, and arg-max — the
+    statistical aggregate family, all single-pass built-ins (one partial/
+    final hash aggregate, no window, no second scan)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    src = events.select("event_type", "event_id", "value", k.alias("k"))
+    return (
+        src.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+            F.round(F.var_samp("value"), 4).alias("value_var"),
+            F.round(F.corr("value", "k"), 4).alias("value_k_corr"),
+            F.round(F.covar_samp("value", "k"), 4).alias("value_k_covar"),
+            F.count_if(F.col("value") > 50).alias("n_high_value"),
+            F.max_by("event_id", "value").alias("top_value_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STATS_PROFILE = """
+SELECT event_type,
+       round(stddev_samp(value), 4) AS value_stddev,
+       round(var_samp(value), 4) AS value_var,
+       round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)),
+             4) AS value_k_corr,
+       round(covar_samp(value,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE)),
+             4) AS value_k_covar,
+       COUNT(*) FILTER (WHERE value > 50) AS n_high_value,
+       arg_max(event_id, value) AS top_value_event
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
