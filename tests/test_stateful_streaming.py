@@ -5,7 +5,10 @@ batch 1's sessions, firing their event-time timeouts."""
 from __future__ import annotations
 
 import json
+import os
 import uuid
+
+import pytest
 
 from social_media_sentiment_analysis_spark.streaming.stateful import (
     streaming_sessionize,
@@ -92,3 +95,50 @@ def test_streaming_sessionize_late_batch_emits_immediately(spark, tmp_path):
     rows = {r.user_id: r for r in spark.table(name).collect()}
     assert 1 in rows                     # late session emitted, not dropped
     assert rows[1].n_events == 2 and rows[1].total_value == 3.0
+
+
+def test_running_totals_state_v2(spark, tmp_path):
+    """transformWithStateInPandas: running per-user totals accumulate
+    across micro-batches through RocksDB ValueState.
+
+    The state-v2 driver worker speaks protobuf to the JVM; skip where
+    protobuf isn't installed (the operator itself has no import-time dep).
+    """
+    pytest.importorskip("google.protobuf")
+    from social_media_sentiment_analysis_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    src = tmp_path / "rt_in"
+    src.mkdir()
+    _write(src, "a.jsonl", [(1, "10:00", 1.0), (1, "10:01", 2.0),
+                            (2, "10:00", 5.0)])
+    _write(src, "b.jsonl", [(1, "10:02", 4.0)])
+    os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", "value")
+    )
+    name = "rt_" + uuid.uuid4().hex[:8]
+    q = (
+        running_totals_stream(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "rt_ckpt"))
+        .outputMode("append").trigger(availableNow=True)
+        .option("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        ((r.user_id, r.n_events, r.total_value)
+         for r in spark.table(name).collect()))
+    # batch 1 emits (1,2,3.0),(2,1,5.0); batch 2 re-emits user 1 as (3,7.0)
+    assert (1, 3, 7.0) in rows
+    assert (2, 1, 5.0) in rows
+    assert (1, 2, 3.0) in rows
