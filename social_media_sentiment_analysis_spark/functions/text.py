@@ -166,12 +166,20 @@ def bag_fingerprint(col: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles of cleaned text as array<string> — the MinHash /
-    Jaccard unit. Built with transform over token indices (JVM-side)."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from an already-staged token array column. Prefer
+    this over ``shingles`` when the caller can stage ``tokens(...)`` as its
+    own projected column first: the token split then evaluates once per row
+    instead of once per reference inside this expression (codegen
+    subexpression elimination does not unify the repeated lambdas)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of cleaned text as array<string> — the MinHash /
+    Jaccard unit. Built with transform over token indices (JVM-side)."""
+    return shingles_from_tokens(tokens(col), k)

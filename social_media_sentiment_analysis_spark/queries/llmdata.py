@@ -642,3 +642,57 @@ def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pairwise_topk_join(
         emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
         "embedding", "vec_id", "vec_id", k=3)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: candidate documents sharing ≥1 word
+    3-gram with the held-out benchmark slice (doc_id % 100 == 0), with the
+    shared-shingle count — the n-gram-overlap contamination check every
+    training-corpus pipeline runs before a model sees the data.
+
+    The benchmark shingle set is tiny by construction (the eval suite, not
+    the corpus), so it broadcasts and the check is one map-side hash probe
+    over the corpus shingles plus a single groupBy(doc_id) — at 100 TB the
+    benchmark set is precomputed once and reused across corpus shards.
+    """
+    from ..functions.text import clean_text, shingles_from_tokens
+
+    toked = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(clean_text(F.col("text"))).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            shingles_from_tokens(F.col("toks"), _SHINGLE_K))).alias("s"))
+    bench = (sh.filter(F.col("doc_id") % 100 == 0)
+             .select("s").distinct())
+    cand = sh.filter(F.col("doc_id") % 100 != 0)
+    return (
+        cand.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CONTAMINATION = _SQL_DOCS + f"""
+, toked AS (
+    SELECT doc_id, string_split(cleaned_text, ' ') AS toks FROM docs
+), sh AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < {_SHINGLE_K}
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct([
+                    array_to_string(toks[i:i+{_SHINGLE_K}-1], ' ')
+                    for i in range(1, len(toks) - {_SHINGLE_K} + 2)])
+           END) AS s
+    FROM toked
+), bench AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0
+), cand AS (
+    SELECT doc_id, s FROM sh WHERE doc_id % 100 <> 0
+)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM cand JOIN bench USING (s)
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -173,6 +173,9 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    Query("contamination", llmdata.q_contamination,
+          llmdata.ORACLE_CONTAMINATION,
+          "benchmark decontamination: broadcast n-gram overlap check"),
     Query("stratified_sample", llmdata.q_stratified_sample,
           llmdata.ORACLE_STRATIFIED_SAMPLE,
           "deterministic md5-gated stratified sampling, per-source rates"),
