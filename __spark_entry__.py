@@ -17,7 +17,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python UDF workers (pandas UDFs, mapInPandas) import this package by name
+# in their own processes; they inherit PYTHONPATH from the driver env, not
+# the driver's sys.path — export it so the contract works from any cwd.
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _REPO_DIR)
 
 from social_media_sentiment_analysis_spark.queries.registry import (  # noqa: E402
     get_oracle_sql,

@@ -65,13 +65,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 10 tokens (the planted dups are copy+suffix, so prefix blocking
     has full recall there while keeping the pair space tiny). Unsorted —
     shared by the pair query and the cluster query."""
-    from ..functions.text import shingles
+    from ..functions.text import shingles_from_tokens
 
-    docs = _docs(spark, sf_dir).select(
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("cleaned_text")).alias("toks"))
+    docs = toked.select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("cleaned_text")), 1, _PREFIX_TOKENS)))
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), 1, _PREFIX_TOKENS)))
         .alias("block"),
-        F.array_distinct(shingles(F.col("cleaned_text"), _SHINGLE_K)).alias("sh"),
+        F.array_distinct(shingles_from_tokens(F.col("toks"), _SHINGLE_K))
+        .alias("sh"),
     )
     a = docs.toDF("a_id", "block", "a_sh")
     b = docs.toDF("b_id", "block", "b_sh")
