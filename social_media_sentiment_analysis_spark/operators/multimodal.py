@@ -135,3 +135,85 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "modality", "payload").mapInPandas(
         features, schema=MEDIA_FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = (
+    "media_id string, frame_idx long, frame_ts_ms long, frame_bytes binary"
+)
+
+_FRAME_BYTES = 256  # fake codec: fixed-size byte frames (see _fake_decode_stats)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one output row per kept frame (every ``every_n``-th),
+    the row-expanding multimodal stage (video → frame table).
+
+    mapInPandas is the right Spark shape here because the expansion factor
+    is data-dependent (duration) and the payload must be sliced in Python —
+    a generator yielding more rows than it consumes, still one Arrow
+    crossing per batch. Real ffmpeg keyframe extraction drops into the
+    same loop body; the fake slices fixed 256-byte 'frames'.
+    """
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload, dur in zip(
+                    pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                raw = payload or b""
+                n_frames = max(1, -(-len(raw) // _FRAME_BYTES))
+                step_ms = (dur or 0) / n_frames
+                for i in range(0, n_frames, every_n):
+                    out.append((mid, i, int(i * step_ms),
+                                raw[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_ts_ms",
+                              "frame_bytes"])
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(frames, schema=FRAME_SCHEMA)
+    )
+
+
+def resize_images(media: DataFrame, width: int = 16,
+                  height: int = 16) -> DataFrame:
+    """Resize: re-encode each image payload at fixed target dims — the
+    normalize-before-training stage. Fake codec downsamples the raw byte
+    'signal' by striding to exactly width*height bytes (padding with zeros),
+    preserving the real operator's contract: output payload size is a
+    function of target dims only, metadata updated in place.
+    """
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        target = width * height
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                idx = np.linspace(0, arr.size - 1, num=min(target, arr.size),
+                                  dtype=np.int64)
+                out = np.zeros(target, dtype=np.uint8)
+                out[:idx.size] = arr[idx]
+                payloads.append(out.tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime_type": pdf["mime_type"],
+                "payload": payloads,
+                "width": width, "height": height,
+            })
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "mime_type", "payload")
+        .mapInPandas(
+            resize,
+            schema="media_id string, mime_type string, payload binary, "
+                   "width int, height int")
+    )

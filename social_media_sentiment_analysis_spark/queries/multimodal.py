@@ -77,3 +77,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample every video payload (every 4th fake frame) and roll up
+    per media: sampled-frame count, span, bytes kept — the video→frames→
+    stats pipeline with the row-expanding mapInPandas stage in the middle
+    (rows-only; per-frame slicing parity is asserted in
+    tests/test_multimodal.py)."""
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(_media(spark, sf_dir), every_n=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_ts_ms").alias("last_ts_ms"),
+            F.sum(F.octet_length("frame_bytes")).cast("bigint")
+             .alias("bytes_kept"),
+        )
+        .orderBy("media_id")
+    )

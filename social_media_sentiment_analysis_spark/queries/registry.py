@@ -218,6 +218,9 @@ _ALL: list[Query] = [
     Query("media_metadata", multimodal.q_media_metadata,
           multimodal.ORACLE_MEDIA_METADATA,
           "per-modality metadata rollup, payload stays opaque/columnar"),
+    Query("media_frames", multimodal.q_media_frames, None,
+          "video frame sampling (mapInPandas row expansion) + per-media "
+          "rollup (rows-only; slicing parity in tests)"),
     Query("media_features", multimodal.q_media_features, None,
           "mapInPandas decode→features (deterministic fake codec; "
           "rows-only check, pandas parity in tests)"),

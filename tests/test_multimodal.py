@@ -84,3 +84,47 @@ def test_media_features_rollup(spark, sf_dir):
     assert rows["image"].total_frames == rows["image"].media_count
     assert rows["audio"].total_frames == rows["audio"].media_count
     assert rows["video"].total_frames >= rows["video"].media_count
+
+
+class TestFrameSampleResize:
+    def test_frame_sampling_matches_manual_slicing(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            _FRAME_BYTES,
+            attach_media,
+            sample_frames,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+        media = attach_media(load_table(spark, sf_dir, "documents"))
+        vids = {r.media_id: (bytes(r.payload), r.duration_ms)
+                for r in media.filter("modality = 'video'").collect()}
+        got = sample_frames(media, every_n=4).collect()
+        assert {r.media_id for r in got} == set(vids)
+        for r in got:
+            raw, dur = vids[r.media_id]
+            n_frames = max(1, -(-len(raw) // _FRAME_BYTES))
+            assert r.frame_idx % 4 == 0 and r.frame_idx < n_frames
+            start = r.frame_idx * _FRAME_BYTES
+            assert bytes(r.frame_bytes) == raw[start:start + _FRAME_BYTES]
+            assert r.frame_ts_ms == int(r.frame_idx * (dur / n_frames))
+
+    def test_resize_fixed_output_size(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            attach_media,
+            resize_images,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+        media = attach_media(load_table(spark, sf_dir, "documents"))
+        out = resize_images(media, width=8, height=8).collect()
+        n_images = media.filter("modality = 'image'").count()
+        assert len(out) == n_images > 0
+        assert all(len(bytes(r.payload)) == 64 for r in out)
+        assert all(r.width == 8 and r.height == 8 for r in out)
+        # deterministic: strided downsample preserves first byte
+        src = {r.media_id: bytes(r.payload)
+               for r in media.filter("modality = 'image'").collect()}
+        for r in out:
+            assert bytes(r.payload)[0] == src[r.media_id][0]
