@@ -31,3 +31,26 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """dot/(|a|·|b|), NULL-safe on zero norms."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hashed_embedding(toks: Column, dim: int = 16) -> Column:
+    """Deterministic text featurizer (the 'hashing trick'): token counts
+    bucketed by ``xxhash64 % dim``, L2-normalized, as array<double>.
+
+    Pure Column algebra — the embedding-generation stage runs inside
+    whole-stage codegen with zero Python crossings, making the full
+    text → vector → similarity/dedup pipeline expressible end-to-end in
+    one plan. Cost is O(dim · tokens) per row; fine for small dims. A real
+    neural encoder slots into the same column contract as an Arrow-batched
+    pandas UDF (model per executor), changing no downstream operator.
+    """
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(
+            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)) == i
+        )).cast("double"),
+    )
+    norm = F.sqrt(F.aggregate(
+        counts, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(
+        counts, lambda x: x / F.greatest(norm, F.lit(1e-12)))

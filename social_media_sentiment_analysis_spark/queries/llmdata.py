@@ -699,3 +699,21 @@ FROM cand JOIN bench USING (s)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed every document with the deterministic hashing-trick featurizer
+    (functions/vectors.py::hashed_embedding) and report per-document vector
+    facts — the embedding-generation stage of the training pipeline, fully
+    JVM-side (rows-only: xxhash64 has no DuckDB twin; determinism and
+    near-dup separation are asserted in tests/test_similarity.py)."""
+    toked = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(clean_text(F.col("text"))).alias("toks"))
+    emb = toked.select(
+        "doc_id", vectors.hashed_embedding(F.col("toks"), 16).alias("emb"))
+    nonzero = F.size(F.filter(F.col("emb"), lambda x: x != 0.0))
+    return emb.select(
+        "doc_id",
+        F.round(vectors.l2_norm(F.col("emb")), 4).alias("norm"),
+        nonzero.alias("nonzero_dims"),
+    ).orderBy("doc_id")

@@ -109,3 +109,50 @@ class TestKnnJoin:
         assert recall >= 0.3, f"recall {recall}"
         # every approx neighbor must at least share the query's bucket space
         assert all(q in {p[0] for p in exact_pairs} for q, _ in approx_pairs)
+
+
+class TestHashedEmbedding:
+    def test_deterministic_unit_norm_and_separation(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from social_media_sentiment_analysis_spark.functions.text import (
+            clean_text,
+            tokens,
+        )
+        from social_media_sentiment_analysis_spark.functions.vectors import (
+            cosine_similarity,
+            hashed_embedding,
+        )
+        from social_media_sentiment_analysis_spark.queries.llmdata import (
+            _jaccard_pairs,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        toked = load_table(spark, sf_dir, "documents").select(
+            "doc_id", tokens(clean_text(F.col("text"))).alias("toks"))
+        emb = toked.select(
+            "doc_id", hashed_embedding(F.col("toks"), 16).alias("emb"))
+        rows = {r.doc_id: r.emb for r in emb.collect()}
+        rows2 = {r.doc_id: r.emb for r in emb.collect()}
+        assert rows == rows2                      # deterministic
+        for v in list(rows.values())[:20]:
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-9   # unit norm
+
+        # text near-dups must embed closer than random pairs
+        pairs = _jaccard_pairs(spark, sf_dir).collect()
+        assert pairs
+        a = emb.toDF("a_id", "a_emb")
+        b = emb.toDF("b_id", "b_emb")
+        pair_df = (_jaccard_pairs(spark, sf_dir)
+                   .join(a, "a_id").join(b, "b_id")
+                   .select(cosine_similarity(
+                       F.col("a_emb"), F.col("b_emb")).alias("cos")))
+        dup_cos = [r.cos for r in pair_df.collect()]
+        ids = sorted(rows)
+        rand_cos = []
+        for i in range(0, 40, 2):
+            va, vb = rows[ids[i]], rows[ids[i + 37 % len(ids)]]
+            rand_cos.append(sum(x * y for x, y in zip(va, vb)))
+        assert min(dup_cos) > sum(rand_cos) / len(rand_cos)
