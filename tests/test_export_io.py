@@ -108,3 +108,41 @@ def test_progress_listener_counts(spark, tmp_path):
         spark.streams.removeListener(listener)
     assert listener.total() == len(ENVELOPES)
     assert hits and hits[-1] == len(ENVELOPES)  # fired at the 10s-analog cadence
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
+    """S9 as a real connector: write events to embedded Derby (driver jar
+    ships with Spark) and read back with the partition-column quartet —
+    the read plans N partition scans, not one connection."""
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+    from social_media_sentiment_analysis_spark.sources.export import (
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "value")
+              .limit(200))
+    write_jdbc(events, url, "events_t", mode="overwrite",
+               driver="org.apache.derby.jdbc.EmbeddedDriver")
+
+    back = read_jdbc(
+        spark, url, "events_t",
+        partition_column="event_id", lower_bound=0, upper_bound=10_000,
+        num_partitions=4, driver="org.apache.derby.jdbc.EmbeddedDriver")
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == events.count()
+    a = events.agg(F.sum("value").alias("s")).first().s
+    b = back.agg(F.sum("value").alias("s")).first().s
+    assert abs(a - b) < 1e-9
+
+    # predicate pushdown: the filter reaches the remote SQL, not Spark
+    filtered = read_jdbc(
+        spark, url, "events_t",
+        driver="org.apache.derby.jdbc.EmbeddedDriver").filter("user_id < 50")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "pushedFilters" in plan.lower()
+    assert filtered.count() == events.filter("user_id < 50").count()
