@@ -717,3 +717,45 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vectors.l2_norm(F.col("emb")), 4).alias("norm"),
         nonzero.alias("nonzero_dims"),
     ).orderBy("doc_id")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal: fraction of duplicated word 3-grams
+    per document (1 − distinct/total shingles) — high values mark boilerplate
+    and degenerate generations. Map-side only: tokens staged once, no
+    shuffle until the presentation sort."""
+    from ..functions.text import shingles_from_tokens
+
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("cleaned_text")).alias("toks"))
+    sh = toked.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), _SHINGLE_K).alias("sh"))
+    n_total = F.size(F.col("sh"))
+    n_distinct = F.size(F.array_distinct(F.col("sh")))
+    return sh.select(
+        "doc_id",
+        n_total.cast("long").alias("n_shingles"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - n_distinct / F.greatest(n_total, F.lit(1)), 4)
+         .alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+ORACLE_REPETITION = _SQL_JACCARD_PAIRS.split(", blocked AS")[0] + f"""
+, sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) < {_SHINGLE_K}
+                THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+{_SHINGLE_K}-1], ' ')
+                      for i in range(1, len(toks) - {_SHINGLE_K} + 2)]
+           END AS sh
+    FROM toked
+)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(sh)) / greatest(len(sh), 1), 4)
+           AS repetition_ratio
+FROM sh
+ORDER BY doc_id
+"""

@@ -173,6 +173,9 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    Query("repetition", llmdata.q_repetition,
+          llmdata.ORACLE_REPETITION,
+          "repetition-ratio quality signal: duplicated-shingle fraction"),
     Query("embed_documents", llmdata.q_embed_documents, None,
           "hashing-trick embedding generation, pure Column (rows-only; "
           "determinism + near-dup separation in tests)"),
