@@ -105,6 +105,9 @@ _ALL: list[Query] = [
     Query("customer_spend_quartiles", windowed.q_customer_spend_quartiles,
           windowed.ORACLE_CUSTOMER_SPEND_QUARTILES,
           "window: ntile quartiles + percent_rank over per-customer spend"),
+    Query("above_avg_orders", windowed.q_above_avg_orders,
+          windowed.ORACLE_ABOVE_AVG_ORDERS,
+          "correlated-subquery pattern via window: one scan, one shuffle"),
     Query("type_share", windowed.q_type_share,
           windowed.ORACLE_TYPE_SHARE,
           "window-over-aggregate: share-of-total without a second scan"),

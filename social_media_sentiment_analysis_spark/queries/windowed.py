@@ -234,3 +234,49 @@ SELECT event_type, n_events, type_value,
 FROM agg
 ORDER BY n_events DESC, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery pattern: rows above their own group's average.
+# ---------------------------------------------------------------------------
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average order value — the
+    classic correlated scalar subquery, expressed as a window aggregate so
+    the fact table is scanned ONCE and shuffled once on the key (the
+    correlated-subquery formulation would self-join: two scans, two
+    shuffles)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    # avg as round(sum,4)/count: the rounded sum is the same double in both
+    # engines (accumulation-order noise is below 1e-4), so the division —
+    # and therefore the > comparison — is bit-identical cross-engine,
+    # unlike AVG whose unrounded result can straddle a rounding boundary
+    cust_avg = (F.round(F.sum("o_totalprice").over(w), 4)
+                / F.count(F.lit(1)).over(w))
+    return (
+        orders.withColumn("cust_avg_raw", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg_raw"))
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                # no final round: the division of the rounded sum by the
+                # count is already bit-identical cross-engine, while
+                # round() on an exact-half double is not (decimal-string
+                # vs binary rounding)
+                F.col("cust_avg_raw").alias("cust_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_ABOVE_AVG_ORDERS = """
+WITH enriched AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           round(SUM(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg_raw
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       cust_avg_raw AS cust_avg
+FROM enriched
+WHERE o_totalprice > cust_avg_raw
+ORDER BY o_custkey, o_orderkey
+"""
