@@ -74,6 +74,10 @@ _ALL: list[Query] = [
     Query("pricing_summary", star.q_pricing_summary,
           star.ORACLE_PRICING_SUMMARY,
           "TPC-H Q1 shape: filtered scan + partial/final hash agg"),
+    Query("nation_brand_profit", star.q_nation_brand_profit,
+          star.ORACLE_NATION_BRAND_PROFIT,
+          "TPC-H Q9 shape: part/supplier/nation star around lineitem, "
+          "filtered broadcast dims"),
     Query("priority_lineitem_revenue", star.q_priority_lineitem_revenue,
           star.ORACLE_PRIORITY_LINEITEM_REVENUE,
           "fact-to-fact shuffled join (lineitem ⋈ orders) + agg"),

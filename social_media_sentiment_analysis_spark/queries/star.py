@@ -326,3 +326,55 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 flavor: profit contribution by supplier nation × brand.
+# ---------------------------------------------------------------------------
+
+def q_nation_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMO-part profit proxy per (supplier nation, part brand): the
+    full-star shape touching every dimension of the testdata (part,
+    supplier, nation) around the lineitem fact. The p_type filter prunes
+    the broadcast part dim before the join; lineitem is pre-projected to
+    4 columns so the (only) exchange is the final aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("revenue"),
+        (F.col("l_quantity") * F.col("l_tax")).alias("tax_qty"))
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "PROMO")
+            .select("p_partkey", "p_brand"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation),
+              supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("revenue"), 4).alias("revenue"),
+            F.round(F.sum("tax_qty"), 4).alias("tax_quantity"),
+        )
+        .orderBy("n_name", "p_brand")
+    )
+
+
+ORACLE_NATION_BRAND_PROFIT = """
+SELECT n_name, p_brand,
+       COUNT(*) AS n_lineitems,
+       round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       round(SUM(l_quantity * l_tax), 4) AS tax_quantity
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, p_brand
+ORDER BY n_name, p_brand
+"""
