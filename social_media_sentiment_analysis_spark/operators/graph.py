@@ -125,3 +125,55 @@ def connected_components(
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     return members.union(roots)
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 10, damping: float = 0.85) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank), Σrank = n.
+
+    The iterative-numeric class of distributed algorithm (vs the
+    contraction class of ``connected_components``): each round is one
+    groupBy over the join of ranks with the out-degree-weighted edges.
+    Dangling nodes' mass is redistributed uniformly each round, keeping
+    total rank conserved (the standard correction).
+
+    Same plan hygiene as connected_components: each round ends in an eager
+    ``localCheckpoint`` so the lineage (and the optimizer's input) stays
+    one-round deep — without it, round k re-analyzes a k-deep plan and the
+    job dies of planning time long before data size matters. On a cluster
+    use ``checkpoint`` on durable storage for fault tolerance instead.
+    """
+    from pyspark.sql import functions as F
+
+    out = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (out.select(F.col("u").alias("node"))
+             .union(out.select("v")).distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    degree = out.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    links = out.join(degree, "u").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            links.join(ranks, links.u == ranks.node)
+            .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v").agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(degree, ranks.node == degree.u, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.v, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (F.lit(1.0 - damping)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.col("d") / F.lit(float(n)))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -759,3 +759,23 @@ SELECT doc_id,
 FROM sh
 ORDER BY doc_id
 """
+
+
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph (edges both ways:
+    similarity is symmetric) — ranks the 'template' documents that many
+    near-copies orbit. The iterative-numeric operator class
+    (operators/graph.py::pagerank, localCheckpoint-per-round); rows-only:
+    fixed-point float iteration has no SQL twin (analytic cases pinned in
+    tests/test_graph.py)."""
+    from ..operators.graph import pagerank
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("a_id").alias("src"),
+                          F.col("b_id").alias("dst"))
+             .union(pairs.select(F.col("b_id"), F.col("a_id"))))
+    return (
+        pagerank(edges, iterations=10)
+        .select("node", F.round("rank", 4).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+    )

@@ -180,6 +180,9 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
+    Query("doc_pagerank", llmdata.q_doc_pagerank, None,
+          "PageRank over the near-dup graph (iterative, checkpointed "
+          "rounds; rows-only, analytic cases in tests)"),
     Query("repetition", llmdata.q_repetition,
           llmdata.ORACLE_REPETITION,
           "repetition-ratio quality signal: duplicated-shingle fraction"),

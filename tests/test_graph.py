@@ -73,3 +73,28 @@ def test_empty_edges(spark):
 def test_matches_union_find(spark, edges):
     expect = union_find_labels([(u, v) for u, v in edges if u != v])
     assert spark_labels(spark, edges) == expect
+
+
+class TestPageRank:
+    def test_star_graph_center_dominates_and_mass_conserved(self, spark):
+        from social_media_sentiment_analysis_spark.operators.graph import (
+            pagerank,
+        )
+        # 5 leaves all pointing at node 0 (a sink: dangling node)
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 6)], "src long, dst long")
+        ranks = {r.node: r.rank for r in pagerank(edges, iterations=20).collect()}
+        assert len(ranks) == 6
+        assert abs(sum(ranks.values()) - 6.0) < 1e-6        # mass conserved
+        assert ranks[0] == max(ranks.values())
+        leaf = [v for k, v in ranks.items() if k != 0]
+        assert max(leaf) - min(leaf) < 1e-9                 # symmetry
+
+    def test_cycle_is_uniform(self, spark):
+        from social_media_sentiment_analysis_spark.operators.graph import (
+            pagerank,
+        )
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 4) for i in range(4)], "src long, dst long")
+        ranks = [r.rank for r in pagerank(edges, iterations=15).collect()]
+        assert all(abs(r - 1.0) < 1e-9 for r in ranks)

@@ -90,3 +90,47 @@ def test_asof_join_matches_reference(spark, left_rows, right_rows):
         (r.k, r.t, r.rv)
         for r in as_of_join(left, right, "k", "t", "rt").collect())
     assert got == asof_reference(left_rows, right_vals)
+
+
+def _interval_reference(points, intervals):
+    out = []
+    for pid, (pk, pt) in enumerate(points):
+        for iid, (ik, s, ln) in enumerate(intervals):
+            if pk == ik and s <= pt <= s + ln:
+                out.append((pid, iid))
+    return sorted(out)
+
+
+@pytest.mark.slow
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000)),
+             min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000),
+                       st.integers(0, 900)),
+             min_size=1, max_size=8),
+    st.sampled_from([60, 301, 3600]),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_reference(spark, points, intervals, width):
+    from social_media_sentiment_analysis_spark.operators.temporal import (
+        interval_join,
+    )
+
+    mk_ts = "timestampadd(SECOND, {c}, TIMESTAMP_NTZ '2024-01-01')"
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)],
+        "pid long, k long, t long",
+    ).select("pid", "k", F.expr(mk_ts.format(c="t")).alias("pts"))
+    right = spark.createDataFrame(
+        [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(intervals)],
+        "iid long, k long, s long, e long",
+    ).select("iid", "k",
+             F.expr(mk_ts.format(c="s")).alias("istart"),
+             F.expr(mk_ts.format(c="e")).alias("iend"))
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            left, right, left_ts="pts", right_start="istart",
+            right_end="iend", keys=("k",), bucket_seconds=width)
+        .select("pid", "iid").collect())
+    assert got == _interval_reference(points, intervals)
