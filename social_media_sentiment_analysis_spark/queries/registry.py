@@ -137,6 +137,9 @@ _ALL: list[Query] = [
     Query("stats_profile", shaping.q_stats_profile,
           shaping.ORACLE_STATS_PROFILE,
           "statistical aggregates: stddev/var/corr/covar/count_if/max_by"),
+    Query("integrity_audit", shaping.q_integrity_audit,
+          shaping.ORACLE_INTEGRITY_AUDIT,
+          "data-quality audit: orphan FKs, duplicate keys, nulls"),
     Query("word_frequency", shaping.q_word_frequency,
           shaping.ORACLE_WORD_FREQUENCY,
           "explode/unnest: top-20 word counts over English documents"),

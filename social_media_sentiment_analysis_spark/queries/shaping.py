@@ -340,3 +340,79 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint audit (expectations-as-a-query).
+# ---------------------------------------------------------------------------
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the star schema: referential integrity
+    (orphan foreign keys via anti join), key uniqueness, and null checks —
+    one row per check with violation and total counts. The
+    expectations-on-every-load pattern (Deequ-style) as a plain query;
+    each check is a single pruned-column pass over its table, unioned into
+    one result."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, violations, total):
+        return (violations.crossJoin(total) if violations is not total
+                else violations).select(
+            F.lit(name).alias("check"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("total").cast("long").alias("total"))
+
+    orphan_orders = check(
+        "orders_orphan_custkey",
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations")),
+        orders.agg(F.count(F.lit(1)).alias("total")))
+    orphan_lineitems = check(
+        "lineitem_orphan_orderkey",
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
+                      "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations")),
+        lineitem.agg(F.count(F.lit(1)).alias("total")))
+    dup_docs = check(
+        "documents_duplicate_doc_id",
+        documents.agg((F.count(F.lit(1))
+                       - F.countDistinct("doc_id")).alias("violations")),
+        documents.agg(F.count(F.lit(1)).alias("total")))
+    null_users = check(
+        "events_null_user_id",
+        events.agg(F.count_if(F.col("user_id").isNull()).alias("violations")),
+        events.agg(F.count(F.lit(1)).alias("total")))
+    return (
+        orphan_orders.unionByName(orphan_lineitems)
+        .unionByName(dup_docs).unionByName(null_users)
+        .orderBy("check")
+    )
+
+
+ORACLE_INTEGRITY_AUDIT = """
+SELECT 'orders_orphan_custkey' AS check,
+       (SELECT COUNT(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o_custkey)) AS violations,
+       (SELECT COUNT(*) FROM orders) AS total
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'documents_duplicate_doc_id',
+       (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents),
+       (SELECT COUNT(*) FROM documents)
+UNION ALL
+SELECT 'events_null_user_id',
+       (SELECT COUNT(*) FILTER (WHERE user_id IS NULL) FROM events),
+       (SELECT COUNT(*) FROM events)
+ORDER BY "check"
+"""
