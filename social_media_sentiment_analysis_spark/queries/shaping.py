@@ -359,34 +359,37 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     documents = load_table(spark, sf_dir, "documents")
 
-    def check(name: str, violations, total):
-        return (violations.crossJoin(total) if violations is not total
-                else violations).select(
+    def check(name: str, agg_df):
+        return agg_df.select(
             F.lit(name).alias("check"),
             F.col("violations").cast("long").alias("violations"),
             F.col("total").cast("long").alias("total"))
 
+    # orphan checks as left join + count_if: violations AND total in the
+    # same single-pass aggregate (an anti-join would need a second scan —
+    # or a cartesian of two 1-row aggregates — for the total)
     orphan_orders = check(
         "orders_orphan_custkey",
         orders.join(F.broadcast(customer),
-                    orders.o_custkey == customer.c_custkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("violations")),
-        orders.agg(F.count(F.lit(1)).alias("total")))
+                    orders.o_custkey == customer.c_custkey, "left")
+        .agg(F.count_if(F.col("c_custkey").isNull()).alias("violations"),
+             F.count(F.lit(1)).alias("total")))
     orphan_lineitems = check(
         "lineitem_orphan_orderkey",
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
-                      "left_anti")
-        .agg(F.count(F.lit(1)).alias("violations")),
-        lineitem.agg(F.count(F.lit(1)).alias("total")))
+        lineitem.join(orders.select("o_orderkey"),
+                      lineitem.l_orderkey == orders.o_orderkey, "left")
+        .agg(F.count_if(F.col("o_orderkey").isNull()).alias("violations"),
+             F.count(F.lit(1)).alias("total")))
     dup_docs = check(
         "documents_duplicate_doc_id",
-        documents.agg((F.count(F.lit(1))
-                       - F.countDistinct("doc_id")).alias("violations")),
-        documents.agg(F.count(F.lit(1)).alias("total")))
+        documents.agg(
+            (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+            .alias("violations"),
+            F.count(F.lit(1)).alias("total")))
     null_users = check(
         "events_null_user_id",
-        events.agg(F.count_if(F.col("user_id").isNull()).alias("violations")),
-        events.agg(F.count(F.lit(1)).alias("total")))
+        events.agg(F.count_if(F.col("user_id").isNull()).alias("violations"),
+                   F.count(F.lit(1)).alias("total")))
     return (
         orphan_orders.unionByName(orphan_lineitems)
         .unionByName(dup_docs).unionByName(null_users)
