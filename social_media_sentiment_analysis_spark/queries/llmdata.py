@@ -779,3 +779,78 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("rank", 4).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
     )
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing: down-sample every source to the smallest
+    source's token budget, deterministically. The corpus-mixing stage — mix
+    weights decided from the data, membership a pure function of doc_id.
+
+    Gate: uniform u = int(md5[0:8])/2^32 < rate, rate = min_source_tokens /
+    source_tokens — both sides compute rate from the same integer token
+    sums and u from the same hex digits, so the kept set is engine-exact.
+    Two passes over a 2-column projection (totals, then gated re-agg) with
+    the tiny per-source totals broadcast back — at 100 TB the totals pass
+    is a column-pruned scan, and the broadcast is O(#sources)."""
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.when(F.col("cleaned_text") == "", F.lit(0))
+         .otherwise(F.size(tokens(F.col("cleaned_text"))))
+         .cast("long").alias("n_tok"))
+    totals = toked.groupBy("source").agg(
+        F.sum("n_tok").alias("source_tokens"))
+    min_tokens = totals.agg(
+        F.min("source_tokens").alias("min_tokens"))
+    rates = (totals.join(F.broadcast(min_tokens))
+             .select("source",
+                     "source_tokens",
+                     (F.col("min_tokens").cast("double")
+                      / F.col("source_tokens")).alias("rate")))
+    u = (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("double") / F.lit(4294967296.0))
+    kept = (toked.join(F.broadcast(rates), "source")
+            .withColumn("u", u)
+            .filter(F.col("u") < F.col("rate")))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+            F.round(F.min("rate"), 6).alias("target_rate"),
+        )
+        .join(totals, "source")
+        .select("source", "source_tokens", "kept_docs", "kept_tokens",
+                "target_rate")
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_MIX = _SQL_DOCS + """
+, toked AS (
+    SELECT doc_id, source,
+           CASE WHEN cleaned_text = '' THEN 0
+                ELSE len(string_split(cleaned_text, ' ')) END AS n_tok
+    FROM docs
+), totals AS (
+    SELECT source, SUM(n_tok) AS source_tokens FROM toked GROUP BY source
+), rates AS (
+    SELECT source, source_tokens,
+           CAST((SELECT MIN(source_tokens) FROM totals) AS DOUBLE)
+               / source_tokens AS rate
+    FROM totals
+), kept AS (
+    SELECT t.*, r.rate
+    FROM toked t JOIN rates r USING (source)
+    WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS DOUBLE) / 4294967296.0 < r.rate
+)
+SELECT k.source,
+       CAST(r.source_tokens AS BIGINT) AS source_tokens,
+       COUNT(*) AS kept_docs,
+       CAST(SUM(k.n_tok) AS BIGINT) AS kept_tokens,
+       round(MIN(k.rate), 6) AS target_rate
+FROM kept k JOIN rates r USING (source)
+GROUP BY k.source, r.source_tokens
+ORDER BY k.source
+"""

@@ -198,6 +198,10 @@ _ALL: list[Query] = [
     Query("stratified_sample", llmdata.q_stratified_sample,
           llmdata.ORACLE_STRATIFIED_SAMPLE,
           "deterministic md5-gated stratified sampling, per-source rates"),
+    Query("source_mix", llmdata.q_source_mix,
+          llmdata.ORACLE_SOURCE_MIX,
+          "token-budget source mixing: computed rates, md5-gated, "
+          "engine-exact membership"),
     Query("chunk_documents", llmdata.q_chunk_documents,
           llmdata.ORACLE_CHUNK_DOCUMENTS,
           "sequence chunking: 50-token windows, one row per chunk, "
