@@ -230,6 +230,13 @@ _ALL: list[Query] = [
     Query("sessionization", temporal.q_sessionization,
           temporal.ORACLE_SESSIONIZATION,
           "per-key session_window rollup (30-min gap)"),
+    Query("session_funnel", temporal.q_session_funnel,
+          temporal.ORACLE_SESSION_FUNNEL,
+          "ordered-sequence funnel: view→click→purchase via first-event "
+          "timestamps, one pass"),
+    Query("retention_cohorts", temporal.q_retention_cohorts,
+          temporal.ORACLE_RETENTION_COHORTS,
+          "weekly retention matrix: cohort stamp via window, no self-joins"),
     Query("error_impact", temporal.q_error_impact,
           temporal.ORACLE_ERROR_IMPACT,
           "range join: views in the 10 min after a same-user error "

@@ -228,3 +228,105 @@ FROM spine s
 LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
 ORDER BY s.event_type, s.hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered-sequence funnel within a session window.
+# ---------------------------------------------------------------------------
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: how many users have a view, a
+    view→click in order, and a view→click→purchase in order (first
+    occurrences must be strictly later at each step). Sequence-pattern
+    analytics as conditional aggregates over first-event timestamps — one
+    groupBy(user) pass, no joins, no per-user iteration."""
+    events = load_table(spark, sf_dir, "events")
+    first_of = {
+        t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+        for t in ("view", "click", "purchase")
+    }
+    per_user = events.groupBy("user_id").agg(
+        first_of["view"].alias("t_view"),
+        first_of["click"].alias("t_click"),
+        first_of["purchase"].alias("t_purchase"),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & F.col("t_click").isNotNull() \
+        & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & F.col("t_purchase").isNotNull() \
+        & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count_if(stage1).alias("viewed"),
+        F.count_if(stage2).alias("then_clicked"),
+        F.count_if(stage3).alias("then_purchased"),
+    )
+
+
+ORACLE_SESSION_FUNNEL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (t_view IS NOT NULL) AS viewed,
+       COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+           AS then_clicked,
+       COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                        AND t_purchase > t_click) AS then_purchased
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts.
+# ---------------------------------------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, with the count
+    still active 1 and 2 weeks later. One window pass stamps each user's
+    cohort; conditional aggregates count week offsets — the standard
+    retention matrix without self-joins."""
+    events = load_table(spark, sf_dir, "events")
+    user_weeks = (
+        events.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("week"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    stamped = user_weeks.withColumn("cohort", F.min("week").over(w))
+    offset = F.datediff(F.col("week"), F.col("cohort")) / 7
+    return (
+        stamped.groupBy("cohort")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_users"),
+            F.countDistinct(F.when(offset == 1, F.col("user_id")))
+             .alias("active_week1"),
+            F.countDistinct(F.when(offset == 2, F.col("user_id")))
+             .alias("active_week2"),
+        )
+        .orderBy("cohort")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH user_weeks AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), stamped AS (
+    SELECT user_id, week,
+           MIN(week) OVER (PARTITION BY user_id) AS cohort
+    FROM user_weeks
+)
+SELECT cohort,
+       COUNT(DISTINCT user_id) AS cohort_users,
+       COUNT(DISTINCT CASE WHEN date_diff('day', cohort, week) / 7 = 1
+                           THEN user_id END) AS active_week1,
+       COUNT(DISTINCT CASE WHEN date_diff('day', cohort, week) / 7 = 2
+                           THEN user_id END) AS active_week2
+FROM stamped
+GROUP BY cohort
+ORDER BY cohort
+"""
