@@ -137,6 +137,12 @@ _ALL: list[Query] = [
     Query("stats_profile", shaping.q_stats_profile,
           shaping.ORACLE_STATS_PROFILE,
           "statistical aggregates: stddev/var/corr/covar/count_if/max_by"),
+    Query("value_histogram", shaping.q_value_histogram,
+          shaping.ORACLE_VALUE_HISTOGRAM,
+          "fixed-bin histogram: floor binning + one hash aggregate"),
+    Query("winsorized_stats", shaping.q_winsorized_stats,
+          shaping.ORACLE_WINSORIZED_STATS,
+          "winsorized mean: exact p05/p95 clamp, broadcast bounds"),
     Query("integrity_audit", shaping.q_integrity_audit,
           shaping.ORACLE_INTEGRITY_AUDIT,
           "data-quality audit: orphan FKs, duplicate keys, nulls"),

@@ -419,3 +419,85 @@ SELECT 'events_null_user_id',
        (SELECT COUNT(*) FROM events)
 ORDER BY "check"
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram.
+# ---------------------------------------------------------------------------
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-value histogram: fixed width-10 bins per event type — binning
+    as floor arithmetic (map-side) + one hash aggregate; the distributed
+    histogram primitive."""
+    events = load_table(spark, sf_dir, "events")
+    bin_lo = F.floor(F.col("value") / F.lit(10.0)) * 10
+    return (
+        events.groupBy("event_type", bin_lo.cast("long").alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "bin_lo")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(FLOOR(value / 10.0) * 10 AS BIGINT) AS bin_lo,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bin_lo
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (outlier-robust preprocessing).
+# ---------------------------------------------------------------------------
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values into [p05, p95]
+    (computed exactly per group) and re-aggregate — the outlier-capping
+    stage of a feature pipeline. Two passes over a 2-column projection:
+    percentile aggregate, broadcast the tiny per-group bounds back, clamp
+    with least/greatest (map-side), final aggregate."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"))
+    clamped = (
+        events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+             .alias("v"))
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("v"), 4).alias("winsorized_mean"),
+            F.round(F.min("v"), 4).alias("winsorized_min"),
+            F.round(F.max("v"), 4).alias("winsorized_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WINSORIZED_STATS = """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+), clamped AS (
+    SELECT e.event_type,
+           LEAST(GREATEST(e.value, b.p05), b.p95) AS v
+    FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(AVG(v), 4) AS winsorized_mean,
+       round(MIN(v), 4) AS winsorized_min,
+       round(MAX(v), 4) AS winsorized_max
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
