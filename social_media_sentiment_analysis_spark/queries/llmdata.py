@@ -797,15 +797,17 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cleaned_text") == "", F.lit(0))
          .otherwise(F.size(tokens(F.col("cleaned_text"))))
          .cast("long").alias("n_tok"))
+    from pyspark.sql import Window
+
     totals = toked.groupBy("source").agg(
         F.sum("n_tok").alias("source_tokens"))
-    min_tokens = totals.agg(
-        F.min("source_tokens").alias("min_tokens"))
-    rates = (totals.join(F.broadcast(min_tokens))
-             .select("source",
-                     "source_tokens",
-                     (F.col("min_tokens").cast("double")
-                      / F.col("source_tokens")).alias("rate")))
+    # global min via window over the already-aggregated totals (one row per
+    # source — the unpartitioned window runs on a #sources-row frame, not
+    # the fact table, and avoids a 1-row cross join)
+    min_tokens = F.min("source_tokens").over(Window.partitionBy())
+    rates = totals.select(
+        "source", "source_tokens",
+        (min_tokens.cast("double") / F.col("source_tokens")).alias("rate"))
     u = (F.conv(F.substring(
             F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
          .cast("double") / F.lit(4294967296.0))

@@ -169,3 +169,17 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *,
         ),
         "inner",
     )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, *,
+                    stream_key: str, dim_key: str,
+                    how: str = "left") -> DataFrame:
+    """Stream-static join: enrich a stream with a (slowly-changing)
+    dimension table. Spark re-plans the static side per micro-batch, so a
+    dim refreshed in place (overwritten parquet / table) is picked up on
+    the next trigger without restarting the query; the dim broadcasts when
+    small, and no streaming state is created (unlike stream-stream joins).
+    This is J1's production shape: author/user metadata maintained by a
+    separate job, joined onto the live stream."""
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how)

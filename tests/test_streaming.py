@@ -201,3 +201,29 @@ def test_stream_interval_join(spark, tmp_path_factory):
     rows = {(r.tweet_id, r.like_delta)
             for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert rows == {("t1", 3), ("t2", 1)}
+
+
+def test_stream_static_dim_join(spark, tmp_path_factory):
+    """Stream-static enrichment: dim rows match by key; stream rows without
+    a dim row survive with nulls (left join), and no state store is used."""
+    from social_media_sentiment_analysis_spark.streaming.pipeline import (
+        enrich_with_dim,
+    )
+
+    d = tmp_path_factory.mktemp("ssd")
+    with open(d / "s.jsonl", "w") as f:
+        f.write(json.dumps({"user_id": 1, "v": 10}) + "\n")
+        f.write(json.dumps({"user_id": 2, "v": 20}) + "\n")
+        f.write(json.dumps({"user_id": 9, "v": 90}) + "\n")
+    dim = spark.createDataFrame(
+        [(1, "GOLD"), (2, "SILVER")], "c_id long, tier string")
+    stream = (spark.readStream.schema("user_id long, v long")
+              .json(str(d)))
+    joined = enrich_with_dim(stream, dim, stream_key="user_id",
+                             dim_key="c_id")
+    name = f"ssd_{uuid.uuid4().hex[:8]}"
+    q = _mem_query(joined.select("user_id", "v", "tier"), name)
+    q.awaitTermination(120)
+    rows = {(r.user_id, r.tier) for r in spark.table(name).collect()}
+    assert rows == {(1, "GOLD"), (2, "SILVER"), (9, None)}
+    assert q.lastProgress is None or not q.lastProgress.get("stateOperators")
