@@ -44,11 +44,15 @@ def hashed_embedding(toks: Column, dim: int = 16) -> Column:
     neural encoder slots into the same column contract as an Arrow-batched
     pandas UDF (model per executor), changing no downstream operator.
     """
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.size(F.filter(
-            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)) == i
-        )).cast("double"),
+    # hash each token ONCE (bucket array), then fold the buckets into a
+    # dim-sized count array — the per-dimension-filter formulation would
+    # recompute xxhash64 per (token, dimension) pair, dim× the hashing work
+    buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+    counts = F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.transform(
+            acc, lambda x, i: F.when(i == b, x + 1.0).otherwise(x)),
     )
     norm = F.sqrt(F.aggregate(
         counts, F.lit(0.0), lambda acc, x: acc + x * x))
