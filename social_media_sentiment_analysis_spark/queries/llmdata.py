@@ -856,3 +856,77 @@ FROM kept k JOIN rates r USING (source)
 GROUP BY k.source, r.source_tokens
 ORDER BY k.source
 """
+
+
+_MIN_DOC_TOKENS = 10
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: an end-to-end curation pipeline as ONE declarative
+    plan — language filter → length gate → exact dedup (keep-first per
+    content fingerprint) → 50-token sequence chunking → per-source corpus
+    rollup. Exactly two shuffles at any data size: the dedup window on the
+    fingerprint and the final per-source aggregate; filtering and chunking
+    are map-side. This is the composition story: every stage is the same
+    Column algebra the standalone queries use, so the fused pipeline needs
+    no materialization between stages."""
+    from pyspark.sql import Window
+
+    toked = (
+        _docs(spark, sf_dir)
+        .filter((F.col("lang") == "en") & (F.col("cleaned_text") != ""))
+        .select("doc_id", "source", "cleaned_text",
+                tokens(F.col("cleaned_text")).alias("toks"))
+        .filter(F.size("toks") >= _MIN_DOC_TOKENS)
+    )
+    w = Window.partitionBy(F.md5(F.col("cleaned_text"))).orderBy("doc_id")
+    keepers = (toked.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    n = F.size("toks")
+    chunks = F.transform(
+        F.sequence(F.lit(0),
+                   F.floor((n - F.lit(1)) / F.lit(_CHUNK_TOKENS))),
+        lambda i: F.slice(F.col("toks"), i * _CHUNK_TOKENS + 1,
+                          _CHUNK_TOKENS))
+    chunked = keepers.select(
+        "source", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return (
+        chunked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.size("chunk")).cast("bigint").alias("total_tokens"),
+            F.count_if(F.col("chunk_id") == 0).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATION_PIPELINE = _SQL_DOCS + f"""
+, toked AS (
+    SELECT doc_id, source, cleaned_text,
+           string_split(cleaned_text, ' ') AS toks
+    FROM docs
+    WHERE lang = 'en' AND cleaned_text <> ''
+      AND len(string_split(cleaned_text, ' ')) >= {_MIN_DOC_TOKENS}
+), keepers AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(cleaned_text) ORDER BY doc_id) AS rn
+        FROM toked)
+    WHERE rn = 1
+), chunked AS (
+    SELECT source, i AS chunk_id,
+           toks[(i * {_CHUNK_TOKENS} + 1):((i + 1) * {_CHUNK_TOKENS})] AS chunk
+    FROM keepers,
+         LATERAL unnest(range(0,
+             CAST(floor((len(toks) - 1) / {_CHUNK_TOKENS}) AS BIGINT) + 1))
+         AS t(i)
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(len(chunk)) AS BIGINT) AS total_tokens,
+       COUNT(*) FILTER (chunk_id = 0) AS n_docs
+FROM chunked
+GROUP BY source
+ORDER BY source
+"""

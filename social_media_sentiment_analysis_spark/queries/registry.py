@@ -212,6 +212,10 @@ _ALL: list[Query] = [
           llmdata.ORACLE_CHUNK_DOCUMENTS,
           "sequence chunking: 50-token windows, one row per chunk, "
           "map-side only (zero shuffles)"),
+    Query("curation_pipeline", llmdata.q_curation_pipeline,
+          llmdata.ORACLE_CURATION_PIPELINE,
+          "capstone: filter→dedup→chunk→rollup fused into one plan, "
+          "two shuffles total"),
     Query("curation_funnel", llmdata.q_curation_funnel,
           llmdata.ORACLE_CURATION_FUNNEL,
           "curation funnel: raw → lang → quality → dedup stage counts and "
