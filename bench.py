@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "priority_lineitem_revenue",
     "dedup_exact",
     "curation_funnel",
+    "curation_pipeline",
     "contamination",
     "knn_bruteforce",
     "asof_latest_order",
