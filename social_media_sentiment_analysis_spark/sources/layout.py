@@ -15,6 +15,7 @@ lives in the metastore, not the files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str,
@@ -42,3 +43,19 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_range_sorted(df: DataFrame, path: str, sort_col: str,
+                       n_files: int = 8) -> None:
+    """Write parquet clustered on ``sort_col``: range-repartition into
+    ``n_files`` disjoint key ranges, sort within each, write one file per
+    range. Result: every file's parquet min/max footer covers a disjoint
+    slice of the key space, so a point or range filter on ``sort_col``
+    skips all but the relevant files/row-groups — the poor man's Z-order,
+    and the single highest-leverage layout decision for selective scans
+    at 100 TB."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite").parquet(path)
+    )

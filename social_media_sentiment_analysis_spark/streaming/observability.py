@@ -41,3 +41,21 @@ class ProgressCounter(StreamingQueryListener):
 
     def total(self) -> int:
         return sum(self.totals.values())
+
+
+def observed(df, name: str, *metrics):
+    """Attach named inline metrics to a batch plan via ``Observation`` —
+    row counts / sums computed DURING the action, no second pass over the
+    data (the production alternative to calling ``.count()`` again for
+    monitoring). Returns (df, observation); read ``observation.get`` after
+    an action completes.
+
+    Default metrics: row count. Pass extra aggregate Columns to track
+    e.g. null counts or value sums alongside.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    cols = list(metrics) or []
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"), *cols), obs

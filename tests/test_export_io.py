@@ -146,3 +146,28 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "pushedFilters" in plan.lower()
     assert filtered.count() == events.filter("user_id < 50").count()
+
+
+def test_observed_metrics_single_pass(spark, sf_dir):
+    """observe(): metrics ride the action itself — no second job."""
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+    from social_media_sentiment_analysis_spark.streaming.observability import (
+        observed,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    df, obs = observed(
+        events.filter(F.col("event_type") == "purchase"),
+        "purchases",
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count_if(F.col("user_id").isNull()).alias("null_users"),
+    )
+    collected = df.count()
+    got = obs.get
+    assert got["rows"] == collected
+    assert got["null_users"] == 0
+    expected = events.filter("event_type = 'purchase'") \
+        .agg(F.round(F.sum("value"), 4)).first()[0]
+    assert got["total_value"] == expected

@@ -58,3 +58,41 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        str(64 * 1024 * 1024))
+
+
+def test_range_sorted_files_have_disjoint_minmax(spark, sf_dir, tmp_path):
+    """write_range_sorted: each output file's parquet footer min/max covers
+    a disjoint key slice (verified via pyarrow metadata), so selective
+    filters skip files instead of scanning them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        write_range_sorted,
+    )
+
+    out = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    write_range_sorted(orders, out, "o_orderkey", n_files=4)
+
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    col_idx = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if col_idx is None:
+            col_idx = [md.schema.column(i).name
+                       for i in range(md.num_columns)].index("o_orderkey")
+        lo = min(md.row_group(g).column(col_idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col_idx).statistics.max
+                 for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+    # roundtrip preserves rows
+    assert spark.read.parquet(out).count() == orders.count()
