@@ -251,8 +251,44 @@ def simhash_features(text_col: Column, shingle_k: int = 3) -> Column:
     return F.transform(feats, lambda t: F.xxhash64(t))
 
 
+def simhash_votes(hashes: Column, bits: int = 64) -> Column:
+    """Per-bit sign votes as one array, built in a SINGLE traversal of the
+    feature-hash array (the per-bit-aggregate formulation walks the array
+    ``bits`` times). Stage this as its own column before calling
+    ``simhash_from_votes`` — the packing step references it per bit."""
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.transform(
+            acc,
+            # bit_get takes a Column position (shiftright needs a literal)
+            lambda x, i: x + F.when(F.bit_get(h, i) == 1, 1).otherwise(-1),
+        ),
+    )
+
+
+def simhash_from_votes(votes: Column, bits: int = 64) -> Column:
+    """Pack a staged vote array into the 64-bit fingerprint (bit i set iff
+    votes[i] > 0). ``votes`` MUST be a materialized column, not an inline
+    ``simhash_votes`` expression — each bit references it once, and inlined
+    lambda expressions are not unified by codegen subexpression
+    elimination."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
 def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
-    """Sign-aggregate a precomputed feature-hash array into the simhash."""
+    """Sign-aggregate a precomputed feature-hash array into the simhash.
+
+    Convenience single-expression form: inlines the vote array into every
+    bit, so the hash array is re-traversed per bit. Hot paths should stage
+    ``simhash_votes`` as a column and use ``simhash_from_votes``."""
 
     def bit_vote(i: int) -> Column:
         # token hash bit i set -> +1 else -1; sum over tokens
@@ -284,7 +320,10 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
         simhash_features(F.col(text_col), shingle_k).alias("__h"),
     ).select(
         F.col(id_col),
-        simhash_from_hashes(F.col("__h")).alias("simhash"))
+        simhash_votes(F.col("__h")).alias("__votes"),
+    ).select(
+        F.col(id_col),
+        simhash_from_votes(F.col("__votes")).alias("simhash"))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(

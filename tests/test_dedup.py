@@ -122,3 +122,26 @@ class TestEmbeddingDedup:
         out = dd.embedding_near_duplicates(
             df, "vec", "id", block_col="label", threshold=0.5).collect()
         assert out == []  # identical vectors but different blocks
+
+
+def test_simhash_vote_staging_matches_inline_form(spark, sf_dir):
+    """The staged (single-traversal) simhash must be bit-identical to the
+    per-bit-aggregate convenience form."""
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.operators.dedup import (
+        simhash_features,
+        simhash_from_hashes,
+        simhash_from_votes,
+        simhash_votes,
+    )
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+    docs = (load_table(spark, sf_dir, "documents").limit(50)
+            .select("doc_id", simhash_features(F.col("text")).alias("h")))
+    both = (docs
+            .withColumn("votes", simhash_votes(F.col("h")))
+            .select("doc_id",
+                    simhash_from_votes(F.col("votes")).alias("staged"),
+                    simhash_from_hashes(F.col("h")).alias("inline")))
+    assert both.filter("staged <> inline").count() == 0
