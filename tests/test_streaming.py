@@ -227,3 +227,53 @@ def test_stream_static_dim_join(spark, tmp_path_factory):
     rows = {(r.user_id, r.tier) for r in spark.table(name).collect()}
     assert rows == {(1, "GOLD"), (2, "SILVER"), (9, None)}
     assert q.lastProgress is None or not q.lastProgress.get("stateOperators")
+
+
+def test_streaming_curation_dedups_content_across_batches(
+        spark, tmp_path_factory):
+    """curate_doc_stream: a re-ingested document (same text, new doc_id, in
+    a later micro-batch) produces no chunks; short and non-English docs are
+    gated out; long docs chunk into 50-token windows."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.curation import (
+        curate_doc_stream,
+    )
+
+    d = tmp_path_factory.mktemp("cur_in")
+    long_text = " ".join(f"tok{i}" for i in range(120))   # 120 toks → 3 chunks
+    rows_b1 = [
+        {"doc_id": 1, "text": long_text, "lang": "en", "source": "web",
+         "ts": "2024-01-15T10:00:00"},
+        {"doc_id": 2, "text": "too short", "lang": "en", "source": "web",
+         "ts": "2024-01-15T10:00:00"},
+        {"doc_id": 3, "text": long_text, "lang": "fr", "source": "web",
+         "ts": "2024-01-15T10:00:00"},
+    ]
+    rows_b2 = [   # same content as doc 1, new id, later batch → deduped
+        {"doc_id": 9, "text": long_text, "lang": "en", "source": "crawl",
+         "ts": "2024-01-15T10:30:00"},
+    ]
+    with open(d / "b1.jsonl", "w") as f:
+        for r in rows_b1:
+            f.write(json.dumps(r) + "\n")
+    with open(d / "b2.jsonl", "w") as f:
+        for r in rows_b2:
+            f.write(json.dumps(r) + "\n")
+    _os.utime(d / "b1.jsonl", (1_000_000, 1_000_000))
+    _os.utime(d / "b2.jsonl", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream
+        .schema("doc_id long, text string, lang string, source string, "
+                "ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    name = f"cur_{uuid.uuid4().hex[:8]}"
+    q = _mem_query(curate_doc_stream(stream), name)
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert sorted((r.chunk_id, r.chunk_tokens) for r in out) == [
+        (0, 50), (1, 50), (2, 20)]
