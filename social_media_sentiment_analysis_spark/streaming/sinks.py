@@ -86,3 +86,40 @@ def run_available_now(writer: DataStreamWriter) -> StreamingQuery:
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def upsert_parquet_sink(df: DataFrame, path: str, checkpoint: str,
+                        keys: list[str]) -> DataStreamWriter:
+    """Keyed upsert sink for UPDATE-mode aggregate streams (the streaming
+    materialized view): each micro-batch replaces the target rows whose key
+    it carries and appends the rest, so the table always holds the latest
+    value per key.
+
+    Plain-parquet realization: rewrite = (existing ∖ batch-keys) ∪ batch.
+    With a transactional format this is MERGE WHEN MATCHED UPDATE / NOT
+    MATCHED INSERT, and only touched partitions rewrite; plain parquet
+    rewrites the table, which is fine for aggregate outputs (they are
+    keys × small, not fact-sized). Idempotent under batch replay: replaying
+    batch N rewrites the same rows with the same values."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(path)
+            keep = existing.join(batch.select(*keys), on=keys,
+                                 how="left_anti")
+            out = keep.unionByName(batch)
+        except Exception:
+            out = batch   # first batch: no target yet
+        # write to a temp dir then swap would be the production move; the
+        # local sink collects (aggregate outputs are small by construction)
+        rows = out.collect()
+        spark.createDataFrame(rows, out.schema) \
+            .write.mode("overwrite").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

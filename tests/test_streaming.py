@@ -277,3 +277,37 @@ def test_streaming_curation_dedups_content_across_batches(
     assert {r.doc_id for r in out} == {1}
     assert sorted((r.chunk_id, r.chunk_tokens) for r in out) == [
         (0, 50), (1, 50), (2, 20)]
+
+
+def test_upsert_sink_update_mode_rollup(spark, tmp_path_factory):
+    """upsert_parquet_sink: an update-mode aggregate stream keeps exactly
+    one latest row per key as later batches revise earlier groups."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        upsert_parquet_sink,
+    )
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("ups_in")
+    with open(d / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"k": "a", "v": 1,
+                            "ts": "2024-01-15T10:00:00"}) + "\n")
+        f.write(json.dumps({"k": "b", "v": 5,
+                            "ts": "2024-01-15T10:01:00"}) + "\n")
+    with open(d / "b2.jsonl", "w") as f:      # revises group 'a'
+        f.write(json.dumps({"k": "a", "v": 3,
+                            "ts": "2024-01-15T10:02:00"}) + "\n")
+    _os.utime(d / "b1.jsonl", (1_000_000, 1_000_000))
+    _os.utime(d / "b2.jsonl", (2_000_000, 2_000_000))
+
+    stream = (spark.readStream.schema("k string, v long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    out = str(tmp_path_factory.mktemp("ups_out") / "t")
+    ckpt = str(tmp_path_factory.mktemp("ups_ck") / "c")
+    q = (upsert_parquet_sink(agg, out, ckpt, keys=["k"])
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.k: r.total for r in spark.read.parquet(out).collect()}
+    assert rows == {"a": 4, "b": 5}   # a revised to 1+3, one row per key
