@@ -311,3 +311,29 @@ def test_upsert_sink_update_mode_rollup(spark, tmp_path_factory):
     q.awaitTermination(120)
     rows = {r.k: r.total for r in spark.read.parquet(out).collect()}
     assert rows == {"a": 4, "b": 5}   # a revised to 1+3, one row per key
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path_factory):
+    """Stopping and restarting a query on the same checkpoint resumes from
+    recorded offsets: already-ingested files are NOT re-emitted, even into
+    a plain append sink (offset durability, independent of sink dedup)."""
+    src = tmp_path_factory.mktemp("ckr_in")
+    out = str(tmp_path_factory.mktemp("ckr_out") / "t")
+    ckpt = str(tmp_path_factory.mktemp("ckr_ck") / "c")
+
+    def run_once():
+        q = (spark.readStream.schema("x long").json(str(src))
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with open(src / "a.jsonl", "w") as f:
+        f.write(json.dumps({"x": 1}) + "\n")
+    run_once()
+    with open(src / "b.jsonl", "w") as f:
+        f.write(json.dumps({"x": 2}) + "\n")
+    run_once()   # restart from the same checkpoint
+
+    vals = sorted(r.x for r in spark.read.parquet(out).collect())
+    assert vals == [1, 2]   # file a ingested exactly once across restarts
