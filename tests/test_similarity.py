@@ -156,3 +156,24 @@ class TestHashedEmbedding:
             va, vb = rows[ids[i]], rows[ids[i + 37 % len(ids)]]
             rand_cos.append(sum(x * y for x, y in zip(va, vb)))
         assert min(dup_cos) > sum(rand_cos) / len(rand_cos)
+
+
+def test_pandas_knn_matches_column_knn(spark, sf_dir):
+    """The Arrow/numpy brute-force path returns the same top-k (ids and
+    rounded cosines) as the pure-Column path."""
+    from social_media_sentiment_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    a = [(r.vec_id, r.cosine) for r in
+         brute_force_topk(corpus, qvec, "embedding", "vec_id", k=10).collect()]
+    b = [(r.vec_id, r.cosine) for r in
+         brute_force_topk_pandas(corpus, qvec, "embedding", "vec_id",
+                                 k=10).collect()]
+    assert a == b
