@@ -34,6 +34,36 @@ from social_media_sentiment_analysis_spark.queries.registry import (  # noqa: E4
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# The PYTHONPATH export above only reaches workers whose JVM starts *after*
+# this module is imported. The driver hands us an already-running session,
+# so also ship the package to the live context: addPyFile distributes a zip
+# that every Python worker prepends to sys.path per task — works from any
+# cwd, any session, local or cluster.
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.join(_REPO_DIR, "social_media_sentiment_analysis_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), "social_media_sentiment_analysis_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO_DIR))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already registered on this context (e.g. driver retried)
+    _SHIPPED_CONTEXTS.add(id(sc))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -46,12 +76,21 @@ def entry(spark: SparkSession) -> DataFrame:
         q_sentiment_summary,
     )
 
+    _ship_package(spark)
     return q_sentiment_summary(spark, SMOKE_SF_DIR)
+
+
+def _shipping(builder: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return builder(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return get_queries()
+    return {name: _shipping(b) for name, b in get_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "word_frequency",
     "error_impact",
     "gapfill_hourly",
+    "tfidf_keywords",
+    "vocab_pairs",
+    "pack_sequences",
+    "pii_redact",
 ]
 
 

@@ -183,3 +183,32 @@ def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles of cleaned text as array<string> — the MinHash /
     Jaccard unit. Built with transform over token indices (JVM-side)."""
     return shingles_from_tokens(tokens(col), k)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — ordered (pattern → replacement) rewrite chain.
+# ---------------------------------------------------------------------------
+
+# Deliberately conservative, RE2/Java-compatible patterns (no lookaround) so
+# the same regexes run identically on Spark (java.util.regex), DuckDB (RE2),
+# and any downstream engine. Order matters: specific → general, so an email
+# is masked as <EMAIL> before the digit rule can eat its numeric chunks.
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.\s]\d{3}[-.\s]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\d+", "#"),
+)
+
+
+def redact(col: Column, patterns: tuple[tuple[str, str], ...] = DEFAULT_PII_PATTERNS) -> Column:
+    """Apply an ordered chain of global regexp replacements — the standard
+    PII-scrub pass of a training-data pipeline. Pure Column (JVM regex,
+    whole-stage codegen); each pattern is one ``regexp_replace`` layer, so
+    the whole chain is a single projection with zero extra passes over the
+    data."""
+    out = col
+    for pattern, replacement in patterns:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out

@@ -21,6 +21,7 @@ from . import (
     shaping,
     star,
     temporal,
+    tokenization,
     windowed,
 )
 
@@ -264,6 +265,22 @@ _ALL: list[Query] = [
     Query("media_features", multimodal.q_media_features, None,
           "mapInPandas decode→features (deterministic fake codec; "
           "rows-only check, pandas parity in tests)"),
+    # --- tokenizer training + sequence assembly ---
+    Query("tfidf_keywords", tokenization.q_tfidf_keywords,
+          tokenization.ORACLE_TFIDF_KEYWORDS,
+          "per-doc top-3 TF-IDF keywords (tf agg + df window + top-k window)"),
+    Query("vocab_pairs", tokenization.q_vocab_pairs,
+          tokenization.ORACLE_VOCAB_PAIRS,
+          "adjacent-pair (bigram) counts — the BPE-merge statistic; "
+          "zip_with array algebra, one exchange"),
+    Query("pack_sequences", tokenization.q_pack_sequences,
+          tokenization.ORACLE_PACK_SEQUENCES,
+          "greedy fixed-budget sequence packing via running-sum window; "
+          "per-bin manifest"),
+    Query("pii_redact", shaping.q_pii_redact,
+          shaping.ORACLE_PII_REDACT,
+          "PII scrub audit: global regex masking of props payload + "
+          "per-type removal accounting"),
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

@@ -501,3 +501,62 @@ FROM clamped
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction audit: mask digit runs in the raw JSON props payload and
+# account for what was removed.
+# ---------------------------------------------------------------------------
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact numeric runs in ``events.props`` (the raw JSON payload — the
+    place user identifiers leak) and audit the removal per event type.
+
+    The full scrub chain lives in ``functions.text.redact`` (email / IP /
+    phone / SSN / digit-run, ordered specific→general); the testdata's
+    props only contain digit runs, so the oracle-checked query pins the
+    digit rule — the remaining patterns are pinned by unit tests on
+    literal rows (test_text_functions.py).
+
+    One projection + one hash-agg exchange; the regex chain is a single
+    codegen stage over the scan, so at 100 TB the cost is the scan itself.
+    Redaction-before-shuffle also means masked bytes, not raw PII, are
+    what hits the wire and the shuffle spill files — the compliance
+    property a scrub pass must have.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    red = ev.select(
+        "event_type",
+        F.length("props").alias("raw_len"),
+        F.regexp_replace("props", r"\d+", "#").alias("redacted"),
+    )
+    return (
+        red.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("raw_len") - F.length("redacted")).alias("chars_removed"),
+            F.sum(
+                F.length("redacted")
+                - F.length(F.replace(F.col("redacted"), F.lit("#"), F.lit("")))
+            ).alias("masked_runs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PII_REDACT = r"""
+WITH red AS (
+    SELECT event_type,
+           length(props) AS raw_len,
+           regexp_replace(props, '\d+', '#', 'g') AS redacted
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(raw_len - length(redacted)) AS BIGINT) AS chars_removed,
+       CAST(SUM(length(redacted) - length(replace(redacted, '#', ''))) AS BIGINT)
+           AS masked_runs
+FROM red
+GROUP BY event_type
+ORDER BY event_type
+"""

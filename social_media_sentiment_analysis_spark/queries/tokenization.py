@@ -1,0 +1,238 @@
+"""Tokenizer-training and sequence-assembly queries for LLM data pipelines.
+
+Three operators a training-data pipeline needs between "curated documents"
+and "training batches":
+
+- TF-IDF keyword extraction (`q_tfidf_keywords`) — per-document salient
+  terms, the standard relevance/quality signal and the input to
+  keyword-based domain mixing.
+- Adjacent-pair (bigram) statistics (`q_vocab_pairs`) — the core counting
+  step of BPE/WordPiece tokenizer training: the most frequent adjacent
+  symbol pair is the next merge candidate.
+- Sequence packing (`q_pack_sequences`) — greedy sequential packing of
+  documents into fixed-size budget bins, the batch-assembly step that
+  turns ragged documents into dense training sequences.
+
+All three are pure Column algebra (no Python crossing) with DuckDB oracle
+twins. Scale notes per query; none uses more exchanges than its semantic
+keys require.
+
+Reference scope note: the reference app (`sentiment_analysis.py`,
+`twitter_streamer.py`) has no tokenizer/packing surface — these are engine
+extensions per the BASELINE north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+# ASCII-letter tokenization (lower → split on non-letters) keeps Java and
+# DuckDB regex/casing semantics byte-identical — same idiom as
+# q_word_frequency (shaping.py).
+_TOKEN_SPLIT = "[^a-z]+"
+_MIN_WORD_LEN = 3
+_TOP_KEYWORDS = 3
+_TOP_PAIRS = 30
+_PACK_BUDGET_CHARS = 2048
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) for English docs, words ≥ 3 letters.
+
+    explode is map-side: no exchange until the first aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("word"),
+        )
+        .filter(F.length("word") >= _MIN_WORD_LEN)
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per English document by TF-IDF.
+
+    Plan shape (three exchanges, each a semantic key):
+      1. hash-agg on (doc_id, word) → term frequencies; partial combine
+         collapses each partition's repeats before the shuffle.
+      2. window count over (word) → document frequency — computed as a
+         window on the tf table, NOT a self-join: one exchange instead of
+         an agg + shuffle-join pair, and the tf rows are already the
+         distinct (doc, word) pairs df counts.
+      3. window row_number over (doc_id) → per-doc top-k.
+    The corpus size N is a 1-row aggregate carried by broadcast cross-join
+    (BroadcastNestedLoop over a single row — constant cost at any scale).
+
+    At 100 TB the (word) window partitions by vocabulary term; stopword-like
+    hot terms are bounded because tf rows are per-(doc,word), i.e. at most
+    one row per document per term, and the ≥3-letter filter plus the
+    min-doc-freq of real corpora keeps partitions within task memory.
+    Raw score ties are broken by word so the top-k is deterministic.
+    """
+    tf = _tokens(spark, sf_dir).groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.withColumn("df_docs", F.count(F.lit(1)).over(Window.partitionBy("word")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_raw",
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_raw"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_KEYWORDS)
+        .select(
+            "doc_id",
+            "rank",
+            "word",
+            "tf",
+            "df_docs",
+            F.round("score_raw", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TFIDF_KEYWORDS = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}')) AS word
+    FROM documents WHERE lang = 'en'
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM toks WHERE length(word) >= {_MIN_WORD_LEN}
+    GROUP BY doc_id, word
+), n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+), scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf,
+           COUNT(*) OVER (PARTITION BY tf.word) AS df_docs,
+           n.n_docs,
+           tf.tf * ln((n.n_docs + 1.0) / (COUNT(*) OVER (PARTITION BY tf.word) + 1.0))
+               AS score_raw
+    FROM tf, n
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_raw DESC, word ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, word, tf, df_docs, round(score_raw, 4) AS tfidf
+FROM ranked WHERE rank <= {_TOP_KEYWORDS}
+ORDER BY doc_id, rank
+"""
+
+
+def q_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent token pairs — the BPE-merge counting step.
+
+    Pair construction is pure array algebra inside whole-stage codegen:
+    ``zip_with(arr[:-1], arr[1:], concat)`` — no self-join on position, no
+    Python. The only exchange is the pair-count aggregate, and its partial
+    combine collapses each partition to its distinct pairs first; top-k
+    plans as TakeOrderedAndProject.
+
+    A full BPE trainer iterates this count → merge → re-count loop; each
+    round is exactly this query over the re-tokenized corpus, so the
+    per-round cost is one scan + one reduced shuffle at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    arr = F.filter(
+        F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(_TOP_PAIRS)
+    )
+
+
+ORACLE_VOCAB_PAIRS = f"""
+WITH toks AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+                       t -> t <> '') AS arr
+    FROM documents WHERE lang = 'en'
+), pairs AS (
+    SELECT unnest(list_transform(range(1, len(arr)),
+                                 i -> arr[i] || ' ' || arr[i + 1])) AS pair
+    FROM toks
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {_TOP_PAIRS}
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-budget bins.
+
+    Within each source (deterministic doc_id order), a document goes into
+    bin ``floor(running_chars_before_it / budget)`` — the streaming
+    first-fit approximation used to pack ragged documents into dense
+    training sequences without a driver-side loop. Output is the per-bin
+    manifest (doc count, payload size) a batch loader would consume.
+
+    One exchange total: the (source) window sort; the bin rollup reuses the
+    same partitioning (groupBy source, bin after a window partitioned by
+    source needs no second exchange of the full data — partial agg runs on
+    the window's output partitions). At 100 TB the unit of parallelism is
+    the source/shard key, which an ingest layout would salt into
+    (source, shard) for arbitrarily wide fan-out; the algebra is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("cum_before", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+        .withColumn(
+            "bin",
+            F.floor(F.col("cum_before") / F.lit(float(_PACK_BUDGET_CHARS))),
+        )
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH binned AS (
+    SELECT doc_id, source, n_chars,
+           CAST(floor(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {float(_PACK_BUDGET_CHARS)}) AS BIGINT) AS bin
+    FROM documents
+)
+SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned
+GROUP BY source, bin
+ORDER BY source, bin
+"""

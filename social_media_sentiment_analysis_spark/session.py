@@ -26,6 +26,17 @@ def get_spark(app_name: str = "social-media-sentiment-spark",
     Defaults favor the declarative path: adaptive execution, broadcast joins
     for small dims, vectorized parquet reads, Arrow-batched Python exchange.
     """
+    # Python UDF workers (pandas UDFs, mapInPandas) import this package by
+    # name in their own processes and inherit PYTHONPATH from the JVM env —
+    # export the repo root BEFORE the JVM starts so the engine works from
+    # any cwd, not just the repo checkout. (Sessions we don't create are
+    # covered by __spark_entry__._ship_package via addPyFile.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH") else repo_root)
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

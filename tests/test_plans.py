@@ -89,7 +89,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan:
             assert name in ("trailing_window", "export",
                             "curation_funnel", "knn_join",
-                            "gapfill_hourly"), name
+                            "gapfill_hourly", "tfidf_keywords"), name
 
 
 def test_knn_join_broadcasts_query_set(spark, sf_dir):
@@ -126,3 +126,66 @@ def test_windowed_queries_bounded_shuffles(spark, sf_dir):
     assert exchange_count(q("running_total", spark, sf_dir)) <= 2
     # daily agg + tiny unpartitioned window + sort
     assert exchange_count(q("daily_value_delta", spark, sf_dir)) <= 3
+
+
+def test_tokenization_plan_shapes(spark, sf_dir):
+    # vocab_pairs: map-side array algebra, ONE agg exchange, top-k planned
+    # as TakeOrderedAndProject (no global sort)
+    vp = q("vocab_pairs", spark, sf_dir)
+    assert exchange_count(vp) == 1
+    assert is_top_k(vp)
+    # pack_sequences: the (source) window exchange is the only semantic
+    # shuffle — the (source, bin) rollup reuses the window's hash
+    # partitioning; +1 range exchange for the ordered result
+    ps = q("pack_sequences", spark, sf_dir)
+    assert exchange_count(ps) == 2
+    # pii_redact: redaction is a projection over the scan; one agg
+    # exchange + the ordered-result range exchange
+    pr = q("pii_redact", spark, sf_dir)
+    assert exchange_count(pr) == 2
+    # scans stay pruned: pack_sequences reads 3 of documents' 5 columns
+    assert all("text" not in s for s in scan_schemas(ps))
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """With broadcast disabled (the 100 TB fact⋈fact regime), a selective
+    dim-side filter should inject a runtime bloom filter on the fact scan —
+    rows that cannot join are dropped before the shuffle. Pins the conf
+    recipe documented in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.plans.inspect import physical_plan
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, sf_dir, "lineitem")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = physical_plan(joined).lower()
+        assert "mightcontain" in plan or "bloomfilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -72,3 +72,28 @@ class TestFingerprints:
 
     def test_shingles_short_text(self, spark):
         assert _one(spark, "a b", shingles(F.col("t"), 3)) == ["a b"]
+
+
+class TestRedact:
+    """PII scrub chain (functions.text.redact): ordered specific→general
+    masking; the digit-run tail rule is the oracle-checked pii_redact
+    query, these pin the full chain on literal rows."""
+
+    def test_email_masked_before_digit_rule(self, spark):
+        from social_media_sentiment_analysis_spark.functions.text import redact
+        out = _one(spark, "mail me at bob42@example.com now", redact(F.col("t")))
+        assert out == "mail me at <EMAIL> now"
+
+    def test_phone_ssn_ip(self, spark):
+        from social_media_sentiment_analysis_spark.functions.text import redact
+        assert _one(spark, "call 555-867-5309", redact(F.col("t"))) == "call <PHONE>"
+        assert _one(spark, "ssn 123-45-6789", redact(F.col("t"))) == "ssn <SSN>"
+        assert _one(spark, "host 10.0.0.1 up", redact(F.col("t"))) == "host <IP> up"
+
+    def test_digit_runs_collapse(self, spark):
+        from social_media_sentiment_analysis_spark.functions.text import redact
+        assert _one(spark, "order 12345 qty 7", redact(F.col("t"))) == "order # qty #"
+
+    def test_clean_text_passthrough(self, spark):
+        from social_media_sentiment_analysis_spark.functions.text import redact
+        assert _one(spark, "no pii here", redact(F.col("t"))) == "no pii here"
