@@ -23,22 +23,26 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table lazily.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long and truncate to
-    microseconds (matching DuckDB's ns→us truncation). The rebuild uses
-    TIMESTAMP_NTZ arithmetic so results are independent of the session
-    timezone (parquet ts is wall-clock; LTZ would shift under non-UTC
-    drivers and diverge from the TZ-naive DuckDB oracle).
+    ``events.ts`` has been observed in two physical encodings across driver
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects — we read nanos as long and truncate to microseconds,
+    matching DuckDB's ns→us truncation) and plain TIMESTAMP(MICROS) (read
+    natively). We branch on the *actual* read schema so either generation
+    works. The rebuild uses TIMESTAMP_NTZ arithmetic so results are
+    independent of the session timezone (parquet ts is wall-clock; LTZ would
+    shift under non-UTC drivers and diverge from the TZ-naive DuckDB oracle).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
-        return (
-            spark.read.parquet(table_path(sf_dir, name))
-            .withColumn("ts", F.expr(
+        from pyspark.sql.types import LongType
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr(
                 "timestampadd(MICROSECOND, ts div 1000, "
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
-        )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
