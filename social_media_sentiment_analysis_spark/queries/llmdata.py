@@ -930,3 +930,97 @@ FROM chunked
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (prefix-blocked levenshtein)
+# ---------------------------------------------------------------------------
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by edit distance on document heads, prefix-blocked.
+
+    The fourth dedup family (exact hash / shingle-Jaccard / bit-sketch /
+    edit distance): block on the first 20 chars — an equi-join, so the
+    O(n^2) candidate space collapses to same-prefix buckets — then verify
+    with levenshtein over the 80-char head only (edit distance is
+    quadratic in string length; bounding the operand bounds the cost per
+    pair). At 100 TB the blocking join shuffles once on the prefix and hot
+    prefixes split under AQE.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"),
+                    F.substring("text", 1, 80).alias("head_a"),
+                    F.substring("text", 1, 20).alias("block"))
+    b = docs.select(F.col("doc_id").alias("id_b"),
+                    F.substring("text", 1, 80).alias("head_b"),
+                    F.substring("text", 1, 20).alias("block"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist",
+                    F.levenshtein("head_a", "head_b").cast("long"))
+        .filter(F.col("edit_dist") <= 20)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_DEDUP_LEVENSHTEIN = """
+WITH blocked AS (
+    SELECT doc_id, substring(text, 1, 80) AS head,
+           substring(text, 1, 20) AS block
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM blocked a JOIN blocked b USING (block)
+WHERE a.doc_id < b.doc_id AND levenshtein(a.head, b.head) <= 20
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile — higher-order array functions, zero Python.
+# ---------------------------------------------------------------------------
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column.
+
+    The vector math runs entirely in higher-order Column functions
+    (``aggregate`` fold over the array — sequential, so the double
+    accumulation order matches DuckDB's list_aggregate exactly); no UDF,
+    no Arrow crossing. The embedding healthcheck every similarity/ANN
+    pipeline should run before trusting cosine scores: collapsed or
+    exploding norms per label show up immediately.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = emb.withColumn("l2_norm", F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))))
+    return (
+        norm.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("l2_norm"), 4).alias("avg_norm"),
+            F.round(F.min("l2_norm"), 4).alias("min_norm"),
+            F.round(F.max("l2_norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_NORM_STATS = """
+WITH norms AS (
+    SELECT label,
+           sqrt(list_aggregate(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS l2_norm
+    FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       round(AVG(l2_norm), 4) AS avg_norm,
+       round(MIN(l2_norm), 4) AS min_norm,
+       round(MAX(l2_norm), 4) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""

@@ -97,6 +97,14 @@ _ALL: list[Query] = [
     Query("priority_rollup", star.q_priority_rollup,
           star.ORACLE_PRIORITY_ROLLUP,
           "ROLLUP with subtotals + grand total"),
+    Query("customer_activity_merge", star.q_customer_activity_merge,
+          star.ORACLE_CUSTOMER_ACTIVITY_MERGE,
+          "FULL OUTER join of two pre-aggregated fact sides with "
+          "presence flags"),
+    Query("skew_salted_revenue", star.q_skew_salted_revenue,
+          star.ORACLE_SKEW_SALTED_REVENUE,
+          "manually salted skew join (8 salt buckets), result identical "
+          "to the plain join"),
     # --- window-function analytics (queries/windowed.py) ---
     Query("running_total", windowed.q_running_total,
           windowed.ORACLE_RUNNING_TOTAL,
@@ -116,6 +124,10 @@ _ALL: list[Query] = [
     Query("type_share", windowed.q_type_share,
           windowed.ORACLE_TYPE_SHARE,
           "window-over-aggregate: share-of-total without a second scan"),
+    Query("trailing_hour_avg", windowed.q_trailing_hour_avg,
+          windowed.ORACLE_TRAILING_HOUR_AVG,
+          "RANGE-frame window: trailing 1-hour per-user average "
+          "(time-gap frame, not row count)"),
     # --- result shaping: cube/pivot/percentiles/set-ops/explode ---
     Query("type_hour_cube", shaping.q_type_hour_cube,
           shaping.ORACLE_TYPE_HOUR_CUBE,
@@ -150,6 +162,12 @@ _ALL: list[Query] = [
     Query("word_frequency", shaping.q_word_frequency,
           shaping.ORACLE_WORD_FREQUENCY,
           "explode/unnest: top-20 word counts over English documents"),
+    Query("unpivot_daily_counts", shaping.q_unpivot_daily_counts,
+          shaping.ORACLE_UNPIVOT_DAILY_COUNTS,
+          "UNPIVOT: pivot→melt round trip equals the direct long-form agg"),
+    Query("distinct_users_by_type", shaping.q_distinct_users_by_type,
+          shaping.ORACLE_DISTINCT_USERS_BY_TYPE,
+          "skew-safe two-stage COUNT(DISTINCT) (pair-dedup then count)"),
     # --- LLM-data-pipeline operators (BASELINE north star) ---
     Query("dedup_exact", llmdata.q_dedup_exact,
           llmdata.ORACLE_DEDUP_EXACT,
@@ -167,6 +185,12 @@ _ALL: list[Query] = [
     Query("dedup_simhash", llmdata.q_dedup_simhash, None,
           "near-dup pairs: 64-bit SimHash, 16-bit bands, hamming verify "
           "(rows-only check)"),
+    Query("dedup_levenshtein", llmdata.q_dedup_levenshtein,
+          llmdata.ORACLE_DEDUP_LEVENSHTEIN,
+          "near-dup pairs: edit distance on 80-char heads, prefix-blocked"),
+    Query("embedding_norm_stats", llmdata.q_embedding_norm_stats,
+          llmdata.ORACLE_EMBEDDING_NORM_STATS,
+          "per-label L2-norm profile via higher-order array fold (no UDF)"),
     Query("dedup_embedding", llmdata.q_dedup_embedding,
           llmdata.ORACLE_DEDUP_EMBEDDING,
           "near-dup pairs: cosine >= 0.95, label-blocked"),

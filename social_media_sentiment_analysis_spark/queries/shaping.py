@@ -560,3 +560,71 @@ FROM red
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT: wide → long round-trip (the inverse of q_daily_type_pivot).
+# ---------------------------------------------------------------------------
+
+def q_unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the daily × type counts wide, then UNPIVOT back to long form.
+
+    Exercises the melt/unpivot operator (Expand node) end to end: the
+    oracle is the direct long-form GROUP BY, so the round trip must be
+    lossless. Zero cells introduced by the pivot are dropped on the way
+    back (they do not exist in the long form). Both pivot and unpivot are
+    map-side over the aggregated (tiny) frame — the only shuffle is the
+    day×type aggregation itself.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    wide = wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+                 for t in EVENT_TYPES])
+    return (
+        wide.unpivot("day", EVENT_TYPES, "event_type", "n_events")
+        .filter(F.col("n_events") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE_UNPIVOT_DAILY_COUNTS = """
+SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-stage COUNT(DISTINCT) — skew-safe distinct aggregation as a query.
+# ---------------------------------------------------------------------------
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via operators.skew's two-stage dedup.
+
+    Stage 1 shuffles on (event_type, user_id) — a hot event type spreads
+    over the full cluster instead of funneling through one reducer — and
+    stage 2 counts the deduplicated pairs. Same result as
+    COUNT(DISTINCT user_id), skew-safe by construction at 100 TB.
+    """
+    from ..operators.skew import two_stage_distinct_count
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        two_stage_distinct_count(events, "event_type", "user_id")
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_user_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

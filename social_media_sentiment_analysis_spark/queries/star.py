@@ -378,3 +378,98 @@ WHERE p_type = 'PROMO'
 GROUP BY n_name, p_brand
 ORDER BY n_name, p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER merge of two aggregated fact sides.
+# ---------------------------------------------------------------------------
+
+def q_customer_activity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order spend FULL OUTER JOIN per-user event activity.
+
+    The one join type the rest of the registry doesn't exercise. Both
+    sides are pre-aggregated before the join, so the shuffled full-outer
+    join carries one row per key per side (never the raw facts) — the
+    scale-safe shape for reconciliation-style merges. Presence flags and
+    COALESCE defaults make the unmatched halves explicit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    spend = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
+    activity = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return (
+        spend.join(activity, spend.o_custkey == activity.user_id,
+                   "full_outer")
+        .select(
+            F.coalesce("o_custkey", "user_id").alias("cust_id"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (F.col("o_custkey").isNotNull() & F.col("user_id").isNotNull())
+            .alias("both_sides"),
+        )
+        .orderBy("cust_id")
+    )
+
+
+ORACLE_CUSTOMER_ACTIVITY_MERGE = """
+WITH spend AS (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           round(SUM(o_totalprice), 4) AS total_spend
+    FROM orders GROUP BY o_custkey
+), activity AS (
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT COALESCE(o_custkey, user_id) AS cust_id,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(total_spend, 0.0) AS total_spend,
+       COALESCE(n_events, 0) AS n_events,
+       (o_custkey IS NOT NULL AND user_id IS NOT NULL) AS both_sides
+FROM spend FULL OUTER JOIN activity ON o_custkey = user_id
+ORDER BY cust_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Manually salted skew join (operators/skew.py in the registry).
+# ---------------------------------------------------------------------------
+
+def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue through a deterministically salted lineitem ⋈ part.
+
+    Demonstrates the salting operator for the skew regime AQE can't fix
+    (one key dominating a shuffle join): the part dim is replicated 8×,
+    lineitem rows fan across salt buckets by xxhash64(l_orderkey), and the
+    result is provably identical to the plain join (the oracle IS the
+    plain join). At testdata scale the join would broadcast anyway — the
+    query pins the salted plan's correctness, not its speed.
+    """
+    from ..operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    joined = salted_join(lineitem, part, on="l_partkey",
+                         salt_from="l_orderkey", num_salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount"))), 4)
+            .alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SKEW_SALTED_REVENUE = """
+SELECT p_brand, COUNT(*) AS n_lineitems,
+       round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""

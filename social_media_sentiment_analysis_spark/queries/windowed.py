@@ -280,3 +280,50 @@ FROM enriched
 WHERE o_totalprice > cust_avg_raw
 ORDER BY o_custkey, o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: trailing one-hour average per user.
+# ---------------------------------------------------------------------------
+
+def q_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour average of value for the same user.
+
+    The registry's only RANGE frame (moving_average is ROWS): the frame is
+    defined by the *time gap* [t-3599s, t], not a row count, so sparse and
+    bursty users get correct physical-time semantics. Ordering key is
+    whole seconds since epoch (timestampdiff), identical truncation on the
+    DuckDB side, so frame membership is bit-identical across engines.
+    One shuffle on user_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ev = events.withColumn("epoch_s", F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    w = (
+        Window.partitionBy("user_id").orderBy("epoch_s")
+        .rangeBetween(-3599, 0)
+    )
+    return (
+        ev.select(
+            "user_id", "event_id", "epoch_s",
+            F.round(F.avg("value").over(w), 4).alias("trailing_hour_avg"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("user_id", "epoch_s", "event_id")
+    )
+
+
+ORACLE_TRAILING_HOUR_AVG = """
+WITH ev AS (
+    SELECT user_id, event_id, value,
+           date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS epoch_s
+    FROM events
+)
+SELECT user_id, event_id, epoch_s,
+       round(AVG(value) OVER w, 4) AS trailing_hour_avg,
+       COUNT(*) OVER w AS n_in_window
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, epoch_s, event_id
+"""
