@@ -122,6 +122,19 @@ class SentimentEngine:
         else:
             raise ValueError(f"unsupported export format: {fmt!r}")
 
+    # -- raw SQL passthrough ------------------------------------------------
+    def sql(self, query: str, view_name: str = "tweets") -> DataFrame:
+        """Run arbitrary SQL with the store registered as ``tweets``.
+
+        The reference's whole query layer is literal SQL strings against a
+        ``tweets`` table (sentiment_analysis.py:456-482, :530-559, :676-691)
+        — this is the migration path for any ad-hoc query not covered by
+        the named endpoints: same table name, same columns, executed by
+        Catalyst instead of SQLite.
+        """
+        self._table().createOrReplaceTempView(view_name)
+        return self.spark.sql(query)
+
     # -- GET /health (sentiment_analysis.py:657-666) ------------------------
     def health(self) -> dict:
         try:

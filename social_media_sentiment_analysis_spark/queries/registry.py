@@ -97,6 +97,10 @@ _ALL: list[Query] = [
     Query("priority_rollup", star.q_priority_rollup,
           star.ORACLE_PRIORITY_ROLLUP,
           "ROLLUP with subtotals + grand total"),
+    Query("big_orders", star.q_big_orders,
+          star.ORACLE_BIG_ORDERS,
+          "TPC-H Q18 shape: HAVING over the fact aggregate, survivor set "
+          "broadcast back to dims"),
     Query("customer_activity_merge", star.q_customer_activity_merge,
           star.ORACLE_CUSTOMER_ACTIVITY_MERGE,
           "FULL OUTER join of two pre-aggregated fact sides with "

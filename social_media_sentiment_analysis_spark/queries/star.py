@@ -473,3 +473,55 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a fact aggregate, joined back to dims.
+# ---------------------------------------------------------------------------
+
+_BIG_ORDER_QTY = 260.0
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: per-order quantity HAVING-filter, then enrich.
+
+    The post-aggregation-filter family (TPC-H Q18): aggregate lineitem per
+    order, keep the ~1% of orders above the quantity threshold, then join
+    the tiny survivor set back to orders and customer. Order of operations
+    is the scale story — the HAVING runs *before* the joins, so the join
+    probe side is 1% of orders, not 100%; Spark broadcasts the survivors
+    and the dims never shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > _BIG_ORDER_QTY)
+        .select("l_orderkey", F.round("raw_qty", 4).alias("sum_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big),
+                    orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer),
+              orders.o_custkey == customer.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+                "sum_qty")
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+    )
+
+
+ORACLE_BIG_ORDERS = f"""
+WITH big AS (
+    SELECT l_orderkey, round(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > {_BIG_ORDER_QTY}
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+"""

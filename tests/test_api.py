@@ -89,3 +89,16 @@ def test_health(engine, spark):
     assert h["status"] == "healthy" and h["stored_tweets"] == 0
     engine.store(_tweets(spark, [("z", "text", _at(0))]))
     assert engine.health()["stored_tweets"] == 1
+
+
+def test_sql_passthrough_matches_named_endpoint(engine, spark):
+    engine.store(_tweets(spark, [("s1", "great fast win", _at(0)),
+                                 ("s2", "slow bad day", _at(1)),
+                                 ("s3", "the sky is there", _at(2))]))
+    got = engine.sql("""
+        SELECT final_sentiment, COUNT(*) AS tweet_count
+        FROM tweets GROUP BY final_sentiment
+    """).collect()
+    want = {r["final_sentiment"]: r["tweet_count"]
+            for r in engine.summary(hours=None).collect()}
+    assert {r["final_sentiment"]: r["tweet_count"] for r in got} == want
