@@ -36,9 +36,13 @@ def curate_doc_stream(docs: DataFrame, *, ts_col: str = "ts",
         .filter(F.size("toks") >= MIN_DOC_TOKENS)
         .withColumn("content_fp", F.md5(F.col("cleaned_text")))
     )
+    # WithinWatermark variant: keyed on content_fp alone, plain
+    # dropDuplicates would never evict state (eviction requires the
+    # event-time column in the key list); this dedups on the fingerprint
+    # while aging entries out past the watermark.
     deduped = (
         toked.withWatermark(ts_col, watermark)
-        .dropDuplicates(["content_fp"])
+        .dropDuplicatesWithinWatermark(["content_fp"])
     )
     n = F.size("toks")
     chunks = F.transform(

@@ -10,7 +10,7 @@ expressions), so batch and streaming can't drift.
 Streaming semantics upgrades over the reference (SURVEY §2.9):
 - event-time watermarks bound all state (the reference cleared a 10k-entry
   set wholesale, twitter_producer.py:202-205);
-- dedup is ``dropDuplicates`` within the watermark — the principled version
+- dedup is ``dropDuplicatesWithinWatermark`` — the principled version
   of D1, and exactly-once lands via the idempotent sink (S6/D2);
 - the hourly rollup (A3 — declared in the reference's DDL but never
   implemented) is a watermarked tumbling window aggregation.
@@ -108,10 +108,17 @@ def enrich_tweet_stream(df: DataFrame,
         (F.col("language") == language)
         & (F.trim(F.col("cleaned_text")) != "")
     )
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with plain
+    # dropDuplicates the watermark only bounds state if the event-time
+    # column is part of the key list — keyed on tweet_id alone the state
+    # store grows without bound. The WithinWatermark variant dedups on the
+    # key but evicts entries once they age past the watermark: the
+    # principled form of the reference's 10k-clear hack
+    # (twitter_producer.py:202-205).
     return (
         filtered
         .withWatermark("event_time", watermark)
-        .dropDuplicates(["tweet_id"])
+        .dropDuplicatesWithinWatermark(["tweet_id"])
     )
 
 
