@@ -59,3 +59,49 @@ def write_range_sorted(df: DataFrame, path: str, sort_col: str,
         .sortWithinPartitions(sort_col)
         .write.mode("overwrite").parquet(path)
     )
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    sort_col: str | None = None) -> tuple[int, int]:
+    """Rewrite a parquet directory's many small files into ~target-size
+    files. Returns (files_before, files_after).
+
+    Small-file buildup is the steady-state failure of streaming/append
+    sinks (every micro-batch writes a file per partition): scans pay per
+    file for listing, footer reads and task scheduling, so a table of
+    10^6 small files can be slower to *open* than to read. Compaction
+    sizes output from the directory's actual bytes. Without ``sort_col``
+    it uses ``coalesce`` — a narrow, shuffle-free merge; with it, a range
+    repartition + in-file sort so the rewrite also restores min/max
+    clustering (see write_range_sorted).
+
+    The rewrite stages into a sibling directory and swaps on success, so
+    a crash mid-compaction never loses the original. (In production on
+    object stores, table formats do this swap transactionally; here the
+    local-FS rename stands in.)
+    """
+    import math
+    import os
+    import shutil
+
+    files = [os.path.join(dp, f)
+             for dp, _, fs in os.walk(path)
+             for f in fs if f.endswith(".parquet")]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compacting__"
+    if sort_col is not None:
+        out = (df.repartitionByRange(n_out, F.col(sort_col))
+               .sortWithinPartitions(sort_col))
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    n_after = len([f for dp, _, fs in os.walk(path)
+                   for f in fs if f.endswith(".parquet")])
+    return len(files), n_after

@@ -96,3 +96,48 @@ def test_range_sorted_files_have_disjoint_minmax(spark, sf_dir, tmp_path):
         assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
     # roundtrip preserves rows
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(src)  # simulate micro-batch debris
+    before_sum = orders.agg(F.round(F.sum("o_totalprice"), 4)).first()[0]
+    n_before, n_after = compact_parquet(spark, src,
+                                        target_file_bytes=64 * 1024 * 1024)
+    assert n_before >= 64
+    assert n_after < n_before and n_after <= 4
+    compacted = spark.read.parquet(src)
+    assert compacted.count() == orders.count()
+    assert compacted.agg(F.round(F.sum("o_totalprice"), 4)).first()[0] \
+        == before_sum
+
+
+def test_compact_parquet_sorted_restores_clustering(spark, sf_dir, tmp_path):
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        compact_parquet,
+    )
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    src = str(tmp_path / "frag_sorted")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.repartition(32).write.parquet(src)
+    compact_parquet(spark, src, target_file_bytes=8 * 1024 * 1024,
+                    sort_col="l_orderkey")
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(src, "part-*.parquet"))):
+        md = pq.read_metadata(f)
+        col = [md.row_group(i).column(0) for i in range(md.num_row_groups)]
+        # l_orderkey is the first column in the schema
+        mins = [c.statistics.min for c in col]
+        maxs = [c.statistics.max for c in col]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
