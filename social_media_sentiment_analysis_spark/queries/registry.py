@@ -128,6 +128,10 @@ _ALL: list[Query] = [
     Query("type_share", windowed.q_type_share,
           windowed.ORACLE_TYPE_SHARE,
           "window-over-aggregate: share-of-total without a second scan"),
+    Query("decayed_engagement", windowed.q_decayed_engagement,
+          windowed.ORACLE_DECAYED_ENGAGEMENT,
+          "exponential time-decay (24h half-life) engagement score per "
+          "user, data-relative anchor"),
     Query("trailing_hour_avg", windowed.q_trailing_hour_avg,
           windowed.ORACLE_TRAILING_HOUR_AVG,
           "RANGE-frame window: trailing 1-hour per-user average "
@@ -166,6 +170,10 @@ _ALL: list[Query] = [
     Query("word_frequency", shaping.q_word_frequency,
           shaping.ORACLE_WORD_FREQUENCY,
           "explode/unnest: top-20 word counts over English documents"),
+    Query("value_trend", shaping.q_value_trend,
+          shaping.ORACLE_VALUE_TREND,
+          "regr_slope/intercept/r2 aggregates: value drift over time per "
+          "event type"),
     Query("unpivot_daily_counts", shaping.q_unpivot_daily_counts,
           shaping.ORACLE_UNPIVOT_DAILY_COUNTS,
           "UNPIVOT: pivot→melt round trip equals the direct long-form agg"),

@@ -628,3 +628,49 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregates: value drift over time per event type.
+# ---------------------------------------------------------------------------
+
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept/R² of event value against time, per type.
+
+    The regr_* aggregate family (the statistical surface beyond
+    stats_profile's moments): computed in one partial/final hash
+    aggregate — Spark reduces (n, Σx, Σy, Σxx, Σxy, Σyy) map-side, so the
+    shuffle carries six doubles per group regardless of fact size. The
+    regressor is whole-second epoch hours, identical on the DuckDB side.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "x_h", F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        / F.lit(3600.0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.regr_slope("value", "x_h"), 4).alias("slope_per_hour"),
+            F.round(F.regr_intercept("value", "x_h"), 4).alias("intercept"),
+            F.round(F.regr_r2("value", "x_h"), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_TREND = """
+WITH ev AS (
+    SELECT event_type, value,
+           date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) / 3600.0
+               AS x_h
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       round(regr_slope(value, x_h), 4) AS slope_per_hour,
+       round(regr_intercept(value, x_h), 4) AS intercept,
+       round(regr_r2(value, x_h), 4) AS r2
+FROM ev
+GROUP BY event_type
+ORDER BY event_type
+"""

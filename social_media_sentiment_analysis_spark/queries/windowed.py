@@ -327,3 +327,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, epoch_s, event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay scoring (trending/recency weighting).
+# ---------------------------------------------------------------------------
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with a 24-hour half-life.
+
+    The recency weighting behind every "trending" ranking: each event
+    contributes ``value * 0.5^(age/24h)`` against the dataset's max
+    timestamp (data-relative anchor → deterministic, like P5's trailing
+    window). Pure weighted aggregate — one scan, one shuffle on user_id;
+    the anchor is a 1-row broadcast. Ages are whole-second epochs on both
+    engines so the exponent (and the driver's value hash) is bit-stable.
+    """
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+    anchor = events.agg(F.max("epoch_s").alias("anchor_s"))
+    return (
+        events.join(F.broadcast(anchor))
+        .withColumn("age_h",
+                    (F.col("anchor_s") - F.col("epoch_s")) / F.lit(3600.0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value")
+                          * F.pow(F.lit(0.5), F.col("age_h") / F.lit(24.0))),
+                    4).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_DECAYED_ENGAGEMENT = """
+WITH ev AS (
+    SELECT user_id, value,
+           date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS epoch_s
+    FROM events
+), anchor AS (SELECT MAX(epoch_s) AS anchor_s FROM ev)
+SELECT user_id, COUNT(*) AS n_events,
+       round(SUM(value * pow(0.5, ((anchor_s - epoch_s) / 3600.0) / 24.0)), 4)
+           AS decayed_score
+FROM ev, anchor
+GROUP BY user_id
+ORDER BY user_id
+"""
