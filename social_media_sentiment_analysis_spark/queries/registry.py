@@ -170,6 +170,9 @@ _ALL: list[Query] = [
     Query("word_frequency", shaping.q_word_frequency,
           shaping.ORACLE_WORD_FREQUENCY,
           "explode/unnest: top-20 word counts over English documents"),
+    Query("nation_segments", shaping.q_nation_segments,
+          shaping.ORACLE_NATION_SEGMENTS,
+          "LISTAGG family: sorted distinct collect_set → string per group"),
     Query("value_trend", shaping.q_value_trend,
           shaping.ORACLE_VALUE_TREND,
           "regr_slope/intercept/r2 aggregates: value drift over time per "

@@ -674,3 +674,45 @@ FROM ev
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# String aggregation (LISTAGG): sorted distinct collect per group.
+# ---------------------------------------------------------------------------
+
+def q_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer profile with a sorted distinct segment roll.
+
+    The collect-to-string family: ``collect_set`` is order-nondeterministic
+    by itself, so ``array_sort`` before ``concat_ws`` is what makes the
+    result (and the driver's value hash) stable — the same discipline
+    DuckDB's ``string_agg(DISTINCT ... ORDER BY)`` encodes in SQL. The set
+    of segments per group is small and bounded; for unbounded collects use
+    a top-k window first (collect_list of a hot group is a driver-sized
+    object at 100 TB).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment")))
+            .alias("segments"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_SEGMENTS = """
+SELECT n_name, COUNT(*) AS n_customers,
+       round(AVG(c_acctbal), 4) AS avg_acctbal,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+           AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""

@@ -89,7 +89,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan:
             assert name in ("trailing_window", "export",
                             "curation_funnel", "knn_join",
-                            "gapfill_hourly", "tfidf_keywords"), name
+                            "gapfill_hourly", "tfidf_keywords",
+                            "decayed_engagement"), name
 
 
 def test_knn_join_broadcasts_query_set(spark, sf_dir):
