@@ -1024,3 +1024,49 @@ SELECT label, COUNT(*) AS n_vectors,
        round(MAX(l2_norm), 4) AS max_norm
 FROM norms GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding profile (posexplode / unnest-with-ordinality).
+# ---------------------------------------------------------------------------
+
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/std/min/max of every embedding dimension across the corpus.
+
+    The other embedding healthcheck (norms are per-vector, this is
+    per-coordinate): dead dimensions (std≈0) and scale outliers distort
+    every downstream distance. posexplode pivots vectors long — the fan-out
+    is rows × dims, but each output row is (int, double) and the aggregate
+    reduces map-side to one partial per (partition, dim), so the shuffle
+    carries |dims| × partitions tiny rows. 64 groups no matter the corpus
+    size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .select(F.col("dim").cast("long").alias("dim"),
+                F.col("v").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 4).alias("mean"),
+            F.round(F.stddev_pop("v"), 4).alias("std"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMBEDDING_DIM_PROFILE = """
+WITH flat AS (
+    SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT dim, COUNT(*) AS n, round(AVG(v), 4) AS mean,
+       round(stddev_pop(v), 4) AS std,
+       round(MIN(v), 4) AS min_v, round(MAX(v), 4) AS max_v
+FROM flat
+GROUP BY dim
+ORDER BY dim
+"""

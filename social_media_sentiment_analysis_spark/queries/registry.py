@@ -206,6 +206,10 @@ _ALL: list[Query] = [
     Query("embedding_norm_stats", llmdata.q_embedding_norm_stats,
           llmdata.ORACLE_EMBEDDING_NORM_STATS,
           "per-label L2-norm profile via higher-order array fold (no UDF)"),
+    Query("embedding_dim_profile", llmdata.q_embedding_dim_profile,
+          llmdata.ORACLE_EMBEDDING_DIM_PROFILE,
+          "per-dimension mean/std/min/max across the embedding corpus "
+          "(dead-dim / scale-outlier healthcheck)"),
     Query("dedup_embedding", llmdata.q_dedup_embedding,
           llmdata.ORACLE_DEDUP_EMBEDDING,
           "near-dup pairs: cosine >= 0.95, label-blocked"),

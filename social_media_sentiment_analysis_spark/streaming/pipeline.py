@@ -122,14 +122,33 @@ def enrich_tweet_stream(df: DataFrame,
     )
 
 
+def _has_watermark(df: DataFrame) -> bool:
+    """True if the stream already carries an event-time watermark.
+
+    Spark disallows redefining a watermark downstream, so composed
+    pipelines (enrich_tweet_stream's dedup watermark → rollup) must not
+    set a second one. Checked on the analyzed logical plan."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution() \
+            .analyzed().toString()
+    except Exception:
+        return False
+
+
 def hourly_rollup_stream(enriched: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
     """A3: tumbling 1-hour sentiment rollup with watermark-bounded state —
     the `sentiment_summary` table writer the reference never implemented
-    (sentiment_analysis.py:136-149)."""
+    (sentiment_analysis.py:136-149).
+
+    Composable after ``enrich_tweet_stream``: if the input already carries
+    a watermark (the dedup one), it is reused instead of redefined —
+    late-data cutoff for the rollup is then the upstream bound.
+    """
+    if enriched.isStreaming and not _has_watermark(enriched):
+        enriched = enriched.withWatermark("event_time", watermark)
     return (
         enriched
-        .withWatermark("event_time", watermark)
         .groupBy(
             F.window(F.col("event_time"), "1 hour").alias("w"),
             F.col("final_sentiment").alias("sentiment"),

@@ -337,3 +337,41 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path_factory):
 
     vals = sorted(r.x for r in spark.read.parquet(out).collect())
     assert vals == [1, 2]   # file a ingested exactly once across restarts
+
+
+def test_full_dataflow_end_to_end(spark, stream_input, tmp_path):
+    """SURVEY §3.2 composed in one run: one enriched stream fanned out to
+    the JSONL file sink, the idempotent keyed store, and the hourly rollup
+    — the reference's whole streamer+service dataflow as three concurrent
+    availableNow queries over a shared plan."""
+    import pyspark.sql.functions as F
+
+    stream = read_tweet_file_stream(spark, stream_input)
+    enriched = enrich_tweet_stream(stream)
+
+    jsonl_out = str(tmp_path / "jsonl")
+    store_out = str(tmp_path / "store")
+    run_available_now(jsonl_sink(enriched, jsonl_out,
+                                 str(tmp_path / "ck_jsonl")))
+    run_available_now(idempotent_parquet_sink(enriched, store_out,
+                                              str(tmp_path / "ck_store")))
+    rollup = hourly_rollup_stream(enrich_tweet_stream(
+        read_tweet_file_stream(spark, stream_input)))
+    name = "e2e_rollup_" + uuid.uuid4().hex[:8]
+    q3 = (rollup.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    q3.awaitTermination()
+
+    stored = spark.read.parquet(store_out)
+    assert stored.count() == 3  # deduped + filtered
+    assert spark.read.json(jsonl_out).count() == 3
+    roll = {(r.date_hour.hour, r.sentiment): r.tweet_count
+            for r in spark.table(name).collect()}
+    # dedup upstream of the rollup: t1's duplicate envelope counts once
+    assert roll[(10, "positive")] == 1
+    assert roll[(10, "negative")] == 1
+    assert roll[(11, "neutral")] == 1
+    # store contents agree with the batch facade's summary semantics
+    by_sent = {r.final_sentiment: r.n for r in stored.groupBy(
+        "final_sentiment").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_sent == {"positive": 1, "negative": 1, "neutral": 1}
