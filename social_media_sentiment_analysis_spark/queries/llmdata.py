@@ -1070,3 +1070,67 @@ FROM flat
 GROUP BY dim
 ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Canonical-doc selection: the step after clustering in a dedup pipeline.
+# ---------------------------------------------------------------------------
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: elect one keeper, count what gets dropped.
+
+    The last step of the dedup pipeline (pairs → transitive clusters →
+    ONE survivor per cluster): keeper is the longest document, doc_id as
+    the deterministic tiebreak. Join back to documents is keyed on doc_id
+    (no fan-out — cluster members only); the election is a per-cluster
+    window over cluster-sized partitions.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    cc = connected_components(_jaccard_pairs(spark, sf_dir), "a_id", "b_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars")
+    members = cc.select(F.col("node").alias("doc_id"),
+                        F.col("component").alias("cluster_id")) \
+        .join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keeper_chars"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("docs_dropped"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))
+                  .otherwise(F.lit(0))).alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_DEDUP_CANONICAL = ORACLE_DEDUP_CLUSTERS.replace(
+    """SELECT node AS doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+ORDER BY doc_id
+""", """, ranked AS (
+    SELECT l.node AS doc_id, l.cluster_id, d.n_chars,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, l.node ASC) AS rn
+    FROM labels l JOIN documents d ON l.node = d.doc_id
+)
+SELECT cluster_id,
+       COUNT(*) AS cluster_size,
+       MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+       MIN(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars,
+       COUNT(*) - 1 AS docs_dropped,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_dropped
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+""")

@@ -194,6 +194,10 @@ _ALL: list[Query] = [
           llmdata.ORACLE_DEDUP_CLUSTERS,
           "near-dup clusters: large-star/small-star connected components "
           "over the jaccard pair graph vs recursive-CTE closure"),
+    Query("dedup_canonical", llmdata.q_dedup_canonical,
+          llmdata.ORACLE_DEDUP_CANONICAL,
+          "keeper election per near-dup cluster (longest doc, "
+          "deterministic tiebreak) with dropped-volume accounting"),
     Query("dedup_minhash", llmdata.q_dedup_minhash, None,
           "near-dup pairs: MinHash sigs → banded LSH → Jaccard verify "
           "(xxhash64-based; rows-only check, parity vs ngram in tests)"),
