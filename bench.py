@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "vocab_pairs",
     "pack_sequences",
     "pii_redact",
+    "shipping_priority",
+    "gopher_quality",
 ]
 
 

@@ -1134,3 +1134,188 @@ FROM ranked
 GROUP BY cluster_id
 ORDER BY cluster_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule gate (per-source audit)
+# ---------------------------------------------------------------------------
+
+_GQ_MIN_TOK = 20
+_GQ_MAX_TOK = 1000
+_GQ_MIN_MEAN_LEN = 3.0
+_GQ_MAX_MEAN_LEN = 10.0
+_GQ_MIN_ALPHA_FRAC = 0.8
+_GQ_MAX_DUP_FRAC = 0.6
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality gate in the Gopher/RefinedWeb style,
+    audited per source: word-count band, mean-word-length band, stopword
+    presence, alphabetic-word fraction, duplicate-token fraction.
+
+    All five rules are pure Column algebra over one tokenization — a single
+    map-side projection feeding one hash aggregate, so the whole gate costs
+    one scan + one exchange of |sources| rows at any scale. The per-rule
+    pass counts (not just the conjunction) are what an operator tunes
+    thresholds against at 100 TB, where re-running the gate per rule would
+    be five scans instead of one.
+    """
+    toked = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("cleaned_text")) != "")
+        .select("source", "n_chars",
+                tokens(F.col("cleaned_text")).alias("toks"))
+    )
+    n_tok = F.size("toks")
+    mean_len = (
+        F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t))
+        .cast("double") / n_tok)
+    alpha_frac = (
+        F.size(F.filter("toks", lambda t: t.rlike("[a-zA-Z]")))
+        .cast("double") / n_tok)
+    dup_frac = (F.lit(1.0)
+                - F.size(F.array_distinct("toks")).cast("double") / n_tok)
+    rules = toked.select(
+        "source",
+        n_tok.between(_GQ_MIN_TOK, _GQ_MAX_TOK).alias("r_wordcount"),
+        mean_len.between(_GQ_MIN_MEAN_LEN, _GQ_MAX_MEAN_LEN)
+        .alias("r_mean_len"),
+        (F.size(F.array_intersect(
+            F.array_distinct("toks"),
+            F.array(*[F.lit(w) for w in ("the", "a")]))) > 0)
+        .alias("r_stopword"),
+        (alpha_frac >= _GQ_MIN_ALPHA_FRAC).alias("r_alpha"),
+        (dup_frac <= _GQ_MAX_DUP_FRAC).alias("r_repeat"),
+    )
+    passed = (F.col("r_wordcount") & F.col("r_mean_len") & F.col("r_stopword")
+              & F.col("r_alpha") & F.col("r_repeat"))
+    return (
+        rules.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.count_if("r_wordcount").alias("pass_wordcount"),
+             F.count_if("r_mean_len").alias("pass_mean_len"),
+             F.count_if("r_stopword").alias("pass_stopword"),
+             F.count_if("r_alpha").alias("pass_alpha"),
+             F.count_if("r_repeat").alias("pass_repeat"),
+             F.count_if(passed).alias("pass_all"),
+             F.round(F.count_if(passed) / F.count(F.lit(1)), 4)
+             .alias("pass_rate"))
+        .orderBy("source")
+    )
+
+
+ORACLE_GOPHER_QUALITY = _SQL_DOCS + f"""
+, toked AS (
+    SELECT source, string_split(cleaned_text, ' ') AS toks
+    FROM docs WHERE trim(cleaned_text) <> ''
+), rules AS (
+    SELECT source,
+           len(toks) BETWEEN {_GQ_MIN_TOK} AND {_GQ_MAX_TOK} AS r_wordcount,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks)
+               BETWEEN {_GQ_MIN_MEAN_LEN} AND {_GQ_MAX_MEAN_LEN}
+               AS r_mean_len,
+           len(list_intersect(list_distinct(toks), ['the', 'a'])) > 0
+               AS r_stopword,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+                AS DOUBLE) / len(toks) >= {_GQ_MIN_ALPHA_FRAC} AS r_alpha,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               <= {_GQ_MAX_DUP_FRAC} AS r_repeat
+    FROM toked
+)
+SELECT source,
+       COUNT(*) AS docs,
+       COUNT(*) FILTER (WHERE r_wordcount) AS pass_wordcount,
+       COUNT(*) FILTER (WHERE r_mean_len) AS pass_mean_len,
+       COUNT(*) FILTER (WHERE r_stopword) AS pass_stopword,
+       COUNT(*) FILTER (WHERE r_alpha) AS pass_alpha,
+       COUNT(*) FILTER (WHERE r_repeat) AS pass_repeat,
+       COUNT(*) FILTER (WHERE r_wordcount AND r_mean_len AND r_stopword
+                        AND r_alpha AND r_repeat) AS pass_all,
+       round(COUNT(*) FILTER (WHERE r_wordcount AND r_mean_len AND r_stopword
+                              AND r_alpha AND r_repeat)
+             / COUNT(*), 4) AS pass_rate
+FROM rules
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs. an existing corpus fingerprint set
+# ---------------------------------------------------------------------------
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming batch is checked against the
+    prefix-fingerprint set (md5 of the first 10 tokens — catches the
+    copy+suffix near-dup family exactly) of the already-ingested corpus
+    (docs with doc_id % 10 == 0 stand in for the corpus), then against
+    itself.
+
+    Per incoming doc, precedence: already-in-corpus > duplicate-within-batch
+    > kept. The corpus probe is a left join on the content fingerprint —
+    at 100 TB the corpus fingerprint table is itself huge, so this is a
+    shuffled hash join on md5 (uniformly distributed keys, no skew), NOT a
+    broadcast; within-batch rank is one window over the same fingerprint
+    partitioning, so AQE reuses the exchange. This is the production shape
+    of the reference's insert-if-absent sink (sentiment_analysis.py:381-406)
+    at data scale.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("cleaned_text")),
+                                       1, _PREFIX_TOKENS))).alias("fp"))
+    corpus_fp = (docs.filter(F.col("doc_id") % 10 == 0)
+                 .select("fp").distinct()
+                 .withColumn("in_corpus", F.lit(True)))
+    incoming = docs.filter(F.col("doc_id") % 10 != 0)
+    from pyspark.sql.window import Window
+    ranked = incoming.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+    marked = ranked.join(corpus_fp, "fp", "left")
+    status = (
+        F.when(F.col("in_corpus"), F.lit("dropped_corpus"))
+        .when(F.col("rn") > 1, F.lit("dropped_batch"))
+        .otherwise(F.lit("kept")))
+    return (
+        marked.withColumn("status", status)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("incoming"),
+             F.count_if(F.col("status") == "kept").alias("kept"),
+             F.count_if(F.col("status") == "dropped_corpus")
+             .alias("dropped_corpus"),
+             F.count_if(F.col("status") == "dropped_batch")
+             .alias("dropped_batch"))
+        .orderBy("source")
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = _SQL_DOCS + f"""
+, fps AS (
+    SELECT doc_id, source,
+           md5(array_to_string(
+               string_split(cleaned_text, ' ')[1:{_PREFIX_TOKENS}], ' '))
+               AS fp
+    FROM docs
+), corpus_fp AS (
+    SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fps WHERE doc_id % 10 <> 0
+), marked AS (
+    SELECT r.source,
+           CASE WHEN c.fp IS NOT NULL THEN 'dropped_corpus'
+                WHEN r.rn > 1 THEN 'dropped_batch'
+                ELSE 'kept' END AS status
+    FROM ranked r LEFT JOIN corpus_fp c ON r.fp = c.fp
+)
+SELECT source,
+       COUNT(*) AS incoming,
+       COUNT(*) FILTER (WHERE status = 'kept') AS kept,
+       COUNT(*) FILTER (WHERE status = 'dropped_corpus') AS dropped_corpus,
+       COUNT(*) FILTER (WHERE status = 'dropped_batch') AS dropped_batch
+FROM marked
+GROUP BY source
+ORDER BY source
+"""

@@ -101,6 +101,10 @@ _ALL: list[Query] = [
           star.ORACLE_BIG_ORDERS,
           "TPC-H Q18 shape: HAVING over the fact aggregate, survivor set "
           "broadcast back to dims"),
+    Query("shipping_priority", star.q_shipping_priority,
+          star.ORACLE_SHIPPING_PRIORITY,
+          "TPC-H Q3 shape: date-split fact⋈fact⋈dim, revenue top-10 "
+          "(TakeOrderedAndProject over the join-agg)"),
     Query("customer_activity_merge", star.q_customer_activity_merge,
           star.ORACLE_CUSTOMER_ACTIVITY_MERGE,
           "FULL OUTER join of two pre-aggregated fact sides with "
@@ -164,6 +168,10 @@ _ALL: list[Query] = [
     Query("winsorized_stats", shaping.q_winsorized_stats,
           shaping.ORACLE_WINSORIZED_STATS,
           "winsorized mean: exact p05/p95 clamp, broadcast bounds"),
+    Query("mad_outliers", shaping.q_mad_outliers,
+          shaping.ORACLE_MAD_OUTLIERS,
+          "median/MAD robust outlier detection per group (broadcast-bounds "
+          "double aggregate)"),
     Query("integrity_audit", shaping.q_integrity_audit,
           shaping.ORACLE_INTEGRITY_AUDIT,
           "data-quality audit: orphan FKs, duplicate keys, nulls"),
@@ -268,6 +276,14 @@ _ALL: list[Query] = [
           llmdata.ORACLE_CURATION_FUNNEL,
           "curation funnel: raw → lang → quality → dedup stage counts and "
           "token volumes, conditional aggregates (no per-stage rescans)"),
+    Query("gopher_quality", llmdata.q_gopher_quality,
+          llmdata.ORACLE_GOPHER_QUALITY,
+          "Gopher-style 5-rule quality gate, per-source per-rule pass "
+          "counts in one scan + one exchange"),
+    Query("incremental_dedup", llmdata.q_incremental_dedup,
+          llmdata.ORACLE_INCREMENTAL_DEDUP,
+          "incremental batch-vs-corpus fingerprint dedup: shuffled hash "
+          "probe + within-batch rank, per-source accounting"),
     Query("sketch_profile", llmdata.q_sketch_profile, None,
           "HLL distinct + t-digest quantiles per group (rows-only; "
           "accuracy-vs-exact asserted in tests)"),

@@ -716,3 +716,62 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# MAD (median-absolute-deviation) robust outlier detection.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0 * 1.4826  # 3-sigma equivalent under normality
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier count per event type via the median/MAD rule:
+    |value − median| > 3·1.4826·MAD.
+
+    Two exact-percentile aggregates with the tiny per-group statistics
+    broadcast back between them — the same broadcast-bounds shape as the
+    winsorized query, so at 100 TB the fact table is scanned twice with a
+    2-column projection and never shuffled on anything wider than
+    event_type. Unlike stddev-based z-scores, the MAD threshold itself is
+    unaffected by the outliers it hunts."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"))
+    dev = (events.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.first("med"), 4).alias("median_value"),
+             F.round(F.first("mad"), 4).alias("mad_value"),
+             F.count_if(F.col("adev") > F.lit(_MAD_K) * F.col("mad"))
+             .alias("n_outliers"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       round(MIN(d.med), 4) AS median_value,
+       round(MIN(m.mad), 4) AS mad_value,
+       COUNT(*) FILTER (WHERE d.adev > {_MAD_K} * m.mad) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""

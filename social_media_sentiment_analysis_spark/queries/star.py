@@ -525,3 +525,60 @@ JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY sum_qty DESC, o_orderkey ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping priority — date-split fact⋈fact⋈dim with top-k
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1998-07-01"
+_Q3_SEGMENT = "BUILDING"
+_Q3_TOPK = 10
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped-revenue orders for one market segment (TPC-H Q3).
+
+    The date predicates split both facts *before* the join: orders placed
+    before the cutoff, lineitems shipped after it — both reach the parquet
+    scans as pushed filters, so at 100 TB each side reads a fraction of its
+    row groups. The filtered customer segment (~1/5 of an already-small dim)
+    broadcasts; lineitem⋈orders shuffles on orderkey only after both
+    pre-filters. The final top-k is an ORDER BY + LIMIT that Catalyst plans
+    as TakeOrderedAndProject — no global sort ever materializes.
+
+    Reference parity: generalizes the recent-N + filter read pattern
+    (sentiment_analysis.py:530-559) to a multi-table ranked read.
+    """
+    customer = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == _Q3_SEGMENT)
+    orders = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp_ntz"))
+    lineitem = load_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp_ntz"))
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1.0) - F.col("l_discount"))), 4)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(_Q3_TOPK)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{_Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {_Q3_TOPK}
+"""
