@@ -105,6 +105,10 @@ _ALL: list[Query] = [
           star.ORACLE_SHIPPING_PRIORITY,
           "TPC-H Q3 shape: date-split fact⋈fact⋈dim, revenue top-10 "
           "(TakeOrderedAndProject over the join-agg)"),
+    Query("cheapest_parts", star.q_cheapest_parts,
+          star.ORACLE_CHEAPEST_PARTS,
+          "TPC-H Q2 shape: per-group min + equality join-back (ties kept, "
+          "broadcast mins, no second shuffle)"),
     Query("customer_activity_merge", star.q_customer_activity_merge,
           star.ORACLE_CUSTOMER_ACTIVITY_MERGE,
           "FULL OUTER join of two pre-aggregated fact sides with "
@@ -311,6 +315,10 @@ _ALL: list[Query] = [
     Query("retention_cohorts", temporal.q_retention_cohorts,
           temporal.ORACLE_RETENTION_COHORTS,
           "weekly retention matrix: cohort stamp via window, no self-joins"),
+    Query("common_paths", temporal.q_common_paths,
+          temporal.ORACLE_COMMON_PATHS,
+          "sequence mining: top-10 opening event paths per user "
+          "(sort_array-after-shuffle determinism, one exchange + top-k)"),
     Query("error_impact", temporal.q_error_impact,
           temporal.ORACLE_ERROR_IMPACT,
           "range join: views in the 10 min after a same-user error "

@@ -582,3 +582,42 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT {_Q3_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-equality join-back (all rows achieving a group minimum)
+# ---------------------------------------------------------------------------
+
+def q_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every part offered at its type's minimum retail price (TPC-H Q2's
+    correlated-min shape), ties included.
+
+    Unlike the window/row_number top-1 (which picks ONE row per group) or
+    min_by (one arbitrary minimizer), the Q2 shape is aggregate-then-
+    equality-join-back: the per-group minimum is tiny (|types| rows), so it
+    broadcasts and the fact side is re-probed map-side with zero extra
+    shuffles — the second scan never moves. min is exact (no accumulation
+    order), so the double-equality join-back is engine-stable.
+    """
+    part = load_table(spark, sf_dir, "part")
+    mins = (part.groupBy("p_type").agg(F.min("p_retailprice").alias("min_price"))
+            .withColumnRenamed("p_type", "min_type"))
+    return (
+        part.join(F.broadcast(mins),
+                  (F.col("p_type") == F.col("min_type"))
+                  & (F.col("p_retailprice") == F.col("min_price")))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+ORACLE_CHEAPEST_PARTS = """
+WITH mins AS (
+    SELECT p_type, MIN(p_retailprice) AS min_price
+    FROM part GROUP BY p_type
+)
+SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice
+FROM part p
+JOIN mins m ON p.p_type = m.p_type AND p.p_retailprice = m.min_price
+ORDER BY p.p_type, p.p_partkey
+"""

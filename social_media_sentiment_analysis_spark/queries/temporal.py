@@ -330,3 +330,63 @@ FROM stamped
 GROUP BY cohort
 ORDER BY cohort
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: most common opening event paths
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOPK = 10
+
+
+def q_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common opening behavior paths: each user's first three
+    events (by time, event_id tiebreak) joined into a path string, counted
+    across users.
+
+    collect_list is order-nondeterministic under parallel merge, so the
+    deterministic distributed recipe is collect structs → sort_array →
+    slice → transform — the sort happens per group AFTER the shuffle, on
+    arrays bounded by events-per-user, never a global sort. One exchange
+    (the groupBy) plus a TakeOrdered for the top-k; at 100 TB the only
+    risk is a pathological user with millions of events, which the
+    slice-after-sort bounds to memory-per-group, not cluster state.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("seq"))
+        .select(F.concat_ws(
+            " > ",
+            F.transform(F.slice("seq", 1, _PATH_LEN),
+                        lambda s: s["event_type"])).alias("path"),
+                F.size("seq").alias("n_events"))
+        .filter(F.col("n_events") >= _PATH_LEN)
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )
+
+
+ORACLE_COMMON_PATHS = f"""
+WITH per_user AS (
+    SELECT user_id,
+           array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{_PATH_LEN}],
+               ' > ') AS path,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM per_user
+WHERE n_events >= {_PATH_LEN}
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {_PATH_TOPK}
+"""

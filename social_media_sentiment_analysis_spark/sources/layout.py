@@ -105,3 +105,23 @@ def compact_parquet(spark: SparkSession, path: str,
     n_after = len([f for dp, _, fs in os.walk(path)
                    for f in fs if f.endswith(".parquet")])
     return len(files), n_after
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_cols: tuple[str, ...]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving sibling partitions untouched — the idempotent daily
+    backfill primitive for a date-partitioned 100 TB table (re-running one
+    day's pipeline rewrites that day's directory, never the table).
+
+    Static overwrite mode (the Spark default) would truncate the whole
+    table first; the per-write ``partitionOverwriteMode=dynamic`` option
+    scopes the overwrite to the incoming partition values, so the operation
+    commutes across disjoint dates and is safe to re-run on failure
+    (overwrite is idempotent per partition, unlike append-based backfills
+    which double-count).
+    """
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_cols)
+     .parquet(path))

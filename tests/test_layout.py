@@ -141,3 +141,36 @@ def test_compact_parquet_sorted_restores_clustering(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files
+
+
+def test_overwrite_partitions_is_scoped_and_idempotent(spark, sf_dir, tmp_path):
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        overwrite_partitions,
+    )
+
+    out = str(tmp_path / "events_by_type_dyn")
+    events = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "value", "event_type")
+    write_partitioned(events, out, ("event_type",))
+    before = {r["event_type"]: r["n"] for r in
+              spark.read.parquet(out).groupBy("event_type")
+              .agg(F.count("*").alias("n")).collect()}
+
+    # backfill ONE partition with a halved slice; siblings must be untouched
+    patch = (events.filter(F.col("event_type") == "click")
+             .filter(F.col("event_id") % 2 == 0))
+    expected_click = patch.count()
+    overwrite_partitions(patch, out, ("event_type",))
+    after = {r["event_type"]: r["n"] for r in
+             spark.read.parquet(out).groupBy("event_type")
+             .agg(F.count("*").alias("n")).collect()}
+    assert after["click"] == expected_click
+    assert {k: v for k, v in after.items() if k != "click"} == \
+           {k: v for k, v in before.items() if k != "click"}
+
+    # idempotent: re-running the same backfill changes nothing
+    overwrite_partitions(patch, out, ("event_type",))
+    again = {r["event_type"]: r["n"] for r in
+             spark.read.parquet(out).groupBy("event_type")
+             .agg(F.count("*").alias("n")).collect()}
+    assert again == after

@@ -190,3 +190,12 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+def test_shipping_priority_plan_contract(spark, sf_dir):
+    # Q3 shape: top-k must plan as TakeOrderedAndProject, and both date
+    # splits must reach their parquet scans as pushed filters
+    df = q("shipping_priority", spark, sf_dir)
+    assert is_top_k(df)
+    filters = pushed_filters(df)
+    assert any("o_orderdate" in f for f in filters)
+    assert any("l_shipdate" in f for f in filters)
