@@ -163,6 +163,10 @@ _ALL: list[Query] = [
     Query("props_extract", shaping.q_props_extract,
           shaping.ORACLE_PROPS_EXTRACT,
           "schema-on-read JSON extraction (get_json_object) + agg"),
+    Query("props_variant", shaping.q_props_variant,
+          shaping.ORACLE_PROPS_VARIANT,
+          "VARIANT semi-structured path: parse_json → variant_get typed "
+          "extraction + agg (Spark 4 binary variant encoding)"),
     Query("stats_profile", shaping.q_stats_profile,
           shaping.ORACLE_STATS_PROFILE,
           "statistical aggregates: stddev/var/corr/covar/count_if/max_by"),
