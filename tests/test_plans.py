@@ -199,3 +199,25 @@ def test_shipping_priority_plan_contract(spark, sf_dir):
     filters = pushed_filters(df)
     assert any("o_orderdate" in f for f in filters)
     assert any("l_shipdate" in f for f in filters)
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Engine users can force a physical join strategy per join (the 100 TB
+    regime where the planner's size estimates are wrong): merge → SMJ,
+    shuffle_hash → ShuffledHashJoin, broadcast → BHJ."""
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = orders.o_custkey == customer.c_custkey
+
+    merge = orders.join(customer.hint("merge"), cond)
+    assert "SortMergeJoin" in physical_plan(merge)
+
+    shuffle_hash = orders.join(customer.hint("shuffle_hash"), cond)
+    assert "ShuffledHashJoin" in physical_plan(shuffle_hash)
+
+    bcast = orders.join(customer.hint("broadcast"), cond)
+    assert "BroadcastHashJoin" in physical_plan(bcast)
