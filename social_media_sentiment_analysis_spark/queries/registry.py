@@ -105,6 +105,10 @@ _ALL: list[Query] = [
           star.ORACLE_SHIPPING_PRIORITY,
           "TPC-H Q3 shape: date-split fact⋈fact⋈dim, revenue top-10 "
           "(TakeOrderedAndProject over the join-agg)"),
+    Query("late_orders_by_priority", star.q_late_orders_by_priority,
+          star.ORACLE_LATE_ORDERS,
+          "TPC-H Q4 shape: EXISTS as a conditioned LEFT SEMI join "
+          "(equi-key + non-equi residual), no post-join distinct"),
     Query("cheapest_parts", star.q_cheapest_parts,
           star.ORACLE_CHEAPEST_PARTS,
           "TPC-H Q2 shape: per-group min + equality join-back (ties kept, "

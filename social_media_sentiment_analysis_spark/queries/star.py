@@ -621,3 +621,52 @@ FROM part p
 JOIN mins m ON p.p_type = m.p_type AND p.p_retailprice = m.min_price
 ORDER BY p.p_type, p.p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: conditioned semi-join (EXISTS with a non-equi predicate)
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 30
+
+
+def q_late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped more than 30 days after
+    the order date, counted by priority (TPC-H Q4's EXISTS shape).
+
+    The existence test is a LEFT SEMI join on the equi-key (orderkey) with
+    the lateness comparison as the join's residual condition — Spark plans
+    it as one hash semi-join that short-circuits per probe row and emits
+    each order at most once, so no post-join distinct is ever needed.
+    The alternative people write — inner join + dropDuplicates — shuffles
+    the full multiplicity of matches just to throw it away; the semi join
+    never materializes them. At 100 TB the semi's build side is pre-
+    projected to (orderkey, shipdate): two columns of lineitem.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    late = (orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate
+           > F.timestamp_add("DAY", F.lit(_LATE_DAYS), orders.o_orderdate)),
+        "left_semi"))
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_LATE_ORDERS = f"""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
