@@ -331,6 +331,10 @@ _ALL: list[Query] = [
           temporal.ORACLE_ERROR_IMPACT,
           "range join: views in the 10 min after a same-user error "
           "(banded equi-join, no theta join)"),
+    Query("rolling_active_users", temporal.q_rolling_active_users,
+          temporal.ORACLE_ROLLING_ACTIVE_USERS,
+          "sliding distinct: exact rolling 7-day active users via pair "
+          "dedup + bounded explode fan-out (no range join)"),
     Query("gapfill_hourly", temporal.q_gapfill_hourly,
           temporal.ORACLE_GAPFILL_HOURLY,
           "gap-fill: dense hourly spine + forward-fill interpolation"),

@@ -390,3 +390,63 @@ GROUP BY path
 ORDER BY n_users DESC, path ASC
 LIMIT {_PATH_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding distinct: rolling 7-day active users
+# ---------------------------------------------------------------------------
+
+_ROLL_DAYS = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the sliding-distinct
+    problem. COUNT(DISTINCT) cannot slide inside a window frame (distinct
+    state is not subtractable), so the exact distributed recipe is:
+    (1) dedup to (day, user) pairs — one exchange that ALSO collapses the
+    fact table to at most |days|×|users| rows before any fan-out;
+    (2) fan each pair out to the ≤7 window-end days it can contribute to —
+    a map-side explode of a generated day sequence, NOT a range join, so
+    no nested-loop ever appears in the plan;
+    (3) keep only window-end days that actually occur (broadcast equi
+    semi-join against the observed-day spine, matching the oracle's
+    semantics) and count distinct users per day — total fan-out is bounded
+    by 7× the deduped pairs, independent of raw event volume.
+    At 100 TB the approximate alternative is per-day HLL sketches merged
+    over the 7-day frame (mergeable, subtract-free); this query is the
+    exact path and the oracle-checkable one.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pairs = (events
+             .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+             .distinct())
+    spine = pairs.select("day").distinct().withColumnRenamed("day", "win_day")
+    fanned = pairs.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.timestamp_add("DAY", F.lit(_ROLL_DAYS - 1), F.col("day")),
+            F.expr("INTERVAL 1 DAY"))).alias("win_day"))
+    return (
+        fanned.join(F.broadcast(spine), "win_day", "left_semi")
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .orderBy("win_day")
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = f"""
+WITH pairs AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), spine AS (
+    SELECT DISTINCT day AS win_day FROM pairs
+)
+SELECT s.win_day,
+       COUNT(DISTINCT p.user_id) AS active_users_7d
+FROM spine s
+JOIN pairs p
+  ON p.day <= s.win_day
+ AND p.day > s.win_day - INTERVAL {_ROLL_DAYS} DAY
+GROUP BY s.win_day
+ORDER BY s.win_day
+"""
