@@ -1319,3 +1319,73 @@ FROM marked
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Label centroids + cluster cohesion (distance-to-centroid profile)
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean vector) and cluster cohesion:
+    the average and worst cosine similarity of members to their own label
+    centroid — the label-quality healthcheck between embedding generation
+    and ANN indexing (a low-cohesion label is mislabeled or multi-modal,
+    and IVF cells built from it will probe badly).
+
+    Shape: posexplode → per-(label, dim) mean (|labels|×dims rows — tiny
+    at any corpus size, broadcast back) → per-vector dot/norm fold →
+    per-label cohesion aggregate. The centroid table is the only joined
+    state; the big flat table is aggregated map-side both times, so the
+    exchanges carry |labels|×dims and |vectors| rows respectively, never
+    corpus×dims.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", F.col("v").cast("double").alias("v"))
+    cent = (flat.groupBy("label", "dim")
+            .agg(F.avg("v").alias("c"))
+            .withColumnsRenamed({"label": "c_label", "dim": "c_dim"}))
+    per_vec = (
+        flat.join(F.broadcast(cent),
+                  (flat.label == cent.c_label) & (flat.dim == cent.c_dim))
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+             F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm_v"),
+             F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("norm_c"))
+        .withColumn("cos", F.col("dot") / (F.col("norm_v") * F.col("norm_c")))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round(F.first("norm_c"), 4).alias("centroid_norm"),
+             F.round(F.avg("cos"), 4).alias("avg_cohesion"),
+             F.round(F.min("cos"), 4).alias("min_cohesion"))
+        .orderBy("label")
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH flat AS (
+    SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), cent AS (
+    SELECT label, dim, AVG(v) AS c
+    FROM flat GROUP BY label, dim
+), per_vec AS (
+    SELECT f.vec_id, f.label,
+           SUM(f.v * c.c) AS dot,
+           sqrt(SUM(f.v * f.v)) AS norm_v,
+           sqrt(SUM(c.c * c.c)) AS norm_c
+    FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+    GROUP BY f.vec_id, f.label
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       round(MIN(norm_c), 4) AS centroid_norm,
+       round(AVG(dot / (norm_v * norm_c)), 4) AS avg_cohesion,
+       round(MIN(dot / (norm_v * norm_c)), 4) AS min_cohesion
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""

@@ -234,6 +234,10 @@ _ALL: list[Query] = [
           llmdata.ORACLE_EMBEDDING_DIM_PROFILE,
           "per-dimension mean/std/min/max across the embedding corpus "
           "(dead-dim / scale-outlier healthcheck)"),
+    Query("label_centroids", llmdata.q_label_centroids,
+          llmdata.ORACLE_LABEL_CENTROIDS,
+          "per-label centroid + cosine cohesion profile (broadcast "
+          "centroid table, map-side folds)"),
     Query("dedup_embedding", llmdata.q_dedup_embedding,
           llmdata.ORACLE_DEDUP_EMBEDDING,
           "near-dup pairs: cosine >= 0.95, label-blocked"),
