@@ -1,0 +1,109 @@
+"""Distributed BPE (byte-pair-encoding) merge training — the iterative
+tokenizer-building algorithm, Spark-native.
+
+Classic word-level BPE (Sennrich et al. 2016, public algorithm): represent
+every distinct word as a character-symbol sequence weighted by word
+frequency; repeatedly (1) count adjacent symbol pairs corpus-wide,
+(2) take the most frequent pair (deterministic lexicographic tiebreak),
+(3) merge that pair left-to-right in every sequence. The merge list IS the
+tokenizer.
+
+Spark shape: the working set is the *distinct-word* table (vocabulary-
+sized, not corpus-sized — frequencies carry the corpus weight), so each
+round is one explode+aggregate over |vocab| rows and a map-side array
+rewrite. The merge rewrite is a sequential left fold (``F.aggregate``)
+because BPE's left-to-right non-overlap rule is order-dependent — a
+higher-order Column function, still JVM-side, no Python per row.
+``localCheckpoint`` truncates lineage each round (same recipe as
+operators/graph.py::pagerank); K rounds = K tiny jobs, not one K-deep plan.
+
+The reference repo has no tokenizer; this is part of the training-data
+pipeline surface (SURVEY §7.2 step 7 / vocab_pairs' big sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_pair(syms_col, left: str, right: str):
+    """Left-to-right non-overlapping merge of (left,right) in a symbol
+    array, as a sequential fold. The merged symbol ``left+right`` can never
+    equal ``left`` (``right`` is non-empty), so a freshly merged token is
+    never itself the left half of another merge in the same pass — exactly
+    the reference algorithm's scan semantics."""
+    merged = left + right
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(word_freq: DataFrame, num_merges: int = 10,
+              ) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from a (word, freq) DataFrame.
+
+    Returns the ordered merge list [(left, right, pair_count), ...].
+    Ties break lexicographically on (left, right) so the result is
+    deterministic and engine-independent.
+    """
+    seqs = word_freq.select(
+        "freq", F.split("word", "").alias("syms")).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = (
+            seqs.select(
+                "freq",
+                F.explode(F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                )).alias("p"))
+            .groupBy(F.col("p.0").alias("left"), F.col("p.1").alias("right"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] is None:
+            break
+        best = pairs[0]
+        merges.append((best["left"], best["right"], int(best["n"])))
+        seqs = seqs.select(
+            "freq", _merge_pair(F.col("syms"), best["left"], best["right"])
+            .alias("syms")).localCheckpoint()
+    return merges
+
+
+def train_bpe_reference(word_freq: dict[str, int],
+                        num_merges: int = 10) -> list[tuple[str, str, int]]:
+    """Single-process reference implementation (test oracle)."""
+    seqs = [(list(w), f) for w, f in word_freq.items()]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in seqs:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new_seqs = []
+        for syms, f in seqs:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_seqs.append((out, f))
+        seqs = new_seqs
+    return merges

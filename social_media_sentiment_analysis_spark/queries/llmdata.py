@@ -1389,3 +1389,80 @@ FROM per_vec
 GROUP BY label
 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability quality score (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity-proxy profile: score every document by the
+    average negative log-probability of its tokens under the corpus's own
+    unigram distribution (add-one smoothed) — the CCNet-style quality
+    signal where gibberish and boilerplate both stand out (rare-token docs
+    score high, stutter-repetition docs score low).
+
+    Two aggregates and one join on the word key: (1) corpus term counts —
+    the vocabulary table, tiny relative to the corpus, broadcast back;
+    (2) explode docs to (doc, word), probe the vocabulary, and average
+    -log p per doc; (3) roll per-doc scores up per source. The vocabulary
+    is the only shared state — at 100 TB it's the word-count table a real
+    pipeline would persist once and reuse across scoring runs.
+    """
+    toked = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("cleaned_text")) != "")
+        .select("doc_id", "source",
+                F.explode(tokens(F.col("cleaned_text"))).alias("word"))
+    )
+    vocab = toked.groupBy("word").agg(F.count(F.lit(1)).alias("tc"))
+    # corpus totals derive from the (tiny) vocabulary table, not a second
+    # pass over the exploded corpus; 1-row collect = the broadcast anchor
+    totals = vocab.agg(
+        F.sum("tc").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_size")).collect()[0]
+    n_tok, v_size = totals["n_tokens"], totals["v_size"]
+    # add-one smoothing: p(w) = (tc + 1) / (N + |V|)
+    neglogp = -F.log((F.col("tc") + F.lit(1.0))
+                     / F.lit(float(n_tok + v_size)))
+    per_doc = (
+        toked.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(neglogp).alias("avg_neglogp"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.round(F.avg("avg_neglogp"), 4).alias("mean_score"),
+             F.round(F.min("avg_neglogp"), 4).alias("best_score"),
+             F.round(F.max("avg_neglogp"), 4).alias("worst_score"))
+        .orderBy("source")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = _SQL_DOCS + """
+, toked AS (
+    SELECT doc_id, source, unnest(string_split(cleaned_text, ' ')) AS word
+    FROM docs WHERE trim(cleaned_text) <> ''
+), vocab AS (
+    SELECT word, COUNT(*) AS tc FROM toked GROUP BY word
+), totals AS (
+    SELECT COUNT(*) AS n_tokens,
+           COUNT(DISTINCT word) AS v_size
+    FROM toked
+), per_doc AS (
+    SELECT t.doc_id, t.source,
+           AVG(-ln((v.tc + 1.0) / (tt.n_tokens + tt.v_size)))
+               AS avg_neglogp
+    FROM toked t JOIN vocab v ON t.word = v.word CROSS JOIN totals tt
+    GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       COUNT(*) AS docs,
+       round(AVG(avg_neglogp), 4) AS mean_score,
+       round(MIN(avg_neglogp), 4) AS best_score,
+       round(MAX(avg_neglogp), 4) AS worst_score
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""

@@ -292,6 +292,10 @@ _ALL: list[Query] = [
           llmdata.ORACLE_CURATION_FUNNEL,
           "curation funnel: raw → lang → quality → dedup stage counts and "
           "token volumes, conditional aggregates (no per-stage rescans)"),
+    Query("unigram_logprob", llmdata.q_unigram_logprob,
+          llmdata.ORACLE_UNIGRAM_LOGPROB,
+          "CCNet-style quality score: avg -log p(token) under the corpus "
+          "unigram LM (broadcast vocabulary probe)"),
     Query("gopher_quality", llmdata.q_gopher_quality,
           llmdata.ORACLE_GOPHER_QUALITY,
           "Gopher-style 5-rule quality gate, per-source per-rule pass "
@@ -360,6 +364,10 @@ _ALL: list[Query] = [
           tokenization.ORACLE_VOCAB_PAIRS,
           "adjacent-pair (bigram) counts — the BPE-merge statistic; "
           "zip_with array algebra, one exchange"),
+    Query("bpe_merges", tokenization.q_bpe_merges, None,
+          "distributed BPE merge training (iterative, vocabulary-sized "
+          "working set; rows-only — pinned to a single-process reference "
+          "implementation in tests)"),
     Query("pack_sequences", tokenization.q_pack_sequences,
           tokenization.ORACLE_PACK_SEQUENCES,
           "greedy fixed-budget sequence packing via running-sum window; "

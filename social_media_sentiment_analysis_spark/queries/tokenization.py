@@ -236,3 +236,26 @@ FROM binned
 GROUP BY source, bin
 ORDER BY source, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training (iterative; rows-only registry entry)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 10
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the corpus word-frequency table
+    (operators/bpe.py::train_bpe — K tiny jobs over the vocabulary-sized
+    working set, lineage truncated per round). Iterative, so no DuckDB
+    oracle; the test pins the Spark merge list to a single-process
+    reference implementation."""
+    from ..operators.bpe import train_bpe
+
+    wf = _tokens(spark, sf_dir).groupBy(F.col("word")).agg(
+        F.count(F.lit(1)).alias("freq"))
+    merges = train_bpe(wf, _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, pair_count long")

@@ -136,3 +136,43 @@ class TestChunkUDTF:
         assert (via_udtf["chunk_fp"] == via_columns["chunk_fp"]).all()
         assert (via_udtf["chunk_tokens"]
                 == via_columns["chunk_tokens"]).all()
+
+
+class TestBPE:
+    """Distributed BPE must learn the exact merge list of the
+    single-process reference on the same word-frequency table."""
+
+    def test_spark_bpe_matches_reference(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.functions.text import (
+            clean_text, tokens,
+        )
+        from social_media_sentiment_analysis_spark.operators.bpe import (
+            train_bpe, train_bpe_reference,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        toked = (load_table(spark, sf_dir, "documents")
+                 .withColumn("cleaned_text", clean_text(F.col("text")))
+                 .select(F.explode(tokens(F.col("cleaned_text")))
+                         .alias("word"))
+                 .filter(F.col("word") != ""))
+        wf = toked.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        local = {r["word"]: r["freq"] for r in wf.collect()}
+        assert len(local) > 5
+        expected = train_bpe_reference(local, 8)
+        got = train_bpe(wf, 8)
+        assert got == expected
+        # merges are (strictly) useful: each pair occurred at least twice
+        assert all(n >= 1 for _, _, n in got)
+
+    def test_char_split_has_no_empty_symbols(self, spark):
+        from social_media_sentiment_analysis_spark.operators.bpe import (
+            train_bpe,
+        )
+        wf = spark.createDataFrame(
+            [("abab", 10), ("ab", 5), ("cd", 1)], "word string, freq long")
+        merges = train_bpe(wf, 2)
+        assert merges[0] == ("a", "b", 25)
+        assert all(left and right for left, right, _ in merges)
