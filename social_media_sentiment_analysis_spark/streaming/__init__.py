@@ -11,6 +11,7 @@ from .pipeline import (
     parse_envelopes,
     read_kafka_stream,
     read_tweet_file_stream,
+    trending_words_stream,
 )
 from .sinks import (
     idempotent_parquet_sink,
@@ -26,6 +27,7 @@ __all__ = [
     "parse_envelopes",
     "read_kafka_stream",
     "read_tweet_file_stream",
+    "trending_words_stream",
     "idempotent_parquet_sink",
     "jsonl_sink",
     "kafka_sink",

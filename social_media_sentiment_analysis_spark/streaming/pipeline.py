@@ -209,3 +209,37 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, *,
     separate job, joined onto the live stream."""
     return stream.join(
         F.broadcast(dim), stream[stream_key] == dim[dim_key], how)
+
+
+def trending_words_stream(enriched: DataFrame,
+                          watermark: str = "2 hours",
+                          min_len: int = 3) -> DataFrame:
+    """Trending words per hour: tokenize the cleaned stream, explode, and
+    count words inside tumbling 1-hour event-time windows.
+
+    The explode is stateless/map-side — only the windowed count holds
+    state, and the watermark bounds it (state = vocabulary × active
+    windows, not history). Emit in update/complete mode and take the
+    top-k at read time: a global streaming top-k would force a single
+    reduce task, whereas per-window counts stay fully parallel and the
+    rank is a cheap batch query over the sink — the standard split for
+    dashboard-style trending at scale. Composable after
+    ``enrich_tweet_stream`` (reuses its watermark, same rule as
+    hourly_rollup_stream).
+    """
+    if enriched.isStreaming and not _has_watermark(enriched):
+        enriched = enriched.withWatermark("event_time", watermark)
+    words = (
+        enriched
+        .select("event_time",
+                F.explode(F.split(F.lower(F.col("cleaned_text")), r"\s+"))
+                .alias("word"))
+        .filter(F.length("word") >= min_len)
+    )
+    return (
+        words.groupBy(
+            F.window(F.col("event_time"), "1 hour").alias("w"),
+            F.col("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("date_hour"), "word", "n")
+    )

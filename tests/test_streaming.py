@@ -375,3 +375,26 @@ def test_full_dataflow_end_to_end(spark, stream_input, tmp_path):
     by_sent = {r.final_sentiment: r.n for r in stored.groupBy(
         "final_sentiment").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_sent == {"positive": 1, "negative": 1, "neutral": 1}
+
+
+def test_trending_words_stream(spark, stream_input):
+    from social_media_sentiment_analysis_spark.streaming import (
+        trending_words_stream,
+    )
+
+    stream = read_tweet_file_stream(spark, stream_input)
+    enriched = enrich_tweet_stream(stream)
+    trending = trending_words_stream(enriched)
+    name = "trend_" + uuid.uuid4().hex[:8]
+    q = _mem_query(trending, name, mode="complete")
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    assert rows, "windowed word counts must arrive"
+    # every count is per (hour, word); both fixture hours appear
+    hours = {r.date_hour.hour for r in rows}
+    assert hours == {10, 11}
+    # the dedup upstream means the duplicated tweet counts once: no word
+    # appears more often than the number of distinct tweets in its hour
+    for r in rows:
+        assert 1 <= r.n <= 3
+        assert len(r.word) >= 3
