@@ -105,6 +105,10 @@ _ALL: list[Query] = [
           star.ORACLE_SHIPPING_PRIORITY,
           "TPC-H Q3 shape: date-split fact⋈fact⋈dim, revenue top-10 "
           "(TakeOrderedAndProject over the join-agg)"),
+    Query("decimal_revenue", star.q_decimal_revenue,
+          star.ORACLE_DECIMAL_REVENUE,
+          "DECIMAL(18,4) money aggregation — exact, order-independent "
+          "(the financial reproducibility contract)"),
     Query("late_orders_by_priority", star.q_late_orders_by_priority,
           star.ORACLE_LATE_ORDERS,
           "TPC-H Q4 shape: EXISTS as a conditioned LEFT SEMI join "

@@ -670,3 +670,53 @@ WHERE EXISTS (
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact decimal money aggregation (DecimalType end to end)
+# ---------------------------------------------------------------------------
+
+def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue summary with money as DECIMAL(18,4) end to end — exact,
+    accumulation-order-independent arithmetic, unlike the double-typed
+    twin queries whose aggregates need round() to be engine-stable.
+
+    At 100 TB double summation drifts with partition order (every retry or
+    AQE re-plan can change the last bits); decimal aggregation is the
+    reproducibility contract for anything financial. Spark widens the sum
+    intermediate automatically (DECIMAL(28,4) accumulator) so no overflow
+    below 10^24 total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            # accumulate exactly in decimal; present as double (the driver
+            # hash canonicalizes doubles, while Decimal reprs differ in
+            # trailing zeros across engines)
+            F.sum(price).cast("decimal(18,4)").cast("double").alias("gross"),
+            F.sum((price * (one - disc)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").cast("double").alias("net"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_DECIMAL_REVENUE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                 AS DECIMAL(18,4)) AS DOUBLE) AS gross,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(18,4))
+                             - CAST(l_discount AS DECIMAL(18,4)))
+                          AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+           AS net
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
