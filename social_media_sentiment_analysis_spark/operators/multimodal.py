@@ -217,3 +217,56 @@ def resize_images(media: DataFrame, width: int = 16,
             schema="media_id string, mime_type string, payload binary, "
                    "width int, height int")
     )
+
+
+SEGMENT_SCHEMA = (
+    "media_id string, segment_idx int, start_ms bigint, end_ms bigint, "
+    "segment_bytes binary"
+)
+
+
+def segment_audio(media: DataFrame, segment_ms: int = 1000,
+                  hop_ms: int | None = None) -> DataFrame:
+    """Audio segmentation: split each audio payload into fixed-duration
+    windows (optionally overlapping via ``hop_ms`` < ``segment_ms``) — the
+    ASR/audio-embedding preprocessing stage (one row per segment).
+
+    Same mapInPandas shape as frame sampling: data-dependent expansion with
+    Python-side payload slicing, one Arrow crossing per batch. The fake
+    codec maps time to bytes linearly (true for constant-bitrate PCM — a
+    real decoder drops into the same loop body); the Spark-side contract —
+    schema, windowing arithmetic, hop/overlap semantics, binary slicing —
+    is the real plumbing.
+    """
+    hop = hop_ms or segment_ms
+
+    def segments(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload, dur in zip(
+                    pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                raw = payload or b""
+                dur = int(dur or 0)
+                if dur <= 0 or not raw:
+                    continue
+                bytes_per_ms = len(raw) / dur
+                idx = 0
+                for start in range(0, dur, hop):
+                    end = min(start + segment_ms, dur)
+                    b0 = int(start * bytes_per_ms)
+                    b1 = max(b0 + 1, int(end * bytes_per_ms))
+                    out.append((mid, idx, start, end, raw[b0:b1]))
+                    idx += 1
+                    if end >= dur:
+                        break
+            yield pd.DataFrame(
+                out, columns=["media_id", "segment_idx", "start_ms",
+                              "end_ms", "segment_bytes"])
+
+    return (
+        media.filter(F.col("modality") == "audio")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(segments, schema=SEGMENT_SCHEMA)
+    )

@@ -98,3 +98,23 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def q_media_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every audio payload into overlapping 1 s windows (500 ms
+    hop) and roll up per media: segment count, covered span, bytes — the
+    audio→segments→stats pipeline (rows-only; hop/overlap arithmetic
+    parity is asserted in tests/test_multimodal.py)."""
+    from ..operators.multimodal import segment_audio
+
+    segs = segment_audio(_media(spark, sf_dir), segment_ms=1000, hop_ms=500)
+    return (
+        segs.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("end_ms").alias("covered_ms"),
+            F.sum(F.octet_length("segment_bytes")).cast("bigint")
+             .alias("bytes_total"),
+        )
+        .orderBy("media_id")
+    )

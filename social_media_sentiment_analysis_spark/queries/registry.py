@@ -357,6 +357,9 @@ _ALL: list[Query] = [
     Query("media_frames", multimodal.q_media_frames, None,
           "video frame sampling (mapInPandas row expansion) + per-media "
           "rollup (rows-only; slicing parity in tests)"),
+    Query("media_segments", multimodal.q_media_segments, None,
+          "audio segmentation (overlapping 1s windows, 500ms hop) + "
+          "per-media rollup (rows-only; slicing parity in tests)"),
     Query("media_features", multimodal.q_media_features, None,
           "mapInPandas decode→features (deterministic fake codec; "
           "rows-only check, pandas parity in tests)"),

@@ -128,3 +128,52 @@ class TestFrameSampleResize:
                for r in media.filter("modality = 'image'").collect()}
         for r in out:
             assert bytes(r.payload)[0] == src[r.media_id][0]
+
+
+class TestAudioSegmentation:
+    def test_segments_cover_duration_with_hop_overlap(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            attach_media, segment_audio,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        media = attach_media(load_table(spark, sf_dir, "documents"))
+        segs = segment_audio(media, segment_ms=1000, hop_ms=500).toPandas()
+        assert len(segs) > 0
+        audio = media.filter("modality = 'audio'") \
+            .select("media_id", "duration_ms").toPandas() \
+            .set_index("media_id")["duration_ms"].to_dict()
+        for mid, grp in segs.groupby("media_id"):
+            grp = grp.sort_values("segment_idx")
+            dur = audio[mid]
+            # windows advance by the hop, end clamped to the duration
+            assert (grp["start_ms"].diff().dropna() == 500).all()
+            assert grp["end_ms"].iloc[-1] == dur
+            assert (grp["end_ms"] - grp["start_ms"] <= 1000).all()
+            # every segment carries a non-empty payload slice
+            assert (grp["segment_bytes"].map(len) > 0).all()
+
+    def test_python_reference_slicing_parity(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            attach_media, segment_audio,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        media = attach_media(load_table(spark, sf_dir, "documents"))
+        from pyspark.sql import functions as F
+
+        one = media.filter("modality = 'audio'").limit(1).collect()[0]
+        segs = (segment_audio(
+            media.filter(F.col("media_id") == one["media_id"]),
+            segment_ms=1000, hop_ms=500)
+            .orderBy("segment_idx").collect())
+        raw, dur = bytes(one["payload"]), one["duration_ms"]
+        bpms = len(raw) / dur
+        for s in segs:
+            b0 = int(s["start_ms"] * bpms)
+            b1 = max(b0 + 1, int(s["end_ms"] * bpms))
+            assert bytes(s["segment_bytes"]) == raw[b0:b1]
