@@ -152,6 +152,13 @@ _ALL: list[Query] = [
           windowed.ORACLE_TRAILING_HOUR_AVG,
           "RANGE-frame window: trailing 1-hour per-user average "
           "(time-gap frame, not row count)"),
+    Query("top_orders_with_ties", windowed.q_top_orders_with_ties,
+          windowed.ORACLE_TOP_ORDERS_WITH_TIES,
+          "top-k per group WITH ties (rank vs row_number semantics)"),
+    Query("cumulative_unique_users", windowed.q_cumulative_unique_users,
+          windowed.ORACLE_CUMULATIVE_UNIQUE_USERS,
+          "cumulative distinct via first-seen attribution + running sum "
+          "(no distinct-over-window state)"),
     # --- result shaping: cube/pivot/percentiles/set-ops/explode ---
     Query("type_hour_cube", shaping.q_type_hour_cube,
           shaping.ORACLE_TYPE_HOUR_CUBE,

@@ -375,3 +375,82 @@ FROM ev, anchor
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group WITH ties (rank, not row_number)
+# ---------------------------------------------------------------------------
+
+def q_top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's top-2 orders by value, keeping ties — rank() rather
+    than row_number(), the semantic difference that matters whenever the
+    ranking key has collisions (row_number silently drops equal-valued
+    rows; rank keeps every row that ties into the top k). Same single
+    exchange as the top-1 query: the window partitions by the group key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+ORACLE_TOP_ORDERS_WITH_TIES = """
+SELECT o_custkey, rnk, o_orderkey, o_totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC) AS rnk
+    FROM orders
+)
+WHERE rnk <= 2
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users (first-seen attribution + running sum)
+# ---------------------------------------------------------------------------
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the growth-curve query.
+    Naively this is COUNT(DISTINCT) over an ever-growing frame (state =
+    all history); the scalable identity is first-seen attribution: each
+    user contributes exactly once, on their first active day, so the curve
+    is a per-day count of first-seen users + a running sum over the tiny
+    daily aggregate. Two exchanges over progressively collapsing data
+    (|users|, then |days|), zero distinct-over-window state."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = (
+        events.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("user_id").agg(F.min("day").alias("first_day")))
+    daily_new = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily_new
+        .select("first_day", "new_users",
+                F.sum("new_users").over(w).alias("cumulative_users"))
+        .orderBy("first_day")
+    )
+
+
+ORACLE_CUMULATIVE_UNIQUE_USERS = """
+WITH first_seen AS (
+    SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+    FROM events GROUP BY user_id
+), daily_new AS (
+    SELECT first_day, COUNT(*) AS new_users
+    FROM first_seen GROUP BY first_day
+)
+SELECT first_day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+           AS cumulative_users
+FROM daily_new
+ORDER BY first_day
+"""
