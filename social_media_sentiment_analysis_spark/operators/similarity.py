@@ -196,3 +196,39 @@ def brute_force_topk_pandas(df: DataFrame, query_vec: list[float],
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def brute_force_topk_arrow(df: DataFrame, query_vec: list[float],
+                           vec_col: str, id_col: str,
+                           k: int = 10) -> DataFrame:
+    """``mapInArrow`` twin of the pandas kNN: operates directly on pyarrow
+    RecordBatches — no pandas materialization, so the per-batch overhead is
+    one FixedSize/ListArray→numpy view instead of a pandas Block build.
+    The lowest-overhead Python crossing Spark offers; same IEEE op order
+    and top-k as the Column and pandas forms (pinned equal in tests).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    out_schema = f"{id_col} long, cosine double"
+
+    def score(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            vecs = batch.column(batch.schema.get_field_index(vec_col))
+            m = np.stack([np.asarray(v.values, dtype=np.float64)
+                          for v in vecs])
+            sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(sims, 4), type=pa.float64())],
+                names=[id_col, "cosine"])
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInArrow(score, schema=out_schema)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -177,3 +177,17 @@ def test_pandas_knn_matches_column_knn(spark, sf_dir):
          brute_force_topk_pandas(corpus, qvec, "embedding", "vec_id",
                                  k=10).collect()]
     assert a == b
+
+
+def test_arrow_knn_matches_column_knn(spark, sf_dir):
+    from social_media_sentiment_analysis_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_arrow,
+    )
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    col = brute_force_topk(emb, qv, "embedding", "vec_id", k=10).collect()
+    arw = brute_force_topk_arrow(emb, qv, "embedding", "vec_id", k=10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in col] == \
+           [(r["vec_id"], r["cosine"]) for r in arw]

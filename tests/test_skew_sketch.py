@@ -75,3 +75,29 @@ def test_sketch_profile_accuracy(spark, sf_dir):
         for qa, p in zip(a.value_quantiles, (0.5, 0.95, 0.99)):
             rank = sum(1 for v in vs if v <= qa) / n
             assert abs(rank - p) <= 0.03, (et, p, rank)
+
+
+class TestGroupedMap:
+    """applyInPandas grouped map must equal its window twin row-for-row —
+    the template proving when (not) to leave Column land."""
+
+    def test_zscore_twins_agree(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.grouped import (
+            zscore_per_group_pandas, zscore_per_group_window,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        events = load_table(spark, sf_dir, "events") \
+            .select("event_id", "event_type", "value")
+        a = zscore_per_group_pandas(events, "event_type", "value") \
+            .toPandas().sort_values("event_id").reset_index(drop=True)
+        b = zscore_per_group_window(events, "event_type", "value") \
+            .toPandas().sort_values("event_id").reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        assert (a["zscore"] == b["zscore"]).all()
+        # z-scores are actually standardized per group
+        g = a.groupby("event_type")["zscore"]
+        assert (g.mean().abs() < 1e-3).all()
+        assert ((g.std(ddof=0) - 1).abs() < 1e-3).all()
