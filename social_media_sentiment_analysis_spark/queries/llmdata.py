@@ -1466,3 +1466,64 @@ FROM per_doc
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+
+_W_BASE_RATE = 0.8
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reproducible sampling: each document's keep-probability is
+    proportional to a per-doc weight (length as the quality stand-in,
+    normalized by the corpus max), gated by the md5-uniform trick — so
+    membership is still a pure function of the key (stable across runs,
+    engines, partitionings) but higher-quality docs survive
+    proportionally more often, the usual shape for quality-weighted
+    corpus construction.
+
+    The corpus max is a 1-row broadcast anchor; everything else is the
+    single scan + one aggregation exchange of the unweighted sampler.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    max_chars = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("double") / F.lit(4294967296.0))
+    p = F.lit(_W_BASE_RATE) * F.col("n_chars") / F.col("max_chars")
+    kept = F.when(u < p, 1)
+    return (
+        docs.crossJoin(F.broadcast(max_chars))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("total_docs"),
+             F.count(kept).alias("kept_docs"),
+             F.sum(F.when(kept.isNotNull(), F.col("n_chars"))
+                   .otherwise(F.lit(0))).alias("kept_chars"))
+        .withColumn("achieved_rate",
+                    F.round(F.col("kept_docs") / F.col("total_docs"), 4))
+        .orderBy("source")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH anchored AS (
+    SELECT d.*,
+           (SELECT MAX(n_chars) FROM documents) AS max_chars,
+           CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+    FROM documents d
+)
+SELECT source,
+       COUNT(*) AS total_docs,
+       COUNT(*) FILTER (WHERE u < {_W_BASE_RATE} * n_chars / max_chars)
+           AS kept_docs,
+       CAST(SUM(CASE WHEN u < {_W_BASE_RATE} * n_chars / max_chars
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       round(COUNT(*) FILTER (WHERE u < {_W_BASE_RATE} * n_chars / max_chars)
+             / COUNT(*), 4) AS achieved_rate
+FROM anchored
+GROUP BY source
+ORDER BY source
+"""

@@ -121,6 +121,14 @@ _ALL: list[Query] = [
           star.ORACLE_CUSTOMER_ACTIVITY_MERGE,
           "FULL OUTER join of two pre-aggregated fact sides with "
           "presence flags"),
+    Query("customer_order_distribution", star.q_customer_order_distribution,
+          star.ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+          "TPC-H Q13 shape: LEFT OUTER + double aggregation "
+          "(order-count distribution incl. the zero bucket)"),
+    Query("wealthy_inactive_customers", star.q_wealthy_inactive_customers,
+          star.ORACLE_WEALTHY_INACTIVE,
+          "TPC-H Q22 shape: scalar-threshold filter + LEFT ANTI join "
+          "(broadcast 1-row anchor, key-only anti build)"),
     Query("skew_salted_revenue", star.q_skew_salted_revenue,
           star.ORACLE_SKEW_SALTED_REVENUE,
           "manually salted skew join (8 salt buckets), result identical "
@@ -287,6 +295,10 @@ _ALL: list[Query] = [
     Query("stratified_sample", llmdata.q_stratified_sample,
           llmdata.ORACLE_STRATIFIED_SAMPLE,
           "deterministic md5-gated stratified sampling, per-source rates"),
+    Query("weighted_sample", llmdata.q_weighted_sample,
+          llmdata.ORACLE_WEIGHTED_SAMPLE,
+          "quality-weighted deterministic sampling (md5-uniform gate ×"
+          " per-doc weight, broadcast max anchor)"),
     Query("source_mix", llmdata.q_source_mix,
           llmdata.ORACLE_SOURCE_MIX,
           "token-budget source mixing: computed rates, md5-gated, "

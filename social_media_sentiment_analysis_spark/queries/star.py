@@ -720,3 +720,79 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: outer-join double aggregation (order-count distribution)
+# ---------------------------------------------------------------------------
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N orders, including N=0 (TPC-H
+    Q13). The LEFT OUTER join is load-bearing: an inner join silently
+    drops never-ordered customers, and the zero bucket is usually the
+    business question. Double aggregation over collapsing data — per-
+    customer count (|customers| rows), then count-of-counts (|distinct
+    N| rows); the second exchange is microscopic at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar threshold + anti join
+# ---------------------------------------------------------------------------
+
+def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average account balance and no event activity
+    (TPC-H Q22's shape): a scalar aggregate threshold (broadcast 1-row
+    anchor — the average over positive balances), a filter against it,
+    and a LEFT ANTI join against the activity fact, rolled up per market
+    segment. The anti join's build side is the fact's *key column only* —
+    at 100 TB the anti probe ships one bigint per row, nothing wider."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(events, customer.c_custkey == events.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 4).alias("total_balance"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_WEALTHY_INACTIVE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       round(SUM(c_acctbal), 4) AS total_balance
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

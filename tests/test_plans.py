@@ -90,7 +90,11 @@ def test_no_cartesian_anywhere(spark, sf_dir):
             assert name in ("trailing_window", "export",
                             "curation_funnel", "knn_join",
                             "gapfill_hourly", "tfidf_keywords",
-                            "decayed_engagement"), name
+                            "decayed_engagement",
+                            # 1-row broadcast scalar anchors
+                            "wealthy_inactive_customers",
+                            "weighted_sample",
+                            "unigram_logprob"), name
 
 
 def test_knn_join_broadcasts_query_set(spark, sf_dir):
