@@ -174,3 +174,34 @@ def test_overwrite_partitions_is_scoped_and_idempotent(spark, sf_dir, tmp_path):
              spark.read.parquet(out).groupBy("event_type")
              .agg(F.count("*").alias("n")).collect()}
     assert again == after
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A filter on a joined dim must prune the fact's partition directories
+    at runtime (DPP) — the mechanism that makes dim-filtered star joins
+    read a fraction of a date/category-partitioned 100 TB fact table even
+    though the fact-side predicate is only known at run time."""
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    out = str(tmp_path / "events_part")
+    write_partitioned(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type"),
+        out, ("event_type",))
+    fact = spark.read.parquet(out)
+    # the dim predicate must be on a NON-key attribute: a literal filter on
+    # the join key itself propagates to the fact as a STATIC partition
+    # filter (constraint propagation) and DPP never needs to fire. Keep the
+    # most frequent event type(s) — knowable only at runtime.
+    counts = (load_table(spark, sf_dir, "events")
+              .groupBy("event_type").agg(F.count("*").alias("n")))
+    th = max(r["n"] for r in counts.collect())
+    dim = counts.filter(F.col("n") >= th).select("event_type", "n")
+    joined = fact.join(dim, "event_type")
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    n = joined.count()
+    total = fact.count()
+    assert 0 < n < total
