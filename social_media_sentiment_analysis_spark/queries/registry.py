@@ -186,6 +186,10 @@ _ALL: list[Query] = [
     Query("props_extract", shaping.q_props_extract,
           shaping.ORACLE_PROPS_EXTRACT,
           "schema-on-read JSON extraction (get_json_object) + agg"),
+    Query("snapshot_diff", shaping.q_snapshot_diff,
+          shaping.ORACLE_SNAPSHOT_DIFF,
+          "snapshot diff / CDC classification (FULL OUTER on key + "
+          "fingerprint equality; added/removed/modified/unchanged)"),
     Query("props_variant", shaping.q_props_variant,
           shaping.ORACLE_PROPS_VARIANT,
           "VARIANT semi-structured path: parse_json → variant_get typed "

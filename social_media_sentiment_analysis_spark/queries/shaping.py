@@ -819,3 +819,69 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / CDC classification (dataset-versioning audit)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every key across two dataset versions as added / removed /
+    modified / unchanged — the between-snapshots audit a versioned corpus
+    pipeline runs before promoting a build. Snapshot B is derived
+    deterministically from the documents table (every 17th doc removed,
+    every 13th doc's payload changed, every 11th doc_id shifted into a new
+    id range = additions), so both engines construct identical inputs.
+
+    One FULL OUTER join on the key with null-flag + payload-equality
+    classification — the exceptAll-based alternative needs two set-diff
+    shuffles and still can't tell modified from added/removed. At 100 TB
+    the join ships (key, fingerprint) pairs only, never the payloads:
+    compare by md5, not by text.
+    """
+    a = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp_a"))
+    b = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 != 0)
+        .select(
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.col("doc_id") + 1_000_000)
+            .otherwise(F.col("doc_id")).alias("doc_id"),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.md5(F.concat(F.col("text"), F.lit("!"))))
+            .otherwise(F.md5("text")).alias("fp_b"))
+    )
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("modified"))
+        .otherwise(F.lit("unchanged")))
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH a AS (
+    SELECT doc_id, md5(text) AS fp_a FROM documents
+), b AS (
+    SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000
+                ELSE doc_id END AS doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN md5(text || '!')
+                ELSE md5(text) END AS fp_b
+    FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT CASE WHEN a.fp_a IS NULL THEN 'added'
+            WHEN b.fp_b IS NULL THEN 'removed'
+            WHEN a.fp_a <> b.fp_b THEN 'modified'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_docs
+FROM a FULL OUTER JOIN b USING (doc_id)
+GROUP BY 1
+ORDER BY status
+"""

@@ -14,6 +14,7 @@ from .pipeline import (
     trending_words_stream,
 )
 from .sinks import (
+    fanout_sink,
     idempotent_parquet_sink,
     jsonl_sink,
     kafka_sink,
@@ -28,6 +29,7 @@ __all__ = [
     "read_kafka_stream",
     "read_tweet_file_stream",
     "trending_words_stream",
+    "fanout_sink",
     "idempotent_parquet_sink",
     "jsonl_sink",
     "kafka_sink",

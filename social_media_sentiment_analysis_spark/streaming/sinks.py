@@ -123,3 +123,42 @@ def upsert_parquet_sink(df: DataFrame, path: str, checkpoint: str,
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def fanout_sink(df: DataFrame, jsonl_path: str, table_path: str,
+                checkpoint: str, key_col: str = "tweet_id",
+                partition_col: str = "event_time") -> DataStreamWriter:
+    """Single-pass fan-out to both reference sinks (SURVEY §3.2: the
+    streamer writes every record to the JSONL archive AND the queryable
+    store): one foreachBatch caches the micro-batch, writes the
+    hour-partitioned JSONL append and the keyed insert-if-absent parquet
+    from the same cached data, then unpersists.
+
+    Without the cache each sink would recompute the whole upstream pipeline
+    (the enrichment runs twice); with it the batch is scored once. One
+    checkpoint covers both sinks — they commit or replay together, and the
+    keyed store's anti-join keeps the pair idempotent under replay.
+    """
+
+    def fan_out(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch.persist()
+        try:
+            (batch.withColumn(
+                "hour", F.date_format(F.col(partition_col), "yyyyMMdd_HH"))
+             .write.mode("append").partitionBy("hour").json(jsonl_path))
+            fresh = batch.dropDuplicates([key_col])
+            try:
+                existing = spark.read.parquet(table_path).select(key_col)
+                fresh = fresh.join(existing, on=key_col, how="left_anti")
+            except Exception:
+                pass  # first batch: table doesn't exist yet
+            fresh.write.mode("append").parquet(table_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

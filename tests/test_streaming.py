@@ -398,3 +398,25 @@ def test_trending_words_stream(spark, stream_input):
     for r in rows:
         assert 1 <= r.n <= 3
         assert len(r.word) >= 3
+
+
+def test_fanout_sink_writes_both_and_replays_idempotently(
+        spark, stream_input, tmp_path):
+    from social_media_sentiment_analysis_spark.streaming import fanout_sink
+
+    jsonl, table = str(tmp_path / "jsonl"), str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_tweet_file_stream(spark, stream_input)
+    enriched = enrich_tweet_stream(stream)
+    run_available_now(fanout_sink(enriched, jsonl, table, ckpt))
+    jl = spark.read.json(jsonl)
+    tb = spark.read.parquet(table)
+    assert jl.count() == tb.count() == 3
+    assert sorted(p for p in os.listdir(jsonl) if p.startswith("hour=")) \
+        == ["hour=20240115_10", "hour=20240115_11"]
+    # replay with a FRESH checkpoint: the JSONL archive appends (raw log),
+    # but the keyed store stays deduplicated
+    run_available_now(fanout_sink(
+        enriched, jsonl, table, str(tmp_path / "ckpt2")))
+    assert spark.read.parquet(table).count() == 3
+    assert spark.read.json(jsonl).count() == 6
