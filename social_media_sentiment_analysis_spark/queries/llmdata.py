@@ -1527,3 +1527,78 @@ FROM anchored
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (storage/bandwidth reduction audit)
+# ---------------------------------------------------------------------------
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column and
+    its accuracy audit: scale = max|x|/127, q_i = round(x_i/scale), and the
+    per-label reconstruction error of dequantized vectors — the 4×
+    storage/bandwidth cut every large ANN index takes, with the error
+    number that justifies it.
+
+    All array algebra (transform/aggregate folds), zero Python crossings;
+    the audit aggregates per label so the output is |labels| rows at any
+    corpus size. In production the quantized array<tinyint> is what gets
+    persisted; this query keeps quantize→dequantize→compare in one plan to
+    stay self-contained.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (F.aggregate(xd, F.lit(0.0),
+                         lambda acc, x: F.greatest(acc, F.abs(x)))
+             / F.lit(127.0))
+    with_q = (
+        emb.select("vec_id", "label", xd.alias("x"),
+                   scale.alias("scale"))
+        .select(
+            "vec_id", "label", "x", "scale",
+            F.transform("x", lambda v: F.round(v / F.col("scale"))
+                        .cast("int")).alias("q"))
+    )
+    err = F.aggregate(
+        F.zip_with("x", "q",
+                   lambda v, qq: F.abs(v - qq.cast("double") * F.col("scale"))),
+        F.lit(0.0), lambda acc, e: acc + e) / F.size("x")
+    return (
+        with_q.select("label", F.col("scale").alias("s"), err.alias("mae"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round(F.avg("s"), 6).alias("avg_scale"),
+             F.round(F.avg("mae"), 6).alias("avg_mae"),
+             F.round(F.max("mae"), 6).alias("worst_mae"))
+        .orderBy("label")
+    )
+
+
+ORACLE_QUANTIZE_EMBEDDINGS = """
+WITH prep AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x,
+           list_aggregate(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0
+               AS scale
+    FROM embeddings
+), q AS (
+    SELECT vec_id, label, x, scale,
+           list_transform(x, v -> CAST(round(v / scale) AS INTEGER)) AS qv
+    FROM prep
+), scored AS (
+    SELECT label, scale,
+           list_sum(list_transform(range(1, len(x) + 1),
+               i -> abs(x[i] - CAST(qv[i] AS DOUBLE) * scale)))
+               / len(x) AS mae
+    FROM q
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       round(AVG(scale), 6) AS avg_scale,
+       round(AVG(mae), 6) AS avg_mae,
+       round(MAX(mae), 6) AS worst_mae
+FROM scored
+GROUP BY label
+ORDER BY label
+"""

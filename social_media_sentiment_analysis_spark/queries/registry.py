@@ -257,6 +257,10 @@ _ALL: list[Query] = [
           llmdata.ORACLE_EMBEDDING_DIM_PROFILE,
           "per-dimension mean/std/min/max across the embedding corpus "
           "(dead-dim / scale-outlier healthcheck)"),
+    Query("quantize_embeddings", llmdata.q_quantize_embeddings,
+          llmdata.ORACLE_QUANTIZE_EMBEDDINGS,
+          "int8 symmetric quantization + reconstruction-error audit "
+          "(pure array folds, |labels|-row output)"),
     Query("label_centroids", llmdata.q_label_centroids,
           llmdata.ORACLE_LABEL_CENTROIDS,
           "per-label centroid + cosine cohesion profile (broadcast "

@@ -125,3 +125,49 @@ def overwrite_partitions(df: DataFrame, path: str,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(*partition_cols)
      .parquet(path))
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_files: int = 16, bits: int = 16) -> None:
+    """Z-order (Morton-curve) clustering on TWO columns: normalize each to
+    a ``bits``-bit integer via broadcast min/max anchors, interleave the
+    bits into one z-value, range-partition + sort on it, one file per
+    range.
+
+    Why it matters at 100 TB: single-column range sorting
+    (``write_range_sorted``) gives perfect file skipping on that column
+    and NONE on any other; the Morton interleave makes every file cover a
+    small square-ish cell of the 2-D key space, so footer min/max pruning
+    works on BOTH columns (each ~sqrt-selective instead of one perfect +
+    one useless). The z-value is pure Column bit arithmetic — shiftleft /
+    bitwise OR folds, no UDF — and only the tiny min/max anchor row is
+    broadcast.
+    """
+    anchors = df.agg(
+        F.min(col_a).alias("lo_a"), F.max(col_a).alias("hi_a"),
+        F.min(col_b).alias("lo_b"), F.max(col_b).alias("hi_b"))
+    top = (1 << bits) - 1
+
+    def scaled(col, lo, hi):
+        rng = (F.col(hi).cast("double") - F.col(lo).cast("double")
+               + F.lit(1e-9))
+        return F.floor(
+            (F.col(col).cast("double") - F.col(lo).cast("double"))
+            / rng * F.lit(float(top))).cast("long")
+
+    withz = df.crossJoin(F.broadcast(anchors))
+    ba = scaled(col_a, "lo_a", "hi_a")
+    bb = scaled(col_b, "lo_b", "hi_b")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(ba, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(bb, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1)) \
+             .bitwiseOR(F.shiftleft(bit_b, 2 * i))
+    withz = withz.withColumn("__z", z).drop("lo_a", "hi_a", "lo_b", "hi_b")
+    (
+        withz.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    )

@@ -3,6 +3,8 @@ bucketed-bucketed join plans with zero shuffle exchanges."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -205,3 +207,58 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     n = joined.count()
     total = fact.count()
     assert 0 < n < total
+
+
+def test_zorder_prunes_on_second_dimension(spark, sf_dir, tmp_path):
+    """Morton clustering must give footer-stats pruning on BOTH columns:
+    a selective filter on the column a single-column sort ignores should
+    skip most z-ordered files, while the single-column layout can skip
+    none of them."""
+    import pyarrow.parquet as pq
+
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        write_range_sorted, write_zordered,
+    )
+
+    events = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "value")
+    z_out = str(tmp_path / "z")
+    s_out = str(tmp_path / "s")
+    write_zordered(events, z_out, "user_id", "value", n_files=16)
+    write_range_sorted(events, s_out, "user_id", n_files=16)
+
+    lo, hi = events.agg(F.min("value"), F.max("value")).collect()[0]
+    # mid-high slab (50-60% of the range): sparse — a few dozen rows
+    # scattered uniformly across users, so the user-sorted layout cannot
+    # skip them — but populated enough that the test is not about one row.
+    # (The bottom-heavy value distribution means a low slab is unprunable
+    # at this file count: quantile partitioning puts most files there.)
+    box_lo = lo + (hi - lo) * 0.5
+    box_hi = lo + (hi - lo) * 0.6
+
+    def candidates(path):
+        cand = total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("value")
+            mins = [md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)]
+            if min(mins) <= box_hi and max(maxs) >= box_lo:
+                cand += 1
+        return cand, total
+
+    z_cand, z_total = candidates(z_out)
+    s_cand, s_total = candidates(s_out)
+    assert z_total >= 8 and s_total >= 8
+    # single-column layout: value is scattered → essentially no skipping
+    assert s_cand >= s_total - 3
+    # z-order: most files' value range misses the slab
+    assert z_cand < s_cand
+    assert z_cand <= z_total // 4
+    # and the data survives the rewrite intact
+    assert spark.read.parquet(z_out).count() == events.count()
