@@ -7,7 +7,7 @@ DuckDB twin) are registered rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import clean_text, lang_id_column, quality_columns, quality_enrich, tokens
@@ -1601,4 +1601,103 @@ SELECT label,
 FROM scored
 GROUP BY label
 ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splitting and per-group sampling
+# ---------------------------------------------------------------------------
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive every training pipeline needs before anything else.
+
+    The split is a pure function of the key: the first two hex digits of
+    md5(doc_id) give a uniform 0-255 bucket, cut at 204/230 (≈80/10/10).
+    Unlike ``randomSplit``, membership survives reruns, repartitioning,
+    engine changes, and corpus growth (old docs never migrate between
+    splits when new docs arrive — the property that keeps eval sets
+    uncontaminated across dataset versions). Reported: per-split doc count,
+    token volume, share. One scan, one 3-group aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    split = (
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+    )
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda t: t != F.lit("")))
+    total = Window.partitionBy()
+    return (
+        docs.select(split.alias("split"), n_tok.alias("n_tok"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(total), 4))
+        .orderBy("split")
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     AS BIGINT) < 204 THEN 'train'
+           WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     AS BIGINT) < 230 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 4) AS doc_share
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+_PER_SOURCE_K = 5
+
+
+def q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (reservoir-sample twin): the k
+    docs with the smallest md5(doc_id) within each source. Hash-ranking
+    makes the "random" choice a pure function of the key — stable across
+    runs and engines — while the per-group window gives uniform-without-
+    replacement semantics. One sort-exchange on source; at 100 TB the
+    rank-k cutoff discards everything else map-side first via the window
+    group limit optimization (rank predicate pushed into the sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc())
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars",
+                    h.alias("sort_key"))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= _PER_SOURCE_K)
+        .drop("sort_key")
+        .orderBy("source", "pick_rank")
+    )
+
+
+ORACLE_SOURCE_SAMPLE = f"""
+SELECT doc_id, source, lang, n_chars, pick_rank
+FROM (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS BIGINT) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= {_PER_SOURCE_K}
+ORDER BY source, pick_rank
 """

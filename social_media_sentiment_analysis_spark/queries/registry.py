@@ -129,6 +129,30 @@ _ALL: list[Query] = [
           star.ORACLE_WEALTHY_INACTIVE,
           "TPC-H Q22 shape: scalar-threshold filter + LEFT ANTI join "
           "(broadcast 1-row anchor, key-only anti build)"),
+    Query("nation_trade_flows", star.q_nation_trade_flows,
+          star.ORACLE_NATION_TRADE_FLOWS,
+          "TPC-H Q7 shape: bilateral nation-pair revenue by year "
+          "(dim-filtered fact-fact join)"),
+    Query("market_share", star.q_market_share,
+          star.ORACLE_MARKET_SHARE,
+          "TPC-H Q8 shape: target-nation share of PROMO revenue per year "
+          "(single-pass conditional aggregate)"),
+    Query("returned_item_losses", star.q_returned_item_losses,
+          star.ORACLE_RETURNED_ITEM_LOSSES,
+          "TPC-H Q10 shape: top-20 customers by returned-item revenue "
+          "(aggregate-before-dim-join)"),
+    Query("promo_revenue", star.q_promo_revenue,
+          star.ORACLE_PROMO_REVENUE,
+          "TPC-H Q14 shape: monthly PROMO revenue share "
+          "(conditional agg, one scan)"),
+    Query("small_quantity_revenue", star.q_small_quantity_revenue,
+          star.ORACLE_SMALL_QUANTITY_REVENUE,
+          "TPC-H Q17 shape: below-half-average-quantity revenue "
+          "(broadcast per-part scalar join-back)"),
+    Query("brand_size_revenue", star.q_brand_size_revenue,
+          star.ORACLE_BRAND_SIZE_REVENUE,
+          "TPC-H Q19 shape: OR-of-ANDs join predicate with table-local "
+          "residue pushdown"),
     Query("skew_salted_revenue", star.q_skew_salted_revenue,
           star.ORACLE_SKEW_SALTED_REVENUE,
           "manually salted skew join (8 salt buckets), result identical "
@@ -307,6 +331,14 @@ _ALL: list[Query] = [
           llmdata.ORACLE_WEIGHTED_SAMPLE,
           "quality-weighted deterministic sampling (md5-uniform gate ×"
           " per-doc weight, broadcast max anchor)"),
+    Query("dataset_split", llmdata.q_dataset_split,
+          llmdata.ORACLE_DATASET_SPLIT,
+          "deterministic md5-bucketed train/val/test split (80/10/10), "
+          "per-split doc/token volume"),
+    Query("source_sample", llmdata.q_source_sample,
+          llmdata.ORACLE_SOURCE_SAMPLE,
+          "deterministic k-per-group sampling via hash-rank window "
+          "(reservoir-sample twin)"),
     Query("source_mix", llmdata.q_source_mix,
           llmdata.ORACLE_SOURCE_MIX,
           "token-budget source mixing: computed rates, md5-gated, "
@@ -398,6 +430,10 @@ _ALL: list[Query] = [
           tokenization.ORACLE_VOCAB_PAIRS,
           "adjacent-pair (bigram) counts — the BPE-merge statistic; "
           "zip_with array algebra, one exchange"),
+    Query("pmi_collocations", tokenization.q_pmi_collocations,
+          tokenization.ORACLE_PMI_COLLOCATIONS,
+          "PMI collocation extraction (broadcast unigram probabilities, "
+          "count-threshold not float top-k)"),
     Query("bpe_merges", tokenization.q_bpe_merges, None,
           "distributed BPE merge training (iterative, vocabulary-sized "
           "working set; rows-only — pinned to a single-process reference "

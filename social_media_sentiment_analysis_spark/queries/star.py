@@ -796,3 +796,316 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by year.
+
+    The reference's single join (J1, twitter_producer.py:69-71) generalized to
+    a two-dimension-chain join: lineitem joins orders on orderkey (the only
+    fact-fact exchange), then both sides pick up their nation through
+    broadcast dims (supplier→nation for the ship side, customer→nation for
+    the order side). At 100 TB the nation-pair filter is applied to the
+    broadcast dims BEFORE the fact join, so the fact exchange only carries
+    rows from the two nations of interest — the classic "filter the dim,
+    semi-reduce the fact" pattern.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    supp = supplier.join(F.broadcast(n1),
+                         supplier.s_nationkey == n1.sn_key).select(
+        "s_suppkey", "supp_nation")
+    cust = customer.join(F.broadcast(n2),
+                         customer.c_nationkey == n2.cn_key).select(
+        "c_custkey", "cust_nation")
+
+    ship = (
+        lineitem
+        .filter(F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .select("l_orderkey", "supp_nation",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("volume"),
+                F.year("l_shipdate").cast("long").alias("l_year"))
+    )
+    ordc = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        ship.join(ordc, ship.l_orderkey == ordc.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_NATION_TRADE_FLOWS = """
+SELECT supp_nation, cust_nation, l_year,
+       round(SUM(volume), 4) AS revenue, COUNT(*) AS n_lines
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+    AND nc.n_name IN ('NATION_1', 'NATION_2')
+    AND ns.n_name <> nc.n_name
+    AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue per year.
+
+    Conditional-aggregate-over-join: the share is SUM(CASE WHEN supplier
+    nation is the target)/SUM(all) — one aggregation, no second pass. The
+    part filter (p_type = 'PROMO') is applied to the broadcast dim, which
+    semi-reduces lineitem map-side before anything shuffles; the orders join
+    carries only the orderkey+year columns.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp_nat = (
+        supplier.join(F.broadcast(nation),
+                      supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        lineitem
+        .join(F.broadcast(promo), lineitem.l_partkey == promo.p_partkey)
+        .join(F.broadcast(supp_nat), lineitem.l_suppkey == supp_nat.s_suppkey)
+        .join(orders.select("o_orderkey", F.year("o_orderdate").cast("long")
+                            .alias("o_year")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"),
+             F.round(F.sum(vol), 4).alias("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT o_year,
+       round(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share,
+       round(SUM(volume), 4) AS total_volume
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+
+    Return-flagged lineitems (filter reaches the scan) join orders within a
+    date slice, roll up per customer, THEN the small per-customer aggregate
+    joins the customer/nation dims — aggregating before dim-joining keeps
+    the dim join at |customers-with-returns| rows, not |lineitems|. Top-k
+    plans as TakeOrderedAndProject.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    lost = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.col("o_orderdate")
+                            .between("1996-01-01", "1996-12-31"))
+              .select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    return (
+        lost.join(F.broadcast(customer),
+                  lost.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                "c_name", F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEM_LOSSES = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name AS nation, revenue
+FROM (
+  SELECT o_custkey,
+         round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+  GROUP BY o_custkey
+)
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts.
+
+    The part dim broadcasts whole (partkey + a boolean), the conditional
+    aggregate computes the share in a single pass — numerator and
+    denominator in the same HashAggregate, no self-join, no second scan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    flag = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .join(F.broadcast(flag), lineitem.l_partkey == flag.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.lit(100.0)
+                    * F.sum(F.when(F.col("is_promo"), vol).otherwise(0.0))
+                    / F.sum(vol), 6).alias("promo_share_pct"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below half
+    the part's average quantity (for one brand).
+
+    The correlated scalar subquery (per-part AVG) becomes a tiny aggregate —
+    at most |parts-of-brand| rows — broadcast back onto the fact: the fact
+    table is scanned once per side but never shuffled on a join key, and the
+    brand filter semi-reduces both scans through the broadcast part list.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    per_part_avg = (
+        lineitem.join(F.broadcast(brand_parts),
+                      lineitem.l_partkey == brand_parts.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .select(F.col("l_partkey").alias("ap_partkey"), "avg_qty")
+    )
+    return (
+        lineitem.join(F.broadcast(per_part_avg),
+                      lineitem.l_partkey == per_part_avg.ap_partkey)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+SELECT round(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN (
+  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+  GROUP BY l_partkey
+) a ON l.l_partkey = a.ap_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction-of-conjunctions predicate join.
+
+    The OR-of-ANDs spans both tables, so it cannot be pushed below the join
+    wholesale — but its table-local residues CAN: Catalyst derives
+    `p_brand IN (...)` on the part side and quantity bounds on the lineitem
+    side from the disjunction (predicate simplification), so both scans are
+    still pruned; the full disjunction evaluates as the join residual.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    j = lineitem.join(F.broadcast(part),
+                      lineitem.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_BRAND_SIZE_REVENUE = """
+SELECT round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""

@@ -259,3 +259,101 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, merged string, pair_count long")
+
+
+_PMI_MIN_COUNT = 30
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction — the statistical
+    step behind phrase detection (word2phrase) and tokenizer-vocab curation.
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over adjacent-token pairs. Three
+    tiny aggregates (pair counts, unigram counts, and their grand totals)
+    come out of ONE tokenized scan family; the unigram table is vocabulary-
+    sized, so both probability joins are broadcasts — the corpus itself
+    shuffles only once, for the pair count. All pairs above a fixed support
+    threshold are returned (no float top-k: ranking on a computed double is
+    the one thing two engines can disagree on; a count threshold is exact).
+
+    Scale: vocab- and pair-table sizes grow sub-linearly with the corpus, so
+    at 100 TB the broadcasts stay small while the single corpus-sized
+    exchange is the irreducible cost of counting.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    arr = F.filter(
+        F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+    toks = docs.select(arr.alias("arr"))
+    words = toks.select(F.explode("arr").alias("w")) \
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    pairs_col = F.zip_with(
+        F.slice(F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = (
+        toks.select(F.explode(pairs_col).alias("pair"))
+        .groupBy("pair").agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .select(F.split("pair", " ").getItem(0).alias("a"),
+                F.split("pair", " ").getItem(1).alias("b"),
+                "c_ab")
+    )
+    n_words = words.agg(F.sum("c_w").alias("n")).select(
+        F.col("n").cast("double").alias("n_words"))
+    n_pairs = toks.agg(
+        F.sum(F.greatest(F.size("arr") - 1, F.lit(0))).alias("m")).select(
+        F.col("m").cast("double").alias("n_pairs"))
+    wa = words.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    wb = words.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    return (
+        pairs
+        .join(F.broadcast(wa), "a")
+        .join(F.broadcast(wb), "b")
+        .crossJoin(F.broadcast(n_words))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "a", "b", "c_ab",
+            F.round(
+                F.log((F.col("c_ab") / F.col("n_pairs"))
+                      / ((F.col("c_a") / F.col("n_words"))
+                         * (F.col("c_b") / F.col("n_words")))), 6
+            ).alias("pmi"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+WITH toks AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '{{_TS}}'),
+                       t -> t <> '') AS arr
+    FROM documents WHERE lang = 'en'
+), words AS (
+    SELECT unnest(arr) AS w FROM toks
+), wcount AS (
+    SELECT w, COUNT(*) AS c_w FROM words GROUP BY w
+), pairs AS (
+    SELECT unnest(list_transform(range(1, len(arr)),
+                                 i -> arr[i] || ' ' || arr[i + 1])) AS pair
+    FROM toks
+), pcount AS (
+    SELECT string_split(pair, ' ')[1] AS a,
+           string_split(pair, ' ')[2] AS b,
+           COUNT(*) AS c_ab
+    FROM pairs GROUP BY pair
+    HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+), totals AS (
+    SELECT (SELECT CAST(SUM(c_w) AS DOUBLE) FROM wcount) AS n_words,
+           (SELECT CAST(SUM(greatest(len(arr) - 1, 0)) AS DOUBLE)
+            FROM toks) AS n_pairs
+)
+SELECT a, b, c_ab,
+       round(ln((c_ab / n_pairs)
+                / ((wa.c_w / n_words) * (wb.c_w / n_words))), 6) AS pmi
+FROM pcount
+JOIN wcount wa ON pcount.a = wa.w
+JOIN wcount wb ON pcount.b = wb.w
+CROSS JOIN totals
+ORDER BY a, b
+""".replace("{_TS}", _TOKEN_SPLIT)
