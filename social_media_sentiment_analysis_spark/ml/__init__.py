@@ -12,8 +12,11 @@ the idiomatic library route with distributed fit/transform.
 from .ivf import assign_clusters, fit_ivf, ivf_topk
 from .lsh import brp_embedding_pairs, minhash_text_pairs
 from .classifier import classify, fit_sentiment_classifier, sentiment_pipeline
+from .semdedup import semantic_dedup, semantic_duplicate_pairs
 
 __all__ = [
+    "semantic_dedup",
+    "semantic_duplicate_pairs",
     "assign_clusters",
     "fit_ivf",
     "ivf_topk",

@@ -1701,3 +1701,28 @@ FROM (
 WHERE pick_rank <= {_PER_SOURCE_K}
 ORDER BY source, pick_rank
 """
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream: build the
+    (depth×width)-cell sketch in one pass, probe the distinct vocabulary
+    against it (broadcast), return the top-10 estimated-count words.
+
+    Rows-only (xxhash64 has no DuckDB twin); the accuracy contract —
+    estimate ≥ true count, error ≤ ε·N — is pinned in
+    tests/test_skew_sketch.py::TestCountMin. At 100 TB the sketch build's
+    shuffle input is bounded at depth×width cells per partition no matter
+    the corpus size; the probe is a broadcast of ≤ depth×width rows.
+    """
+    from ..operators.cms import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    words = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                           lambda t: t != F.lit(""))).alias("word"))
+    sketch = cms_build(words, "word")
+    return (
+        cms_estimate(sketch, words, "word")
+        .orderBy(F.desc("est_count"), "word")
+        .limit(10)
+    )

@@ -55,3 +55,23 @@ def q_classify_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy("predicted_sentiment")
     )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: KMeans-cluster-pruned cosine
+    near-dup groups, min-id keeper per group. Reported per label: corpus
+    size, kept size, drop count — the per-stratum audit a curation run
+    logs. Rows-only (fitted centroids); the k=1 ≡ brute-force equivalence
+    and cross-k recall are pinned in tests/test_ml.py::TestSemDeDup."""
+    from ..ml.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.97)
+    return (
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+        .join(kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept")),
+              "label", "left")
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+        .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
+        .orderBy("label")
+    )

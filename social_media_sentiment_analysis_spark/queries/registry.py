@@ -430,6 +430,13 @@ _ALL: list[Query] = [
           tokenization.ORACLE_VOCAB_PAIRS,
           "adjacent-pair (bigram) counts — the BPE-merge statistic; "
           "zip_with array algebra, one exchange"),
+    Query("heavy_hitters", llmdata.q_heavy_hitters, None,
+          "count-min-sketch heavy hitters (rows-only — xxhash64; "
+          "overestimate/error bounds pinned in tests)"),
+    Query("dedup_semantic", mlqueries.q_dedup_semantic, None,
+          "SemDeDup: KMeans-cluster-pruned cosine near-dup groups, min-id "
+          "keeper (rows-only — fitted centroids; k=1 ≡ brute force pinned "
+          "in tests)"),
     Query("pmi_collocations", tokenization.q_pmi_collocations,
           tokenization.ORACLE_PMI_COLLOCATIONS,
           "PMI collocation extraction (broadcast unigram probabilities, "

@@ -220,3 +220,62 @@ class TestClassifier:
         scored = classify(model, docs, text_col="text")
         plan = scored._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestSemDeDup:
+    """SemDeDup (cluster-pruned semantic dedup) contracts."""
+
+    def test_k1_equals_bruteforce_dedup(self, emb):
+        """With one cluster the candidate space is all-pairs, so the kept
+        set must be EXACTLY the brute-force embedding dedup's kept set."""
+        from social_media_sentiment_analysis_spark.ml import semantic_dedup
+        from social_media_sentiment_analysis_spark.operators.dedup import (
+            embedding_near_duplicates,
+        )
+        from social_media_sentiment_analysis_spark.operators.graph import (
+            connected_components,
+        )
+
+        kept_sem = {
+            r.vec_id
+            for r in semantic_dedup(emb, "embedding", "vec_id",
+                                    k=1, threshold=0.97).collect()
+        }
+        pairs = embedding_near_duplicates(emb, "embedding", "vec_id",
+                                          threshold=0.97)
+        comps = connected_components(pairs)
+        drops = {r.node for r in comps.collect() if r.node != r.component}
+        kept_brute = {r.vec_id for r in emb.collect()} - drops
+        assert kept_sem == kept_brute
+
+    def test_cluster_pruned_pairs_are_subset_with_recall(self, emb):
+        """k=8 pairs must be a subset of brute-force pairs (no false
+        positives — cosine is exact within the cluster) with decent
+        recall (near-dups rarely straddle cluster boundaries)."""
+        from social_media_sentiment_analysis_spark.ml import (
+            semantic_duplicate_pairs,
+        )
+        from social_media_sentiment_analysis_spark.operators.dedup import (
+            embedding_near_duplicates,
+        )
+
+        sem = {(r.a_id, r.b_id)
+               for r in semantic_duplicate_pairs(
+                   emb, "embedding", "vec_id", k=8, threshold=0.97).collect()}
+        brute = {(r.a_id, r.b_id)
+                 for r in embedding_near_duplicates(
+                     emb, "embedding", "vec_id", threshold=0.97).collect()}
+        assert sem <= brute
+        if brute:
+            assert len(sem) / len(brute) >= 0.5
+
+    def test_registry_summary_is_consistent(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+
+        rows = QUERIES["dedup_semantic"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_kept + r.n_dropped == r.n_total
+            assert r.n_kept >= 1

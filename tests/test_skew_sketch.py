@@ -101,3 +101,57 @@ class TestGroupedMap:
         g = a.groupby("event_type")["zscore"]
         assert (g.mean().abs() < 1e-3).all()
         assert ((g.std(ddof=0) - 1).abs() < 1e-3).all()
+
+
+class TestCountMin:
+    """Count-min sketch contracts: overestimate-only, bounded error,
+    mergeability."""
+
+    def test_estimate_bounds(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.cms import (
+            cms_build, cms_estimate,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        ).filter(F.col("w") != "")
+        exact = {r.w: r.c for r in
+                 words.groupBy("w").agg(F.count("*").alias("c")).collect()}
+        n_total = sum(exact.values())
+        depth, width = 4, 1024
+        sketch = cms_build(words, "w", depth=depth, width=width)
+        cells = sketch.collect()
+        assert len(cells) <= depth * width
+        est = {r.w: r.est_count for r in
+               cms_estimate(sketch, words, "w",
+                            depth=depth, width=width).collect()}
+        eps_n = (2.718 / width) * n_total
+        for w, true_c in exact.items():
+            assert est[w] >= true_c, f"{w}: underestimate"
+            assert est[w] - true_c <= eps_n, f"{w}: error beyond eps*N"
+
+    def test_merge_equals_single_build(self, spark, sf_dir):
+        """Sketch(A ∪ B) == merge(Sketch(A), Sketch(B)) cell-for-cell."""
+        from social_media_sentiment_analysis_spark.operators.cms import (
+            cms_build, cms_merge,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+            "doc_id",
+        ).filter(F.col("w") != "")
+        a = words.filter(F.col("doc_id") % 2 == 0)
+        b = words.filter(F.col("doc_id") % 2 == 1)
+        merged = {(r.row, r.bucket): r.cnt for r in
+                  cms_merge(cms_build(a, "w"), cms_build(b, "w")).collect()}
+        single = {(r.row, r.bucket): r.cnt for r in
+                  cms_build(words, "w").collect()}
+        assert merged == single
