@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "pii_redact",
     "shipping_priority",
     "gopher_quality",
+    "nation_trade_flows",
+    "promo_revenue",
+    "dataset_split",
+    "heavy_hitters",
 ]
 
 

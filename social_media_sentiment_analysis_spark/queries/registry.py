@@ -153,6 +153,18 @@ _ALL: list[Query] = [
           star.ORACLE_BRAND_SIZE_REVENUE,
           "TPC-H Q19 shape: OR-of-ANDs join predicate with table-local "
           "residue pushdown"),
+    Query("forecast_revenue_change", star.q_forecast_revenue_change,
+          star.ORACLE_FORECAST_REVENUE_CHANGE,
+          "TPC-H Q6 shape: pure filtered-scan aggregate — the pushdown "
+          "proof query"),
+    Query("top_supplier", star.q_top_supplier,
+          star.ORACLE_TOP_SUPPLIER,
+          "TPC-H Q15 shape: global max-equality join-back over a "
+          "per-supplier rollup (ties kept)"),
+    Query("parts_supplier_counts", star.q_parts_supplier_counts,
+          star.ORACLE_PARTS_SUPPLIER_COUNTS,
+          "TPC-H Q16 shape: distinct-supplier counts with anti-join "
+          "blacklist"),
     Query("skew_salted_revenue", star.q_skew_salted_revenue,
           star.ORACLE_SKEW_SALTED_REVENUE,
           "manually salted skew join (8 salt buckets), result identical "

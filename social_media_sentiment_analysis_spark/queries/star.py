@@ -1109,3 +1109,122 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 40)
 """
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered-scan aggregate, no join at all.
+
+    The whole query is predicate pushdown: date range, discount band, and
+    quantity cap all reach the parquet scan as PushedFilters (pinned for the
+    Q1 twin by test_plans.py::test_pricing_summary_pushes_filter_to_scan),
+    then one partial+final aggregate. At 100 TB this is the query that
+    proves the scan layer: with shipdate-partitioned layout
+    (sources/layout.py) the date range becomes partition pruning and the
+    job reads 1/84th of the table's months.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+                & F.col("l_discount").between(0.02, 0.04)
+                & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+             .alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+ORACLE_FORECAST_REVENUE_CHANGE = """
+SELECT round(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the global maximum quarterly
+    revenue — the max-equality join-back (ties kept).
+
+    The per-supplier aggregate is |suppliers| rows; its global max is one
+    row. Both broadcast, so the "view + scalar subquery" of the SQL form
+    costs one fact exchange (the supplier rollup) plus two broadcasts —
+    the same shape as Q2's per-group min, but with a single global group.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    rev = (
+        lineitem
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4)
+             .alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top),
+                 rev.total_revenue == top.max_revenue)
+        .join(F.broadcast(supplier),
+              rev.l_suppkey == supplier.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class, excluding
+    a supplier blacklist.
+
+    The blacklist (suppliers with negative account balance — Q16's
+    "complaints" predicate) is an anti-join applied to the fact BEFORE the
+    distinct count; the distinct aggregate shuffles on the group key with
+    the suppkey carried for dedup — the exact two-phase shape the skewed
+    variant (operators/skew.py::two_stage_distinct_count) generalizes.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    blacklist = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem
+        .join(F.broadcast(blacklist),
+              lineitem.l_suppkey == blacklist.s_suppkey, "left_anti")
+        .join(F.broadcast(part.filter(F.col("p_size").isin(1, 5, 9, 13))),
+              lineitem.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_PARTS_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
