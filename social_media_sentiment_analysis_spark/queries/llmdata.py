@@ -1726,3 +1726,72 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "word")
         .limit(10)
     )
+
+
+_XDOC_SHINGLE_K = 8
+_XDOC_SHARED_FRAC = 0.5
+
+
+def q_cross_doc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring overlap — the shingle-level stand-in for
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): flag documents where ≥50% of their
+    distinct 8-token shingles also appear in some OTHER document.
+
+    Two aggregates over one exploded scan: shingle → document frequency,
+    then a join-back and per-doc rollup. The shingle df table is the only
+    corpus-sized shuffle; the threshold makes the result the flagged-doc
+    manifest a curation run would quarantine. Unlike MinHash (whole-doc
+    similarity), this catches partial overlap — a document embedding a
+    copied paragraph inside otherwise-fresh text.
+    """
+    from ..functions.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            shingles_from_tokens(tokens(F.col("text")), _XDOC_SHINGLE_K)
+        ).alias("shs"))
+    ex = sh.select("doc_id", F.explode("shs").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    return (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.count(F.when(F.col("dfreq") > 1, 1)).alias("n_shared"))
+        .withColumn("shared_frac",
+                    F.round(F.col("n_shared") / F.col("n_shingles"), 4))
+        .filter(F.col("shared_frac") >= _XDOC_SHARED_FRAC)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CROSS_DOC_OVERLAP = f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {_XDOC_SHINGLE_K}
+              THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([
+                  array_to_string(toks[i:i+{_XDOC_SHINGLE_K}-1], ' ')
+                  for i in range(1, len(toks) - {_XDOC_SHINGLE_K} + 2)])
+         END AS shs
+  FROM toked
+), ex AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+), dfreq AS (
+  SELECT s, COUNT(*) AS dfreq FROM ex GROUP BY s
+)
+SELECT ex.doc_id AS doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(*) FILTER (dfreq > 1) AS n_shared,
+       round(COUNT(*) FILTER (dfreq > 1) / CAST(COUNT(*) AS DOUBLE), 4)
+           AS shared_frac
+FROM ex JOIN dfreq USING (s)
+GROUP BY ex.doc_id
+HAVING round(COUNT(*) FILTER (dfreq > 1) / CAST(COUNT(*) AS DOUBLE), 4)
+       >= {_XDOC_SHARED_FRAC}
+ORDER BY doc_id
+"""

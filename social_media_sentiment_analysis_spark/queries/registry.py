@@ -442,6 +442,10 @@ _ALL: list[Query] = [
           tokenization.ORACLE_VOCAB_PAIRS,
           "adjacent-pair (bigram) counts — the BPE-merge statistic; "
           "zip_with array algebra, one exchange"),
+    Query("cross_doc_overlap", llmdata.q_cross_doc_overlap,
+          llmdata.ORACLE_CROSS_DOC_OVERLAP,
+          "cross-document shingle overlap — partial-copy (substring-level) "
+          "dedup manifest"),
     Query("heavy_hitters", llmdata.q_heavy_hitters, None,
           "count-min-sketch heavy hitters (rows-only — xxhash64; "
           "overestimate/error bounds pinned in tests)"),

@@ -8,6 +8,7 @@ from .pipeline import (
     enrich_tweet_stream,
     flatten_envelope,
     hourly_rollup_stream,
+    session_rollup_stream,
     parse_envelopes,
     read_kafka_stream,
     read_tweet_file_stream,
@@ -25,6 +26,7 @@ __all__ = [
     "enrich_tweet_stream",
     "flatten_envelope",
     "hourly_rollup_stream",
+    "session_rollup_stream",
     "parse_envelopes",
     "read_kafka_stream",
     "read_tweet_file_stream",

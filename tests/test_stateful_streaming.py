@@ -142,3 +142,46 @@ def test_running_totals_state_v2(spark, tmp_path):
     assert (1, 3, 7.0) in rows
     assert (2, 1, 5.0) in rows
     assert (1, 2, 3.0) in rows
+
+
+def test_builtin_session_window_matches_custom_sessionizer(spark, tmp_path):
+    """The declarative session_window path must produce the same sessions
+    (key, span, count) as the applyInPandasWithState sessionizer for plain
+    gap-merge semantics — same two-batch fixture, same watermark."""
+    import os
+
+    from social_media_sentiment_analysis_spark.streaming import (
+        session_rollup_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src, "a.jsonl", [(1, "10:00", 1.0), (1, "10:10", 2.0),
+                            (2, "10:05", 5.0)])
+    _write(src, "b.jsonl", [(3, "12:00", 9.0)])
+    os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    sessions = session_rollup_stream(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes")
+    name = "swin_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {r.user_id: r for r in spark.table(name).collect()}
+
+    # identical emission set and spans as the custom sessionizer's test
+    assert sorted(rows) == [1, 2]
+    assert rows[1].n_events == 2
+    assert rows[1].session_start.strftime("%H:%M") == "10:00"
+    assert rows[1].session_end.strftime("%H:%M") == "10:40"
+    assert rows[2].n_events == 1
+    assert rows[2].session_end.strftime("%H:%M") == "10:35"
