@@ -153,6 +153,10 @@ _ALL: list[Query] = [
           star.ORACLE_BRAND_SIZE_REVENUE,
           "TPC-H Q19 shape: OR-of-ANDs join predicate with table-local "
           "residue pushdown"),
+    Query("sole_late_supplier", star.q_sole_late_supplier,
+          star.ORACLE_SOLE_LATE_SUPPLIER,
+          "TPC-H Q21 shape: correlated EXISTS/NOT-EXISTS pair collapsed "
+          "into one orderkey aggregation (fact moves once, not 3x)"),
     Query("forecast_revenue_change", star.q_forecast_revenue_change,
           star.ORACLE_FORECAST_REVENUE_CHANGE,
           "TPC-H Q6 shape: pure filtered-scan aggregate — the pushdown "

@@ -1228,3 +1228,79 @@ WHERE p_size IN (1, 5, 9, 13)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order ("late" = shipped >60 days after the order date;
+    the testdata has no commit/receipt dates).
+
+    The classic formulation is EXISTS(other supplier) AND NOT EXISTS(other
+    late supplier) — two correlated self-joins of lineitem. Spark-first,
+    both collapse into ONE aggregation over the orderkey exchange:
+    per order, count distinct suppliers and distinct late suppliers; a
+    supplier qualifies on an order iff they are late, n_suppliers > 1 and
+    n_late_suppliers = 1. The fact table moves once (orderkey), instead of
+    three times for the EXISTS/NOT-EXISTS self-join pair — the win that
+    matters at 100 TB, where each avoided lineitem self-join is a full
+    table exchange. Ranked output planned as TakeOrderedAndProject.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    li = (
+        lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                      lineitem.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey",
+                (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+                .alias("is_late"))
+    )
+    per_pair = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"),
+             F.count(F.when(F.col("supp_late"), 1)).alias("n_late_supp"))
+    )
+    return (
+        per_pair.filter(F.col("supp_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_name", F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(10)
+    )
+
+
+ORACLE_SOLE_LATE_SUPPLIER = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_pair AS (
+  SELECT l_orderkey, l_suppkey, MAX(is_late) AS supp_late
+  FROM li GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         COUNT(*) FILTER (supp_late) AS n_late_supp
+  FROM per_pair GROUP BY l_orderkey
+)
+SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey, numwait
+FROM (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM per_pair JOIN per_order USING (l_orderkey)
+  WHERE supp_late AND n_supp > 1 AND n_late_supp = 1
+  GROUP BY l_suppkey
+)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""

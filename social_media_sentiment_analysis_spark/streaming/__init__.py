@@ -15,7 +15,9 @@ from .pipeline import (
     trending_words_stream,
 )
 from .sinks import (
+    cms_sink,
     fanout_sink,
+    read_cms,
     idempotent_parquet_sink,
     jsonl_sink,
     kafka_sink,
@@ -31,7 +33,9 @@ __all__ = [
     "read_kafka_stream",
     "read_tweet_file_stream",
     "trending_words_stream",
+    "cms_sink",
     "fanout_sink",
+    "read_cms",
     "idempotent_parquet_sink",
     "jsonl_sink",
     "kafka_sink",

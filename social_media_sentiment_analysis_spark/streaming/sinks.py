@@ -10,7 +10,7 @@ reference's `INSERT OR IGNORE` on `tweet_id UNIQUE`
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
@@ -161,4 +161,50 @@ def fanout_sink(df: DataFrame, jsonl_path: str, table_path: str,
         df.writeStream.foreachBatch(fan_out)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+    )
+
+
+def _write_batch_sketch(batch: DataFrame, batch_id: int, item_col: str,
+                        path: str, depth: int, width: int) -> None:
+    from ..operators.cms import cms_build
+
+    sketch = (cms_build(batch.select(item_col), item_col,
+                        depth=depth, width=width)
+              .withColumn("batch_id", F.lit(batch_id)))
+    (sketch.coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(path))
+
+
+def cms_sink(df: DataFrame, item_col: str, path: str, checkpoint: str,
+             depth: int = 4, width: int = 1024) -> DataStreamWriter:
+    """Incremental count-min sketch maintenance over a stream.
+
+    Each micro-batch builds its own ≤ depth×width-cell sketch
+    (operators/cms.py) and writes it to a ``batch_id=`` partition with
+    dynamic partition overwrite — so batch replay REPLACES the partition
+    instead of double-counting: exactly-once sketch contents on top of
+    at-least-once delivery, the same idempotency recipe as the keyed sinks
+    but for an aggregate. The live sketch is the cell-wise sum over
+    partitions (``read_cms``) — the sketch's mergeability is what makes the
+    incremental form correct by construction. State per batch is bounded by
+    the sketch size, not the data; compact old partitions with
+    ``sources/layout.py::compact_parquet`` if batch count grows unwieldy.
+    """
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        _write_batch_sketch(batch, batch_id, item_col, path, depth, width)
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_cms(spark: SparkSession, path: str) -> DataFrame:
+    """Collapse the per-batch sketch partitions into the current sketch."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
     )

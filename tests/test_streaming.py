@@ -420,3 +420,46 @@ def test_fanout_sink_writes_both_and_replays_idempotently(
         enriched, jsonl, table, str(tmp_path / "ckpt2")))
     assert spark.read.parquet(table).count() == 3
     assert spark.read.json(jsonl).count() == 6
+
+
+def test_cms_sink_incremental_and_replay_idempotent(spark, tmp_path):
+    """Two micro-batches build per-batch sketch partitions; the collapsed
+    sketch must equal a single batch build over all data, and re-writing a
+    batch's partition (replay) must not change the result."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.operators.cms import cms_build
+    from social_media_sentiment_analysis_spark.streaming import (
+        cms_sink, read_cms,
+    )
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        _write_batch_sketch,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"w": "spark"}\n{"w": "join"}\n{"w": "spark"}\n')
+    (src / "b.jsonl").write_text(
+        '{"w": "spark"}\n{"w": "scan"}\n')
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    out, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema("w string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (cms_sink(stream, "w", out, ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def cells(df):
+        return {(r.row, r.bucket): r.cnt for r in df.collect()}
+
+    whole = spark.read.schema("w string").json(str(src))
+    expected = cells(cms_build(whole, "w"))
+    assert cells(read_cms(spark, out)) == expected
+
+    # replay batch 1 (overwrite its partition) — unchanged
+    batch1 = spark.read.schema("w string").json(str(src / "b.jsonl"))
+    _write_batch_sketch(batch1, 1, "w", out, 4, 1024)
+    assert cells(read_cms(spark, out)) == expected
