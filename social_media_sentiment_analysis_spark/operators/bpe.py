@@ -107,3 +107,56 @@ def train_bpe_reference(word_freq: dict[str, int],
             new_seqs.append((out, f))
         seqs = new_seqs
     return merges
+
+
+def encode_column(word_col, merges: list[tuple[str, str, int]]):
+    """Apply an ordered merge list to one word — pure Column algebra.
+
+    BPE encoding replays the merges in training order; each replay is the
+    same left-to-right fold as training (``_merge_pair``). The expression
+    nests |merges| folds, all JVM-side — no Python crossing, no UDF. Depth
+    is fine for the tens-of-merges regime; a production tokenizer with 50k
+    merges would move this exact loop into a pandas UDF (the expression
+    tree, not the algorithm, is the limit).
+    """
+    syms = F.split(word_col, "")
+    for left, right, _ in merges:
+        syms = _merge_pair(syms, left, right)
+    return syms
+
+
+def encode_words(df: DataFrame, text_col: str,
+                 merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Tokenize a corpus with a trained merge list, the scalable way:
+    encode each DISTINCT word once (vocabulary-sized work — the encode
+    fold runs |vocab| times, not |corpus| times), then broadcast-join the
+    word → subwords map back onto the exploded corpus.
+
+    Returns (word, subwords: array<string>, n_occurrences) — the corpus
+    token stream grouped by source word; callers explode ``subwords``
+    for the flat token sequence.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(text_col), "[^a-z]+"))
+                  .alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return words.select(
+        "word", encode_column(F.col("word"), merges).alias("subwords"),
+        "n_occurrences")
+
+
+def encode_reference(word: str,
+                     merges: list[tuple[str, str, int]]) -> list[str]:
+    """Single-process reference encoder (test oracle)."""
+    syms = list(word)
+    for a, b, _ in merges:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return syms

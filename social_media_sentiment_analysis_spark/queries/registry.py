@@ -461,6 +461,10 @@ _ALL: list[Query] = [
           tokenization.ORACLE_PMI_COLLOCATIONS,
           "PMI collocation extraction (broadcast unigram probabilities, "
           "count-threshold not float top-k)"),
+    Query("bpe_tokenize", tokenization.q_bpe_tokenize, None,
+          "train-then-apply BPE: encode the corpus with learned merges "
+          "(distinct-word encode + weighted histogram; rows-only — "
+          "iterative; encode pinned to reference in tests)"),
     Query("bpe_merges", tokenization.q_bpe_merges, None,
           "distributed BPE merge training (iterative, vocabulary-sized "
           "working set; rows-only — pinned to a single-process reference "

@@ -299,19 +299,17 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("pair", " ").getItem(1).alias("b"),
                 "c_ab")
     )
-    n_words = words.agg(F.sum("c_w").alias("n")).select(
-        F.col("n").cast("double").alias("n_words"))
-    n_pairs = toks.agg(
-        F.sum(F.greatest(F.size("arr") - 1, F.lit(0))).alias("m")).select(
-        F.col("m").cast("double").alias("n_pairs"))
+    totals = toks.agg(
+        F.sum(F.size("arr")).cast("double").alias("n_words"),
+        F.sum(F.greatest(F.size("arr") - 1, F.lit(0))).cast("double")
+        .alias("n_pairs"))
     wa = words.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
     wb = words.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
     return (
         pairs
         .join(F.broadcast(wa), "a")
         .join(F.broadcast(wb), "b")
-        .crossJoin(F.broadcast(n_words))
-        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(totals))
         .select(
             "a", "b", "c_ab",
             F.round(
@@ -357,3 +355,29 @@ JOIN wcount wb ON pcount.b = wb.w
 CROSS JOIN totals
 ORDER BY a, b
 """.replace("{_TS}", _TOKEN_SPLIT)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: learn 10 BPE merges, encode the corpus with them,
+    return the top-20 subword tokens by weighted frequency — the vocabulary
+    histogram a tokenizer-build run reports.
+
+    The encode runs once per DISTINCT word (operators/bpe.py::encode_words)
+    and the corpus weight rides the word-frequency column — corpus-sized
+    work never touches the merge fold. Rows-only (iterative training); the
+    encode itself is pinned row-for-row to a single-process reference in
+    tests/test_text_functions.py::TestBPE."""
+    from ..operators.bpe import encode_words, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    wf = _tokens(spark, sf_dir).groupBy(F.col("word")).agg(
+        F.count(F.lit(1)).alias("freq"))
+    merges = train_bpe(wf, _BPE_MERGES)
+    encoded = encode_words(docs, "text", merges)
+    return (
+        encoded.select(F.explode("subwords").alias("token"), "n_occurrences")
+        .groupBy("token")
+        .agg(F.sum("n_occurrences").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )

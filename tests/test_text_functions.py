@@ -176,3 +176,42 @@ class TestBPE:
         merges = train_bpe(wf, 2)
         assert merges[0] == ("a", "b", 25)
         assert all(left and right for left, right, _ in merges)
+
+
+class TestBPEEncode:
+    """The Column-fold encoder must reproduce the reference encoder
+    word-for-word, and the registry tokenize query must conserve mass."""
+
+    def test_encode_matches_reference_on_vocab(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.bpe import (
+            encode_reference, encode_words, train_bpe, train_bpe_reference,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter("lang = 'en'")
+        words = (docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                             .alias("word"))
+                 .filter(F.col("word") != ""))
+        wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        merges = train_bpe(wf, 10)
+        assert merges == train_bpe_reference(
+            {r.word: r.freq for r in wf.collect()}, 10)
+        encoded = encode_words(docs, "text", merges).collect()
+        assert len(encoded) > 5
+        for r in encoded:
+            assert list(r.subwords) == encode_reference(r.word, merges), r.word
+            # mass conservation per word: subwords respell the word exactly
+            assert "".join(r.subwords) == r.word
+
+    def test_tokenize_query_token_mass(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+
+        rows = QUERIES["bpe_tokenize"].builder(spark, sf_dir).collect()
+        assert len(rows) == 20
+        # weighted counts positive and sorted
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True) and ns[-1] >= 1
