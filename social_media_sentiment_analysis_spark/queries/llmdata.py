@@ -1795,3 +1795,57 @@ HAVING round(COUNT(*) FILTER (dfreq > 1) / CAST(COUNT(*) AS DOUBLE), 4)
        >= {_XDOC_SHARED_FRAC}
 ORDER BY doc_id
 """
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop per-source corpus datasheet — the summary table a dataset
+    card publishes: volume (docs, tokens, chars), language mix, and the
+    exact-duplicate rate.
+
+    Two exchanges total: a fingerprint window (count over md5(text) marks
+    docs whose exact content appears elsewhere — window, not self-join) and
+    the per-source rollup; every metric is a conditional aggregate in the
+    same pass. The shape scales because each metric is a sum/count — the
+    datacard of a 100 TB corpus is the same plan with more partitions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda t: t != F.lit("")))
+    fp_w = Window.partitionBy(F.md5("text"))
+    enriched = docs.select(
+        "source", "lang", "n_chars", n_tok.alias("n_tok"),
+        (F.count(F.lit(1)).over(fp_w) > 1).alias("is_dup"))
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.count(F.when(F.col("lang") == "en", 1))
+                    / F.count(F.lit(1)), 4).alias("en_share"),
+            F.round(F.count(F.when(F.col("is_dup"), 1))
+                    / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_DATACARD = """
+WITH enriched AS (
+  SELECT source, lang, n_chars,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+         COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       round(AVG(n_chars), 4) AS avg_chars,
+       round(COUNT(*) FILTER (lang = 'en') / CAST(COUNT(*) AS DOUBLE), 4)
+           AS en_share,
+       round(COUNT(*) FILTER (is_dup) / CAST(COUNT(*) AS DOUBLE), 4)
+           AS dup_rate
+FROM enriched
+GROUP BY source
+ORDER BY source
+"""

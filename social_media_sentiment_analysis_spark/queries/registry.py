@@ -240,6 +240,10 @@ _ALL: list[Query] = [
     Query("value_histogram", shaping.q_value_histogram,
           shaping.ORACLE_VALUE_HISTOGRAM,
           "fixed-bin histogram: floor binning + one hash aggregate"),
+    Query("equidepth_histogram", shaping.q_equidepth_histogram,
+          shaping.ORACLE_EQUIDEPTH_HISTOGRAM,
+          "equi-depth decile histogram via broadcast percentile bounds "
+          "(no global sort)"),
     Query("winsorized_stats", shaping.q_winsorized_stats,
           shaping.ORACLE_WINSORIZED_STATS,
           "winsorized mean: exact p05/p95 clamp, broadcast bounds"),
@@ -446,6 +450,10 @@ _ALL: list[Query] = [
           tokenization.ORACLE_VOCAB_PAIRS,
           "adjacent-pair (bigram) counts — the BPE-merge statistic; "
           "zip_with array algebra, one exchange"),
+    Query("corpus_datacard", llmdata.q_corpus_datacard,
+          llmdata.ORACLE_CORPUS_DATACARD,
+          "per-source dataset datasheet: volume, language mix, exact-dup "
+          "rate — one fingerprint window + one rollup"),
     Query("cross_doc_overlap", llmdata.q_cross_doc_overlap,
           llmdata.ORACLE_CROSS_DOC_OVERLAP,
           "cross-document shingle overlap — partial-copy (substring-level) "
@@ -461,6 +469,10 @@ _ALL: list[Query] = [
           tokenization.ORACLE_PMI_COLLOCATIONS,
           "PMI collocation extraction (broadcast unigram probabilities, "
           "count-threshold not float top-k)"),
+    Query("oov_rate", tokenization.q_oov_rate,
+          tokenization.ORACLE_OOV_RATE,
+          "per-source OOV rate against the top-40 corpus vocabulary "
+          "(broadcast vocab membership probe)"),
     Query("bpe_tokenize", tokenization.q_bpe_tokenize, None,
           "train-then-apply BPE: encode the corpus with learned merges "
           "(distinct-word encode + weighted histogram; rows-only — "

@@ -885,3 +885,51 @@ FROM a FULL OUTER JOIN b USING (doc_id)
 GROUP BY 1
 ORDER BY status
 """
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values — the optimizer-style
+    statistics build.
+
+    The naive exact form is ntile(10) over a GLOBAL sort: one partition,
+    non-starter at scale. Instead the nine decile boundaries come from one
+    percentile aggregate (a 1-row result), broadcast back, and each row
+    computes its bin as a fold over the boundary array — same two-pass
+    broadcast-bounds pattern as winsorized_stats, fully parallel at any
+    size. Bin populations come out ±0 equal to ntile's only when values
+    don't tie across boundaries; for statistics that distinction is noise.
+    """
+    events = load_table(spark, sf_dir, "events")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = events.agg(F.percentile("value", qs).alias("bs"))
+    bin_col = F.lit(1) + F.aggregate(
+        F.col("bs"), F.lit(0),
+        lambda acc, b: acc + F.when(F.col("value") > b, 1).otherwise(0))
+    return (
+        events.join(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.min("value"), 4).alias("lo"),
+             F.round(F.max("value"), 4).alias("hi"))
+        .orderBy("bin")
+    )
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = """
+WITH bounds AS (
+  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+         AS bs
+  FROM events
+), binned AS (
+  SELECT 1 + list_sum(list_transform(bs,
+             b -> CASE WHEN value > b THEN 1 ELSE 0 END)) AS bin,
+         value
+  FROM events, bounds
+)
+SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n_events,
+       round(MIN(value), 4) AS lo, round(MAX(value), 4) AS hi
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""

@@ -381,3 +381,59 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+_OOV_VOCAB_SIZE = 40
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per source, the share of token occurrences
+    falling outside the top-40 corpus vocabulary — the OOV rate a
+    fixed-vocab tokenizer would hit on each slice.
+
+    The vocabulary is a 40-row aggregate (deterministic count-then-word
+    tiebreak), broadcast; membership is a map-side left-semi-style flag, so
+    the corpus shuffles once (per-source rollup). The per-source OOV rate is
+    THE go/no-go number when a tokenizer trained on one mix is applied to a
+    new source at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), _TOKEN_SPLIT),
+                           lambda t: t != F.lit(""))).alias("word"))
+    vocab = (
+        toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word").limit(_OOV_VOCAB_SIZE)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"))
+        .withColumn("oov_rate",
+                    F.round(F.col("n_oov") / F.col("n_tokens"), 4))
+        .orderBy("source")
+    )
+
+
+ORACLE_OOV_RATE = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '{_TOKEN_SPLIT}'),
+                            t -> t <> '')) AS word
+  FROM documents WHERE lang = 'en'
+), vocab AS (
+  SELECT word FROM toks GROUP BY word
+  ORDER BY COUNT(*) DESC, word LIMIT {_OOV_VOCAB_SIZE}
+)
+SELECT source, COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (word NOT IN (SELECT word FROM vocab)) AS n_oov,
+       round(COUNT(*) FILTER (word NOT IN (SELECT word FROM vocab))
+             / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+FROM toks
+GROUP BY source
+ORDER BY source
+"""

@@ -16,6 +16,7 @@ from .pipeline import (
 )
 from .sinks import (
     cms_sink,
+    quarantine_sink,
     fanout_sink,
     read_cms,
     idempotent_parquet_sink,
@@ -34,6 +35,7 @@ __all__ = [
     "read_tweet_file_stream",
     "trending_words_stream",
     "cms_sink",
+    "quarantine_sink",
     "fanout_sink",
     "read_cms",
     "idempotent_parquet_sink",

@@ -208,3 +208,62 @@ def read_cms(spark: SparkSession, path: str) -> DataFrame:
         spark.read.parquet(path)
         .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def quarantine_sink(df: DataFrame, main_path: str, late_path: str,
+                    checkpoint: str, ts_col: str = "event_time",
+                    delay: str = "1 hour") -> DataStreamWriter:
+    """Late-data side output — keep late rows INSTEAD of silently dropping.
+
+    Spark's watermark semantics discard late rows inside stateful operators
+    (visible only as the droppedRowsByWatermark metric). Pipelines that
+    must audit or re-ingest lates need the Flink-style side output, which
+    Structured Streaming lacks; this sink reconstructs it in foreachBatch:
+    a tiny high-watermark state table (1 row, overwritten per batch) tracks
+    max event time seen; each batch splits at (high watermark − delay) —
+    on-time rows append to the main sink, late rows to the quarantine with
+    their lateness recorded. The split uses the PREVIOUS batch's watermark,
+    matching engine watermark semantics (a watermark advances between
+    batches, never within one).
+
+    State is one row regardless of scale; both appends are partition-local
+    writes. Replay caveat: unlike the keyed sinks, plain appends here are
+    at-least-once under replay — wrap with the anti-join recipe if the
+    downstream needs exact effect.
+    """
+
+    hwm_path = checkpoint + "/__hwm"
+
+    def split(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            prev = spark.read.parquet(hwm_path).first()
+            cutoff = prev["hwm"] if prev else None
+        except Exception:
+            cutoff = None
+        batch.persist()
+        try:
+            if cutoff is not None:
+                threshold = F.lit(cutoff) - F.expr(f"INTERVAL {delay}")
+                late = batch.filter(F.col(ts_col) < threshold)
+                fresh = batch.filter(~(F.col(ts_col) < threshold))
+                (late.withColumn(
+                    "lateness_s",
+                    (F.unix_timestamp(F.lit(cutoff))
+                     - F.unix_timestamp(F.col(ts_col))).cast("long"))
+                 .write.mode("append").parquet(late_path))
+            else:
+                fresh = batch
+            fresh.write.mode("append").parquet(main_path)
+            new_max = batch.agg(F.max(ts_col).alias("m")).first()["m"]
+            if new_max is not None and (cutoff is None or new_max > cutoff):
+                spark.createDataFrame([(new_max,)], f"hwm timestamp") \
+                    .write.mode("overwrite").parquet(hwm_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(split)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -94,7 +94,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             # 1-row broadcast scalar anchors
                             "wealthy_inactive_customers",
                             "weighted_sample",
-                            "unigram_logprob"), name
+                            "unigram_logprob",
+                            "pmi_collocations",
+                            "equidepth_histogram"), name
 
 
 def test_knn_join_broadcasts_query_set(spark, sf_dir):

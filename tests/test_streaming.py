@@ -463,3 +463,38 @@ def test_cms_sink_incremental_and_replay_idempotent(spark, tmp_path):
     batch1 = spark.read.schema("w string").json(str(src / "b.jsonl"))
     _write_batch_sketch(batch1, 1, "w", out, 4, 1024)
     assert cells(read_cms(spark, out)) == expected
+
+
+def test_quarantine_sink_routes_late_rows(spark, tmp_path):
+    """Batch 1 sets the high watermark (12:00); batch 2's 10:00 event is
+    later than (12:00 − 1h) behind it → quarantined with its lateness;
+    its 11:30 event is within the delay → main sink."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming import (
+        quarantine_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"user_id": 1, "ts": "2024-01-15T12:00:00", "value": 1.0}\n')
+    (src / "b.jsonl").write_text(
+        '{"user_id": 2, "ts": "2024-01-15T10:00:00", "value": 2.0}\n'
+        '{"user_id": 3, "ts": "2024-01-15T11:30:00", "value": 3.0}\n')
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    main, late = str(tmp_path / "main"), str(tmp_path / "late")
+    stream = (spark.readStream.schema("user_id long, ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (quarantine_sink(stream, main, late, str(tmp_path / "ckpt"),
+                         ts_col="ts", delay="1 hour")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    main_ids = sorted(r.user_id for r in spark.read.parquet(main).collect())
+    assert main_ids == [1, 3]
+    lates = spark.read.parquet(late).collect()
+    assert [r.user_id for r in lates] == [2]
+    assert lates[0].lateness_s == 2 * 3600
