@@ -118,3 +118,51 @@ def q_media_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload content hash — the first pass of any
+    multimodal curation run (byte-identical re-uploads dominate media
+    duplicate mass; perceptual hashing only matters after this).
+
+    The md5 runs over the BINARY payload column JVM-side (bytes never
+    cross to Python), then two aggregates: per-(modality, fingerprint)
+    counts, then the per-modality dedup report. Oracle-checkable because
+    the testdata payload is the UTF-8 encoding of the text column, so
+    DuckDB's md5(text) hashes identical bytes.
+    """
+    per_fp = (
+        _media(spark, sf_dir)
+        .groupBy("modality", F.md5("payload").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_fp.groupBy("modality")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("media_count"),
+            F.count(F.lit(1)).alias("distinct_payloads"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+            .cast("bigint").alias("redundant_copies"),
+        )
+        .orderBy("modality")
+    )
+
+
+ORACLE_MEDIA_DEDUP = """
+WITH per_fp AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         md5(text) AS fp, COUNT(*) AS cnt
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT modality,
+       CAST(SUM(cnt) AS BIGINT) AS media_count,
+       COUNT(*) AS distinct_payloads,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+           AS redundant_copies
+FROM per_fp
+GROUP BY modality
+ORDER BY modality
+"""

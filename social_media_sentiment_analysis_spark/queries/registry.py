@@ -436,6 +436,10 @@ _ALL: list[Query] = [
     Query("media_frames", multimodal.q_media_frames, None,
           "video frame sampling (mapInPandas row expansion) + per-media "
           "rollup (rows-only; slicing parity in tests)"),
+    Query("media_dedup", multimodal.q_media_dedup,
+          multimodal.ORACLE_MEDIA_DEDUP,
+          "exact media dedup by payload content hash (JVM-side md5 over "
+          "binary; bytes never cross to Python)"),
     Query("media_segments", multimodal.q_media_segments, None,
           "audio segmentation (overlapping 1s windows, 500ms hop) + "
           "per-media rollup (rows-only; slicing parity in tests)"),
