@@ -32,12 +32,19 @@ from pyspark.sql import functions as F
 
 
 def as_of_join(left: DataFrame, right: DataFrame, on: str,
-               left_ts: str, right_ts: str) -> DataFrame:
-    """Backward as-of join: all left columns + right payload columns, where
-    the right values come from the latest right row with
-    ``right.right_ts <= left.left_ts`` for the same ``on`` key (equal
-    timestamps match — inclusive). Left rows with no prior right row keep
-    nulls (left-join semantics)."""
+               left_ts: str, right_ts: str,
+               direction: str = "backward") -> DataFrame:
+    """As-of join: all left columns + right payload columns.
+
+    ``direction="backward"`` (default): right values come from the LATEST
+    right row with ``right_ts <= left_ts`` per key; ``"forward"``: from the
+    EARLIEST right row with ``right_ts >= left_ts`` (equal timestamps match
+    in both — inclusive). Left rows with no matching right row keep nulls
+    (left-join semantics). Either direction is ONE sort-exchange: the
+    forward case is the same union + window forward-fill scanned in
+    descending time order."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     rpayload = [c for c in right.columns if c not in (on, right_ts)]
     left_struct = F.struct(*[F.col(c) for c in left.columns])
     l2 = left.select(
@@ -55,10 +62,13 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(None).cast(l2.schema["__row"].dataType).alias("__row"),
         *[F.col(c).alias(f"__r_{c}") for c in rpayload],
     )
-    # right rows sort before left at equal ts (__is_left 0 < 1) → inclusive
+    # right rows sort before left at equal ts (__is_left 0 < 1) → inclusive;
+    # forward direction scans time DESC so "last right seen" = earliest >=
+    order = [F.col("__ts").asc() if direction == "backward"
+             else F.col("__ts").desc(), F.col("__is_left").asc()]
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r2.unionByName(l2).select(

@@ -404,6 +404,10 @@ _ALL: list[Query] = [
     Query("asof_latest_order", temporal.q_asof_latest_order,
           temporal.ORACLE_ASOF_LATEST_ORDER,
           "backward as-of join via union + window forward-fill (one shuffle)"),
+    Query("asof_next_order", temporal.q_asof_next_order,
+          temporal.ORACLE_ASOF_NEXT_ORDER,
+          "forward as-of join (earliest right ≥ left ts) — same one-shuffle "
+          "plan scanned descending"),
     Query("sessionization", temporal.q_sessionization,
           temporal.ORACLE_SESSIONIZATION,
           "per-key session_window rollup (30-min gap)"),

@@ -53,6 +53,47 @@ ORDER BY e.event_id
 """
 
 
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every event, the customer's EARLIEST order at or
+    after the event time — the attribution/conversion-lag twin of the
+    backward point-in-time lookup. Same single sort-exchange plan, scanned
+    in descending time order (operators/temporal.py::as_of_join
+    direction="forward"); oracle is DuckDB's native forward ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.min("o_orderkey").alias("next_order_key"),
+            F.min_by("o_totalprice", "o_orderkey").alias("next_order_price"),
+        )
+    )
+    orders = orders.withColumnRenamed("o_custkey", "user_id")
+    return (
+        as_of_join(events, orders, on="user_id",
+                   left_ts="ts", right_ts="o_orderdate",
+                   direction="forward")
+        .select("event_id", "user_id", "ts",
+                "next_order_key", "next_order_price")
+    )
+
+
+ORACLE_ASOF_NEXT_ORDER = """
+WITH orders_d AS (
+    SELECT o_custkey, o_orderdate,
+           min(o_orderkey) AS next_order_key,
+           arg_min(o_totalprice, o_orderkey) AS next_order_price
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.next_order_key, o.next_order_price
+FROM events e ASOF LEFT JOIN orders_d o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity sessions with a 30-minute inactivity gap: native
     session_window aggregation (start, end=last+gap, event count, value

@@ -134,3 +134,37 @@ def test_interval_join_matches_reference(spark, points, intervals, width):
             right_end="iend", keys=("k",), bucket_seconds=width)
         .select("pid", "iid").collect())
     assert got == _interval_reference(points, intervals)
+
+
+def asof_forward_reference(left, right):
+    """Naive per-row forward as-of: earliest right (k, rt) with rt >= t."""
+    out = []
+    for k, t in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk == k and rt >= t and (best is None or rt < best[0]):
+                best = (rt, rv)
+        out.append((k, t, best[1] if best else None))
+    return sorted(out)
+
+
+@pytest.mark.slow
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+             min_size=1, max_size=15, unique=True),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+             min_size=0, max_size=15, unique=True),
+)
+@settings(**SETTINGS)
+def test_asof_forward_matches_reference(spark, left_rows, right_rows):
+    right_vals = [(k, t, f"v{k}_{t}") for k, t in right_rows]
+    left = spark.createDataFrame(
+        [(k, t) for k, t in left_rows], "k long, t long")
+    right = spark.createDataFrame(
+        right_vals or [(None, None, None)], "k long, rt long, rv string"
+    ).filter(F.col("k").isNotNull())
+    got = sorted(
+        (r.k, r.t, r.rv)
+        for r in as_of_join(left, right, "k", "t", "rt",
+                            direction="forward").collect())
+    assert got == asof_forward_reference(left_rows, right_vals)
