@@ -240,6 +240,10 @@ _ALL: list[Query] = [
     Query("value_histogram", shaping.q_value_histogram,
           shaping.ORACLE_VALUE_HISTOGRAM,
           "fixed-bin histogram: floor binning + one hash aggregate"),
+    Query("nested_order_docs", shaping.q_nested_order_docs,
+          shaping.ORACLE_NESTED_ORDER_DOCS,
+          "denormalize-then-compute: array-of-structs order documents, "
+          "metrics via higher-order functions (no re-explode)"),
     Query("equidepth_histogram", shaping.q_equidepth_histogram,
           shaping.ORACLE_EQUIDEPTH_HISTOGRAM,
           "equi-depth decile histogram via broadcast percentile bounds "

@@ -933,3 +933,56 @@ FROM binned
 GROUP BY bin
 ORDER BY bin
 """
+
+
+def q_nested_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalize-then-compute: collect each order's lineitems into an
+    array of structs (the document-store/training-example shape) and
+    derive flat metrics FROM the nested column with higher-order functions
+    — filter (big lines), transform+aggregate (revenue fold) — all
+    JVM-side, no re-explode.
+
+    This is the pattern for emitting nested training examples (an order =
+    one JSON document with its line array): one groupBy builds the
+    document; downstream metrics read the array without another shuffle.
+    Output stays flat so the DuckDB twin (list aggregation) hash-compares.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    docs = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("l_linenumber").alias("line"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("disc"),
+        ))).alias("lines"))
+    )
+    revenue = F.aggregate(
+        F.col("lines"), F.lit(0.0),
+        lambda acc, x: acc + x["price"] * (1 - x["disc"]))
+    return docs.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.size(F.filter(F.col("lines"), lambda x: x["qty"] > 25))
+        .alias("big_lines"),
+        F.round(revenue, 4).alias("doc_revenue"),
+    ).filter(F.col("n_lines") >= 5).orderBy("l_orderkey")
+
+
+ORACLE_NESTED_ORDER_DOCS = """
+WITH docs AS (
+  SELECT l_orderkey,
+         list_sort(list(struct_pack(line := l_linenumber, qty := l_quantity,
+                                    price := l_extendedprice,
+                                    disc := l_discount))) AS lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(lines) AS n_lines,
+       len(list_filter(lines, x -> x.qty > 25)) AS big_lines,
+       round(list_sum(list_transform(lines, x -> x.price * (1 - x.disc))),
+             4) AS doc_revenue
+FROM docs
+WHERE len(lines) >= 5
+ORDER BY l_orderkey
+"""

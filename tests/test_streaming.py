@@ -498,3 +498,37 @@ def test_quarantine_sink_routes_late_rows(spark, tmp_path):
     lates = spark.read.parquet(late).collect()
     assert [r.user_id for r in lates] == [2]
     assert lates[0].lateness_s == 2 * 3600
+
+
+def test_checkpoint_restart_processes_only_new_data(spark, tmp_path):
+    """Offset recovery: a second availableNow run on the SAME checkpoint
+    must pick up exactly the files that arrived after the first run —
+    no reprocessing (the sink would show duplicate ids), no loss."""
+    import os as _os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"user_id": 1, "ts": "2024-01-15T10:00:00", "value": 1.0}\n')
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp, value double")
+                  .json(str(src)))
+        q = (stream.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    assert [r.user_id for r in spark.read.parquet(out).collect()] == [1]
+
+    (src / "b.jsonl").write_text(
+        '{"user_id": 2, "ts": "2024-01-15T11:00:00", "value": 2.0}\n')
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+    run_once()
+    ids = sorted(r.user_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]   # user 1 exactly once — offsets recovered
