@@ -14,7 +14,7 @@ lives in the metastore, not the files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -171,3 +171,62 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
         .drop("__z")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def apply_changes(spark: SparkSession, target_path: str, changes: DataFrame,
+                  keys: tuple[str, ...], partition_col: str,
+                  op_col: str = "op", seq_col: str | None = None) -> None:
+    """CDC merge (MERGE WHEN MATCHED UPDATE/DELETE, NOT MATCHED INSERT) on
+    a partitioned plain-parquet table, with the rewrite scoped to touched
+    partitions only.
+
+    ``changes`` carries the target columns plus ``op_col`` ∈
+    {'I','U','D'} (and optionally ``seq_col`` to pick the latest change per
+    key when one batch carries several). The merge:
+
+    1. dedup changes to the latest per key (by ``seq_col`` if given);
+    2. find the distinct ``partition_col`` values touched by the change
+       set — ONLY those directories are read and rewritten;
+    3. within touched partitions: target rows whose key appears in the
+       change set are dropped (anti-join), then non-delete change rows are
+       appended — an update is delete+insert, a delete just drops;
+    4. write back with dynamic partition overwrite (idempotent per
+       partition: re-applying the same change batch yields the same
+       directory contents).
+
+    At 100 TB the cost is proportional to the touched partitions — the
+    same contract a Delta/Iceberg MERGE gives, expressed with the engine's
+    own partition pruning. Caveat vs real table formats: no snapshot
+    isolation across partitions mid-write (the staged-swap trick in
+    ``compact_parquet`` covers single-directory atomicity).
+    """
+    latest = changes
+    if seq_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        latest = (changes.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+    touched = [r[0] for r in
+               latest.select(partition_col).distinct().collect()]
+    if not touched:
+        return
+    target = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(touched))
+    keep = target.join(latest.select(*keys), on=list(keys), how="left_anti")
+    upserts = (latest.filter(F.col(op_col) != "D")
+               .select(*target.columns))
+    merged = keep.unionByName(upserts)
+    # dynamic overwrite only rewrites partitions PRESENT in the output — a
+    # partition whose rows were all deleted would silently survive, so
+    # fully-emptied partitions are removed explicitly (a real table format
+    # expresses this as the MERGE's delete commit).
+    surviving = {str(r[0]) for r in
+                 merged.select(partition_col).distinct().collect()}
+    emptied = [p for p in touched if str(p) not in surviving]
+    if not merged.isEmpty():
+        overwrite_partitions(merged, target_path, (partition_col,))
+    import shutil
+    from urllib.parse import urlparse
+
+    root = urlparse(target_path).path or target_path
+    for p in emptied:
+        shutil.rmtree(f"{root}/{partition_col}={p}", ignore_errors=True)

@@ -262,3 +262,68 @@ def test_zorder_prunes_on_second_dimension(spark, sf_dir, tmp_path):
     assert z_cand <= z_total // 4
     # and the data survives the rewrite intact
     assert spark.read.parquet(z_out).count() == events.count()
+
+
+class TestApplyChanges:
+    """CDC merge on partitioned parquet: scoped rewrite, idempotency,
+    untouched partitions left byte-identical."""
+
+    def _seed(self, spark, path):
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            write_partitioned,
+        )
+        base = spark.createDataFrame(
+            [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+             (3, "2024-01-02", 30.0), (4, "2024-01-03", 40.0)],
+            "id long, day string, v double")
+        write_partitioned(base, path, ("day",))
+
+    def test_merge_updates_inserts_deletes_scoped(self, spark, tmp_path):
+        import os
+
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            apply_changes,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        untouched_dir = os.path.join(path, "day=2024-01-03")
+        before = sorted(os.listdir(untouched_dir))
+        before_mtimes = {f: os.path.getmtime(os.path.join(untouched_dir, f))
+                         for f in before}
+
+        changes = spark.createDataFrame(
+            [(2, "2024-01-01", 21.0, "U", 1),   # update
+             (3, "2024-01-02", 0.0, "D", 1),    # delete
+             (5, "2024-01-02", 50.0, "I", 1),   # insert
+             (5, "2024-01-02", 55.0, "U", 2)],  # later change wins
+            "id long, day string, v double, op string, seq long")
+        apply_changes(spark, path, changes, keys=("id",),
+                      partition_col="day", seq_col="seq")
+
+        # partition values read back type-inferred (DateType) — compare str
+        got = {(r.id): (str(r.day), r.v)
+               for r in spark.read.parquet(path).collect()}
+        assert got == {1: ("2024-01-01", 10.0), 2: ("2024-01-01", 21.0),
+                       4: ("2024-01-03", 40.0), 5: ("2024-01-02", 55.0)}
+        # untouched partition not rewritten
+        after = sorted(os.listdir(untouched_dir))
+        assert after == before
+        assert all(os.path.getmtime(os.path.join(untouched_dir, f))
+                   == before_mtimes[f] for f in after)
+
+    def test_reapply_is_idempotent(self, spark, tmp_path):
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            apply_changes,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        changes = spark.createDataFrame(
+            [(2, "2024-01-01", 21.0, "U", 1), (3, "2024-01-02", 0.0, "D", 1)],
+            "id long, day string, v double, op string, seq long")
+        for _ in range(2):
+            apply_changes(spark, path, changes, keys=("id",),
+                          partition_col="day", seq_col="seq")
+        got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+        assert got == [(1, 10.0), (2, 21.0), (4, 40.0)]
