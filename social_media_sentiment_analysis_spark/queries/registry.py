@@ -240,6 +240,22 @@ _ALL: list[Query] = [
     Query("value_histogram", shaping.q_value_histogram,
           shaping.ORACLE_VALUE_HISTOGRAM,
           "fixed-bin histogram: floor binning + one hash aggregate"),
+    Query("scd2_history", temporal.q_scd2_history,
+          temporal.ORACLE_SCD2_HISTORY,
+          "SCD Type-2 dimension build: collapse consecutive states, "
+          "validity ranges via lead() (one sort-exchange)"),
+    Query("bm25_search", tokenization.q_bm25_search,
+          tokenization.ORACLE_BM25_SEARCH,
+          "BM25 retrieval scoring for a fixed query (index-free posting-"
+          "list cost; no float ranking)"),
+    Query("key_skew_profile", shaping.q_key_skew_profile,
+          shaping.ORACLE_KEY_SKEW_PROFILE,
+          "join-key skew diagnostic: group-size distribution + hot-key "
+          "ratio"),
+    Query("top_sources_with_other", shaping.q_top_sources_with_other,
+          shaping.ORACLE_TOP_SOURCES_WITH_OTHER,
+          "top-N + OTHER rollup (broadcast membership, deterministic tie "
+          "cutoff)"),
     Query("nested_order_docs", shaping.q_nested_order_docs,
           shaping.ORACLE_NESTED_ORDER_DOCS,
           "denormalize-then-compute: array-of-structs order documents, "

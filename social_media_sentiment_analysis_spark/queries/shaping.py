@@ -986,3 +986,88 @@ FROM docs
 WHERE len(lines) >= 5
 ORDER BY l_orderkey
 """
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the diagnostic run before any big keyed
+    operation: distribution statistics of per-key group sizes for
+    events.user_id (count, mean, p50/p99/max, and the max/mean hot-key
+    ratio that predicts straggler tasks).
+
+    Two aggregates: per-key counts (the only corpus-sized exchange), then
+    a single-row stats rollup over the |keys|-sized table. When the ratio
+    is large the mitigations are operators/skew.py (salting, two-stage
+    distinct) or AQE skew-join splitting — this query is how you KNOW.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.round(F.avg("n"), 4).alias("mean_rows"),
+        F.round(F.percentile("n", 0.5), 4).alias("p50"),
+        F.round(F.percentile("n", 0.99), 4).alias("p99"),
+        F.max("n").alias("max_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("hot_key_ratio"),
+    )
+
+
+ORACLE_KEY_SKEW_PROFILE = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       round(AVG(n), 4) AS mean_rows,
+       round(quantile_cont(n, 0.5), 4) AS p50,
+       round(quantile_cont(n, 0.99), 4) AS p99,
+       MAX(n) AS max_rows,
+       round(MAX(n) / AVG(n), 4) AS hot_key_ratio
+FROM per_key
+"""
+
+
+_TOP_N_SOURCES = 5
+
+
+def q_top_sources_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + OTHER rollup — the reporting shape every dashboard needs:
+    the 5 largest sources by document volume keep their identity, the long
+    tail collapses into one OTHER row (with its member count).
+
+    The top-N membership is a 5-row broadcast; the re-aggregation by the
+    relabeled key is the only second exchange. Deterministic under ties
+    (count desc, source asc cutoff).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    top = (counts.orderBy(F.desc("n_docs"), "source")
+           .limit(_TOP_N_SOURCES)
+           .select("source", F.lit(True).alias("is_top")))
+    return (
+        counts.join(F.broadcast(top), "source", "left")
+        .withColumn("bucket",
+                    F.when(F.col("is_top"), F.col("source"))
+                    .otherwise(F.lit("OTHER")))
+        .groupBy("bucket")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_sources"))
+        .orderBy(F.desc("n_docs"), "bucket")
+    )
+
+
+ORACLE_TOP_SOURCES_WITH_OTHER = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), top AS (
+  SELECT source FROM counts ORDER BY n_docs DESC, source LIMIT {_TOP_N_SOURCES}
+)
+SELECT CASE WHEN source IN (SELECT source FROM top)
+            THEN source ELSE 'OTHER' END AS bucket,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_sources
+FROM counts
+GROUP BY 1
+ORDER BY n_docs DESC, bucket
+"""

@@ -491,3 +491,53 @@ JOIN pairs p
 GROUP BY s.win_day
 ORDER BY s.win_day
 """
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a changelog: each user's event_type
+    acts as the tracked attribute; consecutive changes become validity
+    ranges [valid_from, valid_to) via lead() over the per-user timeline,
+    with NULL valid_to marking the current row.
+
+    One sort-exchange on the key — the gaps-and-islands sibling of
+    sessionization. Consecutive-duplicate states are collapsed first
+    (lag() != current), so ranges are maximal. This table is what the
+    as-of/interval joins consume for point-in-time dimension lookups.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("event_type").alias("state"))
+    w = Window.partitionBy("user_id").orderBy("ts", "state")
+    collapsed = (
+        events
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNull()
+                | (F.col("prev_state") != F.col("state")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "state")
+    return (
+        collapsed
+        .withColumn("valid_to", F.lead("ts").over(w2))
+        .select("user_id", "state", F.col("ts").alias("valid_from"),
+                "valid_to",
+                F.col("valid_to").isNull().alias("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type AS state,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_type) AS prev_state
+  FROM events
+), collapsed AS (
+  SELECT user_id, ts, state FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, state) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, state) IS NULL
+           AS is_current
+FROM collapsed
+ORDER BY user_id, valid_from, state
+"""

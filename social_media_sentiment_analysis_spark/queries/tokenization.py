@@ -437,3 +437,78 @@ FROM toks
 GROUP BY source
 ORDER BY source
 """
+
+
+_BM25_TERMS = ("spark", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring for a fixed query — the IR ranking function
+    (Robertson/Sparck Jones, public formula) over the corpus.
+
+    All statistics come from the one tf aggregate the TF-IDF query already
+    uses: df per term (window over the tf table), document length and its
+    corpus average (broadcast 1-row anchor). Every scored doc contains ≥1
+    query term, so the candidate set is the tf rows of two terms — at
+    100 TB this is an index-free search whose cost is the posting lists'
+    size, not the corpus (term filter pushes into the tf aggregation).
+    Output is every matching doc with its rounded score, sorted by doc_id:
+    no ranking on raw floats, so the cross-engine hash is stable.
+    """
+    toks = _tokens(spark, sf_dir)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        toks.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_w = Window.partitionBy("word")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5) + 1.0)
+    denom = (F.col("tf")
+             + _BM25_K1 * (1.0 - _BM25_B + _BM25_B
+                           * F.col("dl") / F.col("avgdl")))
+    return (
+        tf.withColumn("df_docs", F.count(F.lit(1)).over(df_w))
+        .join(F.broadcast(doclen), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") / denom), 4).alias("bm25"),
+             F.count(F.lit(1)).alias("terms_matched"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{{_TS}}')) AS word
+  FROM documents WHERE lang = 'en'
+), filtered AS (
+  SELECT doc_id, word FROM toks WHERE length(word) >= {{_MINLEN}}
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM filtered GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM doclen
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM filtered WHERE word IN ('spark', 'join')
+  GROUP BY doc_id, word
+), scored AS (
+  SELECT tf.doc_id,
+         ln((n_docs - COUNT(*) OVER (PARTITION BY word) + 0.5)
+            / (COUNT(*) OVER (PARTITION BY word) + 0.5) + 1.0)
+         * tf / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+                                    * dl / avgdl)) AS s
+  FROM tf JOIN doclen USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(SUM(s), 4) AS bm25, COUNT(*) AS terms_matched
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""".replace("{_TS}", _TOKEN_SPLIT).replace("{_MINLEN}", str(_MIN_WORD_LEN))
