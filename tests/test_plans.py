@@ -96,7 +96,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "weighted_sample",
                             "unigram_logprob",
                             "pmi_collocations",
-                            "equidepth_histogram"), name
+                            "equidepth_histogram",
+                            "bm25_search"), name
 
 
 def test_knn_join_broadcasts_query_set(spark, sf_dir):
