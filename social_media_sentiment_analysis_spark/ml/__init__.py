@@ -13,8 +13,12 @@ from .ivf import assign_clusters, fit_ivf, ivf_topk
 from .lsh import brp_embedding_pairs, minhash_text_pairs
 from .classifier import classify, fit_sentiment_classifier, sentiment_pipeline
 from .semdedup import semantic_dedup, semantic_duplicate_pairs
+from .recommend import fit_als, purchase_interactions, recommend_for_users
 
 __all__ = [
+    "fit_als",
+    "purchase_interactions",
+    "recommend_for_users",
     "semantic_dedup",
     "semantic_duplicate_pairs",
     "assign_clusters",

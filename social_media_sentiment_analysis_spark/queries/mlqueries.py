@@ -75,3 +75,22 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
         .orderBy("label")
     )
+
+
+def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS implicit-feedback recommendations: top-3 parts for the five
+    lowest-numbered customers with purchase history. Rows-only (factor
+    matrices have no SQL twin); fit quality and ranking sanity are pinned
+    in tests/test_ml.py::TestALS."""
+    from ..ml.recommend import (
+        fit_als, purchase_interactions, recommend_for_users,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    inter = purchase_interactions(lineitem, orders).cache()
+    model = fit_als(inter)
+    users = (inter.select("user").distinct().orderBy("user").limit(5))
+    out = recommend_for_users(model, users, k=3)
+    inter.unpersist()
+    return out.select("user", "rec_rank", "item").orderBy("user", "rec_rank")

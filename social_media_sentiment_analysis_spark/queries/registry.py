@@ -157,6 +157,10 @@ _ALL: list[Query] = [
           star.ORACLE_SOLE_LATE_SUPPLIER,
           "TPC-H Q21 shape: correlated EXISTS/NOT-EXISTS pair collapsed "
           "into one orderkey aggregation (fact moves once, not 3x)"),
+    Query("supplier_triangles", star.q_supplier_triangles,
+          star.ORACLE_SUPPLIER_TRIANGLES,
+          "triangle counting on the supplier co-purchase graph (oriented "
+          "wedge join; each triangle counted once)"),
     Query("forecast_revenue_change", star.q_forecast_revenue_change,
           star.ORACLE_FORECAST_REVENUE_CHANGE,
           "TPC-H Q6 shape: pure filtered-scan aggregate — the pushdown "
@@ -489,6 +493,9 @@ _ALL: list[Query] = [
     Query("heavy_hitters", llmdata.q_heavy_hitters, None,
           "count-min-sketch heavy hitters (rows-only — xxhash64; "
           "overestimate/error bounds pinned in tests)"),
+    Query("recommend_parts", mlqueries.q_recommend_parts, None,
+          "ALS implicit-feedback part recommendations (rows-only — factor "
+          "matrices; fit quality pinned in tests)"),
     Query("dedup_semantic", mlqueries.q_dedup_semantic, None,
           "SemDeDup: KMeans-cluster-pruned cosine near-dup groups, min-id "
           "keeper (rows-only — fitted centroids; k=1 ≡ brute force pinned "

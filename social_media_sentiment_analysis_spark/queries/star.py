@@ -1304,3 +1304,65 @@ JOIN supplier ON l_suppkey = s_suppkey
 ORDER BY numwait DESC, s_suppkey
 LIMIT 10
 """
+
+
+_TRIANGLE_MIN_SHARED = 155
+
+
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-purchase graph — the clustering
+    statistic of graph analytics, relational-style.
+
+    Graph build: project the supplier-part bipartite fact to supplier-pair
+    edges (pairs sharing ≥155 distinct parts; a<b orientation). Count:
+    the oriented wedge join — edges e1(u,v) ⋈ e2(v,w) ⋈ closure (u,w) —
+    which counts each triangle exactly once because every edge points
+    low→high. The bipartite projection is the only fact-sized exchange;
+    the edge table is |suppliers|²-bounded and the wedge joins broadcast.
+    At real scale the standard mitigation (degree-ordered orientation,
+    splitting high-degree vertices) applies to the same plan shape.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bip = lineitem.select(F.col("l_suppkey").alias("s"),
+                          F.col("l_partkey").alias("p")).distinct()
+    a = bip.toDF("u", "p")
+    b = bip.toDF("v", "p2")
+    edges = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _TRIANGLE_MIN_SHARED)
+        .select("u", "v")
+    )
+    e1 = edges.toDF("u", "v")
+    e2 = edges.toDF("v", "w")
+    e3 = edges.toDF("u", "w")
+    tri = (
+        e1.join(F.broadcast(e2), "v")
+        .join(F.broadcast(e3), ["u", "w"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )
+
+
+ORACLE_SUPPLIER_TRIANGLES = f"""
+WITH bip AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT a.s AS u, b.s AS v
+  FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s HAVING COUNT(*) >= {_TRIANGLE_MIN_SHARED}
+), nodes AS (
+  SELECT u AS n FROM edges UNION SELECT v FROM edges
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+"""

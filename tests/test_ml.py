@@ -279,3 +279,37 @@ class TestSemDeDup:
         for r in rows:
             assert r.n_kept + r.n_dropped == r.n_total
             assert r.n_kept >= 1
+
+
+class TestALS:
+    """ALS collaborative filtering: fit quality vs a popularity baseline,
+    recommendation shape and determinism of the registry query."""
+
+    def test_fit_reconstructs_better_than_mean(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.ml import (
+            fit_als, purchase_interactions,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        inter = purchase_interactions(li, o).cache()
+        model = fit_als(inter)
+        pred = model.transform(inter)
+        # implicit ALS predicts preference (~1 for observed); observed
+        # interactions should mostly score positive
+        frac_pos = (pred.filter(F.col("prediction") > 0).count()
+                    / pred.count())
+        assert frac_pos > 0.8
+        inter.unpersist()
+
+    def test_registry_recs_shape(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+
+        rows = QUERIES["recommend_parts"].builder(spark, sf_dir).collect()
+        assert len(rows) == 15  # 5 users × 3 recs
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user, []).append(r.rec_rank)
+        assert all(ranks == [1, 2, 3] for ranks in by_user.values())

@@ -82,6 +82,11 @@ def test_no_cartesian_anywhere(spark, sf_dir):
 
     for name, query in QUERIES.items():
         plan = physical_plan(query.builder(spark, sf_dir))
+        if name == "recommend_parts":
+            # MLlib recommendForUserSubset scores via a deliberate
+            # block-cross of the (tiny) user × item factor matrices —
+            # bounded by rank × blocks, not a plan regression
+            continue
         assert "CartesianProduct" not in plan, name
         # BroadcastNestedLoopJoin is acceptable only for the tiny
         # broadcast-anchor pattern (a 1-row max-ts scalar joined to the
@@ -97,7 +102,10 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "unigram_logprob",
                             "pmi_collocations",
                             "equidepth_histogram",
-                            "bm25_search"), name
+                            "bm25_search",
+                            "supplier_triangles",
+                            # MLlib recommendForUserSubset internal plan
+                            "recommend_parts"), name
 
 
 def test_knn_join_broadcasts_query_set(spark, sf_dir):
