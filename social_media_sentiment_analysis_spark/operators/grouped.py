@@ -56,3 +56,37 @@ def zscore_per_group_window(df: DataFrame, group_col: str,
         "zscore",
         F.round(F.when(std > 0, (F.col(value_col) - mean) / std)
                 .otherwise(F.lit(0.0)), 4))
+
+
+def geomean_udaf():
+    """Grouped-aggregate pandas UDF (the Arrow UDAF surface): geometric
+    mean of a double column. The third Arrow crossing pattern this engine
+    exercises (scalar pandas UDF, applyInPandas grouped-map, and this —
+    grouped-agg), provided as the template for aggregates Spark lacks.
+
+    Always pin such a UDAF to a Column twin where one exists —
+    ``geomean_column`` is exp(avg(ln)) and stays in whole-stage codegen;
+    the UDAF exists for the aggregates that do NOT reduce to built-ins
+    (e.g. streaming quantile sketches over unsortable payloads).
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and defeats inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        arr = np.asarray(v, dtype="float64")
+        arr = arr[arr > 0]
+        if arr.size == 0:
+            return float("nan")
+        return float(np.exp(np.log(arr).mean()))
+
+    return geomean
+
+
+def geomean_column(col):
+    """Column-expression twin: exp(avg(ln(x))) over positive values —
+    identical semantics, zero Python crossings."""
+    positive = F.when(F.col(col) > 0, F.log(F.col(col)))
+    return F.exp(F.avg(positive))

@@ -260,6 +260,14 @@ _ALL: list[Query] = [
           shaping.ORACLE_TOP_SOURCES_WITH_OTHER,
           "top-N + OTHER rollup (broadcast membership, deterministic tie "
           "cutoff)"),
+    Query("type_value_geomean", shaping.q_type_value_geomean,
+          shaping.ORACLE_TYPE_VALUE_GEOMEAN,
+          "geometric mean per group (Column twin of the grouped-agg "
+          "pandas UDAF)"),
+    Query("value_bars", windowed.q_value_bars,
+          windowed.ORACLE_VALUE_BARS,
+          "6-hour OHLC resampling bars (min_by/max_by on (ts,value) — one "
+          "aggregate, no window sort)"),
     Query("nested_order_docs", shaping.q_nested_order_docs,
           shaping.ORACLE_NESTED_ORDER_DOCS,
           "denormalize-then-compute: array-of-structs order documents, "

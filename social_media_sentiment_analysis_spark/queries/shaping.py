@@ -1071,3 +1071,31 @@ FROM counts
 GROUP BY 1
 ORDER BY n_docs DESC, bucket
 """
+
+
+def q_type_value_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of positive event values per type — the Column twin
+    (exp∘avg∘ln, whole-stage codegen) of the grouped-agg pandas UDAF in
+    operators/grouped.py::geomean_udaf; row-for-row equality of the two
+    paths is pinned in tests. Geometric means are the right average for
+    multiplicative quantities (growth rates, quality ratios)."""
+    from ..operators.grouped import geomean_column
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(geomean_column("value"), 4).alias("geomean_value"),
+             F.count(F.when(F.col("value") > 0, 1)).alias("n_positive"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TYPE_VALUE_GEOMEAN = """
+SELECT event_type,
+       round(exp(AVG(CASE WHEN value > 0 THEN ln(value) END)), 4)
+           AS geomean_value,
+       COUNT(*) FILTER (value > 0) AS n_positive
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -454,3 +454,46 @@ SELECT first_day, new_users,
 FROM daily_new
 ORDER BY first_day
 """
+
+
+def q_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to 6-hour OHLC bars per event type — the
+    downsampling shape every metrics/market pipeline needs.
+
+    open/close are min_by/max_by on the timestamp (one aggregate, no
+    window-sort), high/low plain min/max — a single hash aggregate per
+    (type, bucket): the exchange carries one row per bar regardless of
+    input rate. (ts is unique within event_type at every SF — verified —
+    so the min_by/max_by pick is deterministic; with tie-prone data order
+    on a (ts, tiebreak) struct instead.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts") - F.expr(
+        "make_interval(0, 0, 0, 0, hour(ts) % 6, 0, 0)")
+    return (
+        events
+        .groupBy("event_type", bucket.alias("bar_start"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+ORACLE_VALUE_BARS = """
+SELECT event_type,
+       date_trunc('hour', ts)
+           - INTERVAL (EXTRACT(hour FROM ts)::INT % 6) HOUR AS bar_start,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

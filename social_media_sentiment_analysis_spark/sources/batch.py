@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
@@ -65,3 +66,28 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_evolving(spark: SparkSession, path: str,
+                  target_schema=None) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: a directory whose files were
+    written under DIFFERENT schema versions (columns added over time) reads
+    as their union via ``mergeSchema`` — old files yield NULL for columns
+    they predate. With ``target_schema`` the result is then normalized:
+    missing columns added as typed NULLs, extras dropped, order fixed —
+    the contract a long-lived 100 TB table needs so v1 readers keep working
+    while v2 writers roll out. (Incompatible type CHANGES for an existing
+    column are a hard error by design — that migration is a rewrite, not a
+    read-time patch.)
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is None:
+        return df
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType)
+                        .alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

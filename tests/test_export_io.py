@@ -171,3 +171,38 @@ def test_observed_metrics_single_pass(spark, sf_dir):
     expected = events.filter("event_type = 'purchase'") \
         .agg(F.round(F.sum("value"), 4)).first()[0]
     assert got["total_value"] == expected
+
+
+class TestSchemaEvolution:
+    def test_read_evolving_merges_and_normalizes(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            read_evolving,
+        )
+
+        path = str(tmp_path / "t")
+        # v1 writer: two columns
+        spark.createDataFrame([(1, "a")], "id long, name string") \
+            .write.mode("append").parquet(path)
+        # v2 writer: adds a score column
+        spark.createDataFrame([(2, "b", 0.5)],
+                              "id long, name string, score double") \
+            .write.mode("append").parquet(path)
+
+        merged = read_evolving(spark, path)
+        rows = {r.id: r for r in merged.collect()}
+        assert rows[1].score is None and rows[2].score == 0.5
+
+        # v3 target: adds a lang column not yet written; drops name
+        target = StructType([
+            StructField("id", LongType()),
+            StructField("score", DoubleType()),
+            StructField("lang", StringType()),
+        ])
+        norm = read_evolving(spark, path, target)
+        assert norm.columns == ["id", "score", "lang"]
+        got = {r.id: (r.score, r.lang) for r in norm.collect()}
+        assert got == {1: (None, None), 2: (0.5, None)}

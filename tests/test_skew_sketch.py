@@ -155,3 +155,28 @@ class TestCountMin:
         single = {(r.row, r.bucket): r.cnt for r in
                   cms_build(words, "w").collect()}
         assert merged == single
+
+
+class TestGeomeanUDAF:
+    def test_udaf_matches_column_twin(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.operators.grouped import (
+            geomean_column, geomean_udaf,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        twin = {r.event_type: r.g for r in
+                events.groupBy("event_type")
+                .agg(F.round(geomean_column("value"), 6).alias("g"))
+                .collect()}
+        gm = geomean_udaf()
+        udaf = {r.event_type: r.g for r in
+                events.filter(F.col("value") > 0)
+                .groupBy("event_type")
+                .agg(F.round(gm(F.col("value")), 6).alias("g"))
+                .collect()}
+        assert set(twin) == set(udaf)
+        for k in twin:
+            assert abs(twin[k] - udaf[k]) < 1e-6, k
