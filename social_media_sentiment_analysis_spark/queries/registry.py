@@ -157,6 +157,10 @@ _ALL: list[Query] = [
           star.ORACLE_SOLE_LATE_SUPPLIER,
           "TPC-H Q21 shape: correlated EXISTS/NOT-EXISTS pair collapsed "
           "into one orderkey aggregation (fact moves once, not 3x)"),
+    Query("returnflag_priority_counts", star.q_returnflag_priority_counts,
+          star.ORACLE_RETURNFLAG_PRIORITY_COUNTS,
+          "TPC-H Q12 shape: two-way conditional counts over a fact-fact "
+          "join (orders side pre-projected to key + boolean)"),
     Query("supplier_triangles", star.q_supplier_triangles,
           star.ORACLE_SUPPLIER_TRIANGLES,
           "triangle counting on the supplier co-purchase graph (oriented "

@@ -1366,3 +1366,42 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
         JOIN edges e2 ON e1.v = e2.u
         JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
 """
+
+
+def q_returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping class (l_returnflag standing in for
+    shipmode), conditional counts of high- vs low-priority orders — the
+    two-way CASE aggregation over a fact-fact join.
+
+    Both conditional counts live in ONE HashAggregate after the orderkey
+    join (the orders side pre-projected to key + a boolean, so the
+    exchange moves 9 bytes a row). The date filter reaches the lineitem
+    scan as a PushedFilter.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem
+        .filter(F.col("l_shipdate").between("1997-01-01", "1997-12-31"))
+        .join(orders.select("o_orderkey", high.alias("is_high")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.when(F.col("is_high"), 1)).alias("high_line_count"),
+             F.count(F.when(~F.col("is_high"), 1)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_RETURNFLAG_PRIORITY_COUNTS = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS high_line_count,
+       COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

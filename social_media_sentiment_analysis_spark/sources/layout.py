@@ -230,3 +230,55 @@ def apply_changes(spark: SparkSession, target_path: str, changes: DataFrame,
     root = urlparse(target_path).path or target_path
     for p in emptied:
         shutil.rmtree(f"{root}/{partition_col}={p}", ignore_errors=True)
+
+
+def write_version(df: DataFrame, path: str) -> int:
+    """Versioned table write — append-only snapshot directories plus an
+    atomically-swapped pointer: the poor-man's time travel that plain
+    parquet can support.
+
+    Each write lands in ``{path}/v=N`` (N = prior max + 1); only after the
+    data commit does the tiny ``_LATEST`` pointer file get rewritten, so a
+    crash mid-write leaves the previous version live (readers never see a
+    partial snapshot — the pointer is the commit). Old versions stay
+    readable (``read_version(..., version=K)``) until pruned with
+    ``prune_versions``. This is the essential transactional-pointer idea
+    under Delta/Iceberg, minus manifests and concurrent-writer arbitration.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    existing = [int(d.split("=")[1]) for d in os.listdir(path)
+                if d.startswith("v=")]
+    version = (max(existing) + 1) if existing else 1
+    df.write.mode("overwrite").parquet(f"{path}/v={version}")
+    tmp = f"{path}/_LATEST.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{path}/_LATEST")   # atomic pointer swap = commit
+    return version
+
+
+def read_version(spark: SparkSession, path: str,
+                 version: int | None = None) -> DataFrame:
+    """Read a specific snapshot (time travel) or the committed latest."""
+    if version is None:
+        with open(f"{path}/_LATEST") as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(f"{path}/v={version}")
+
+
+def prune_versions(path: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` snapshots (never the committed
+    one); returns pruned version numbers."""
+    import os
+    import shutil
+
+    with open(f"{path}/_LATEST") as f:
+        committed = int(f.read().strip())
+    versions = sorted(int(d.split("=")[1]) for d in os.listdir(path)
+                      if d.startswith("v="))
+    to_prune = [v for v in versions[:-keep] if v != committed]
+    for v in to_prune:
+        shutil.rmtree(f"{path}/v={v}", ignore_errors=True)
+    return to_prune

@@ -115,6 +115,12 @@ def enrich_tweet_stream(df: DataFrame,
     # key but evicts entries once they age past the watermark: the
     # principled form of the reference's 10k-clear hack
     # (twitter_producer.py:202-205).
+    # Batch inputs run the SAME pipeline with plain dropDuplicates (the
+    # WithinWatermark variant is stream-only) — one code path, two modes;
+    # output equality is pinned by
+    # test_stream_and_batch_enrichment_agree.
+    if not df.isStreaming:
+        return filtered.dropDuplicates(["tweet_id"])
     return (
         filtered
         .withWatermark("event_time", watermark)

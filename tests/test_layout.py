@@ -327,3 +327,28 @@ class TestApplyChanges:
                           partition_col="day", seq_col="seq")
         got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
         assert got == [(1, 10.0), (2, 21.0), (4, 40.0)]
+
+
+class TestVersionedWrites:
+    def test_time_travel_and_pointer_commit(self, spark, tmp_path):
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            prune_versions, read_version, write_version,
+        )
+
+        path = str(tmp_path / "t")
+        v1 = write_version(
+            spark.createDataFrame([(1, "a")], "id long, s string"), path)
+        v2 = write_version(
+            spark.createDataFrame([(1, "a2"), (2, "b")],
+                                  "id long, s string"), path)
+        assert (v1, v2) == (1, 2)
+        assert read_version(spark, path).count() == 2          # latest
+        assert read_version(spark, path, 1).count() == 1       # time travel
+
+        v3 = write_version(
+            spark.createDataFrame([(9, "z")], "id long, s string"), path)
+        pruned = prune_versions(path, keep=2)
+        assert pruned == [1]
+        assert read_version(spark, path, 2).count() == 2       # kept
+        assert [r.id for r in read_version(spark, path).collect()] == [9]
+        assert v3 == 3

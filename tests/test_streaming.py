@@ -532,3 +532,28 @@ def test_checkpoint_restart_processes_only_new_data(spark, tmp_path):
     run_once()
     ids = sorted(r.user_id for r in spark.read.parquet(out).collect())
     assert ids == [1, 2]   # user 1 exactly once — offsets recovered
+
+
+def test_stream_and_batch_enrichment_agree(spark, stream_input):
+    """The SAME Column pipeline runs in both modes; on identical input the
+    streamed output must equal the batch output row-for-row — the
+    batch/stream unification contract that makes backfills trustworthy."""
+    from social_media_sentiment_analysis_spark.schemas import (
+        TWEET_ENVELOPE_SCHEMA,
+    )
+
+    stream = read_tweet_file_stream(spark, stream_input)
+    streamed = enrich_tweet_stream(stream)
+    name = "unify_" + uuid.uuid4().hex[:8]
+    q = _mem_query(streamed, name)
+    q.awaitTermination()
+    got_stream = {r.tweet_id: (r.cleaned_text, r.final_sentiment,
+                               round(r.confidence_score, 9))
+                  for r in spark.table(name).collect()}
+
+    batch = spark.read.schema(TWEET_ENVELOPE_SCHEMA).json(stream_input)
+    batched = enrich_tweet_stream(batch)   # same entry point, batch mode
+    got_batch = {r.tweet_id: (r.cleaned_text, r.final_sentiment,
+                              round(r.confidence_score, 9))
+                 for r in batched.collect()}
+    assert got_stream == got_batch
