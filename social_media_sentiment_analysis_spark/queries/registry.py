@@ -157,6 +157,14 @@ _ALL: list[Query] = [
           star.ORACLE_SOLE_LATE_SUPPLIER,
           "TPC-H Q21 shape: correlated EXISTS/NOT-EXISTS pair collapsed "
           "into one orderkey aggregation (fact moves once, not 3x)"),
+    Query("local_supplier_revenue", star.q_local_supplier_revenue,
+          star.ORACLE_LOCAL_SUPPLIER_REVENUE,
+          "TPC-H Q5 shape: cross-dimension-path equality as a residual "
+          "filter (no extra join)"),
+    Query("important_stock", star.q_important_stock,
+          star.ORACLE_IMPORTANT_STOCK,
+          "TPC-H Q11 shape: share-of-global-total HAVING via "
+          "window-over-aggregate (no second scan)"),
     Query("returnflag_priority_counts", star.q_returnflag_priority_counts,
           star.ORACLE_RETURNFLAG_PRIORITY_COUNTS,
           "TPC-H Q12 shape: two-way conditional counts over a fact-fact "

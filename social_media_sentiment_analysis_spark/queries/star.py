@@ -1405,3 +1405,104 @@ WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the supplier and the
+    ordering customer share that nation — the equality constraint BETWEEN
+    two dimension paths (customer→nation vs supplier→nation) that makes Q5
+    more than a star join.
+
+    Spark-first: both paths resolve through broadcast dims to nationkey
+    columns on the joined fact row; the cross-path constraint is then a
+    residual filter — no extra join. One orderkey exchange (lineitem ⋈
+    orders), everything else broadcasts.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    cust = customer.select("c_custkey",
+                           F.col("c_nationkey").alias("cust_nation"))
+    supp = supplier.select("s_suppkey",
+                           F.col("s_nationkey").alias("supp_nation"))
+    return (
+        lineitem
+        .join(orders.filter(F.col("o_orderdate")
+                            .between("1996-01-01", "1996-12-31"))
+              .select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") == F.col("supp_nation"))
+        .join(F.broadcast(nation),
+              F.col("supp_nation") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+_Q11_SHARE = 0.002
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: (supplier, part) inventory-value groups whose value
+    exceeds a fixed fraction of the GLOBAL total — the share-of-total
+    HAVING that needs a scalar subquery.
+
+    The global total is the sum over the same aggregate — computed as a
+    window-over-nothing on the grouped result (one extra 1-row-per-
+    partition exchange of |groups| rows), not a second fact scan. Output
+    ordered by group keys (no float ranking).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    value = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    grouped = (
+        lineitem.groupBy("l_suppkey", "l_partkey")
+        .agg(value.alias("stock_value"))
+    )
+    total_w = Window.partitionBy()
+    return (
+        grouped
+        .withColumn("total", F.sum("stock_value").over(total_w))
+        .filter(F.col("stock_value") > F.lit(_Q11_SHARE) * F.col("total"))
+        .select(F.col("l_suppkey").cast("long").alias("l_suppkey"),
+                F.col("l_partkey").cast("long").alias("l_partkey"),
+                F.round("stock_value", 4).alias("stock_value"))
+        .orderBy("l_suppkey", "l_partkey")
+    )
+
+
+ORACLE_IMPORTANT_STOCK = f"""
+WITH grouped AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(l_extendedprice * l_quantity) AS stock_value
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, round(stock_value, 4) AS stock_value
+FROM grouped
+WHERE stock_value > {_Q11_SHARE}
+      * (SELECT SUM(stock_value) FROM grouped)
+ORDER BY l_suppkey, l_partkey
+"""
