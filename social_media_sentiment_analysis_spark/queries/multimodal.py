@@ -166,3 +166,22 @@ FROM per_fp
 GROUP BY modality
 ORDER BY modality
 """
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate pairs per modality, rolled up
+    to a per-modality pair count + mean hamming distance. Rows-only for the
+    driver (the decode→hash crossing has no SQL twin); pair-level recall
+    against byte-identical and one-byte-perturbed payloads is pinned in
+    tests/test_multimodal.py::TestPhash."""
+    from ..operators.multimodal import phash_near_duplicates
+
+    pairs = phash_near_duplicates(_media(spark, sf_dir))
+    return (
+        pairs.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("dup_pairs"),
+            F.round(F.avg("hamming"), 4).alias("avg_hamming"),
+        )
+        .orderBy("modality")
+    )

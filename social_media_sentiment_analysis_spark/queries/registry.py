@@ -169,6 +169,10 @@ _ALL: list[Query] = [
           star.ORACLE_RETURNFLAG_PRIORITY_COUNTS,
           "TPC-H Q12 shape: two-way conditional counts over a fact-fact "
           "join (orders side pre-projected to key + boolean)"),
+    Query("excess_volume_suppliers", star.q_excess_volume_suppliers,
+          star.ORACLE_EXCESS_VOLUME_SUPPLIERS,
+          "TPC-H Q20 shape: doubly nested IN collapsed to chained LEFT "
+          "SEMI joins (fact reduced map-side, supplier never shuffled)"),
     Query("supplier_triangles", star.q_supplier_triangles,
           star.ORACLE_SUPPLIER_TRIANGLES,
           "triangle counting on the supplier co-purchase graph (oriented "
@@ -494,6 +498,9 @@ _ALL: list[Query] = [
     Query("media_features", multimodal.q_media_features, None,
           "mapInPandas decode→features (deterministic fake codec; "
           "rows-only check, pandas parity in tests)"),
+    Query("media_phash", multimodal.q_media_phash, None,
+          "perceptual-hash (dHash) near-dup pairs via banded LSH join "
+          "(rows-only; recall pinned in tests)"),
     # --- tokenizer training + sequence assembly ---
     Query("tfidf_keywords", tokenization.q_tfidf_keywords,
           tokenization.ORACLE_TFIDF_KEYWORDS,

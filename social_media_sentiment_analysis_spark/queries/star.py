@@ -1506,3 +1506,76 @@ WHERE stock_value > {_Q11_SHARE}
       * (SELECT SUM(stock_value) FROM grouped)
 ORDER BY l_suppkey, l_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: nested-IN excess-volume supplier shortlist
+# ---------------------------------------------------------------------------
+
+_Q20_NAME_PREFIX = "red"
+_Q20_QTY_THRESHOLD = 50.0
+_Q20_NATION_CUTOFF = 8
+
+
+def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in a nation subset) that moved more than
+    a threshold quantity of at least one name-matched part — the doubly
+    nested IN-subquery (supplier IN (... part IN (...) GROUP BY ... HAVING)).
+
+    Shape, not translation: each IN collapses to a LEFT SEMI join, so
+    nothing is ever materialized at match multiplicity. The part shortlist
+    (prefix-matched names) is broadcast into the lineitem scan as a semi join
+    — at 100 TB the fact is reduced map-side before its only exchange, the
+    (suppkey, partkey) aggregation. The HAVING survivors then collapse to
+    distinct suppkeys (a few thousand rows at any scale) and semi-join into
+    supplier, with the nation filter a broadcast dim as usual. The fact
+    moves once; supplier is never shuffled at all (broadcast probe side).
+
+    Reference parity: the reference's query surface is literal SQL over
+    SQLite (sentiment_analysis.py:450-715) and has no nested-IN query; this
+    covers the shape for the BASELINE star-schema surface.
+    """
+    part = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_name").startswith(_Q20_NAME_PREFIX)) \
+        .select("p_partkey")
+    lineitem = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation") \
+        .filter(F.col("n_nationkey") < _Q20_NATION_CUTOFF) \
+        .select("n_nationkey")
+
+    movers = (
+        lineitem
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey,
+              "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q20_QTY_THRESHOLD)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier
+        .join(F.broadcast(nation),
+              supplier.s_nationkey == nation.n_nationkey, "left_semi")
+        .join(movers, supplier.s_suppkey == movers.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_EXCESS_VOLUME_SUPPLIERS = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_nationkey < {_Q20_NATION_CUTOFF})
+  AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_NAME_PREFIX}%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > {_Q20_QTY_THRESHOLD})
+ORDER BY s_suppkey
+"""

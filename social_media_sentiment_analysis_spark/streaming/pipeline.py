@@ -178,9 +178,10 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *,
                          left_ts: str, right_ts: str,
                          within: str = "30 minutes",
                          left_watermark: str = "1 hour",
-                         right_watermark: str = "1 hour") -> DataFrame:
-    """Watermarked stream-stream inner join: right rows match a left row
-    with the same key when ``left_ts <= right_ts <= left_ts + within``.
+                         right_watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join: right rows match a left row with the
+    same key when ``left_ts <= right_ts <= left_ts + within``.
 
     This is the streaming-only join class (e.g. tweets ⋈ trailing
     engagement updates) the reference's row-at-a-time loop could never
@@ -189,6 +190,15 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *,
     buffered rows once the other stream's watermark passes the range end —
     without them state grows forever. Key equality keeps the join a hash
     exchange on the key, exactly like the batch interval_join.
+
+    ``how="left_outer"`` adds the timeout semantics: a left row that never
+    saw a match is emitted with NULL right columns — but only once the
+    RIGHT watermark has passed ``left_ts + within``, because until then a
+    match could still arrive. Operationally that means outer results trail
+    the watermark by up to one micro-batch (eviction happens in the batch
+    AFTER the one whose data advanced the watermark) — a correctness-of-
+    completeness contract, not a bug, and the reason the test feeds a
+    trailing batch. Same bounded state as the inner form.
     """
     l = left.withWatermark(left_ts, left_watermark)
     r = right.withWatermark(right_ts, right_watermark)
@@ -199,7 +209,7 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *,
             f"{right_ts} >= {left_ts} AND "
             f"{right_ts} <= {left_ts} + interval {within}"
         ),
-        "inner",
+        how,
     )
 
 

@@ -177,3 +177,59 @@ class TestAudioSegmentation:
             b0 = int(s["start_ms"] * bpms)
             b1 = max(b0 + 1, int(s["end_ms"] * bpms))
             assert bytes(s["segment_bytes"]) == raw[b0:b1]
+
+
+class TestPhash:
+    """Perceptual-hash near-dup: gradient-hash stability for perturbed
+    payloads, modality blocking, and pair ordering."""
+
+    def _media_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "media_id string, modality string, payload binary")
+
+    def test_perturbed_payload_pairs_distinct_does_not(self, spark):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            phash_near_duplicates,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, size=2048, dtype=np.uint8).tobytes()
+        # flip one byte mid-stream: a re-encode-sized perturbation
+        near = bytearray(base)
+        near[1000] = (near[1000] + 3) % 256
+        other = rng.integers(0, 256, size=2048, dtype=np.uint8).tobytes()
+        media = self._media_df(spark, [
+            ("m1", "image", base),
+            ("m2", "image", bytes(near)),
+            ("m3", "image", other),
+            ("m4", "audio", base),   # same bytes, different modality
+        ])
+        pairs = {(r.a_id, r.b_id)
+                 for r in phash_near_duplicates(media).collect()}
+        assert ("m1", "m2") in pairs            # near-identical pairs
+        assert ("m1", "m4") not in pairs        # modality-blocked
+        assert all(a < b for a, b in pairs)     # canonical ordering
+        assert ("m1", "m3") not in pairs and ("m2", "m3") not in pairs
+
+    def test_phash_deterministic_and_long_typed(self, spark):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            _fake_decode_phash, phash_media,
+        )
+
+        payload = bytes(range(256)) * 4
+        media = self._media_df(spark, [("m1", "image", payload)])
+        row = phash_media(media).collect()[0]
+        assert row.phash == _fake_decode_phash(payload)
+        assert phash_media(media).schema["phash"].dataType.simpleString() == "bigint"
+
+    def test_registry_rollup_shape(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+
+        df = QUERIES["media_phash"].builder(spark, sf_dir)
+        assert [f.name for f in df.schema.fields] == [
+            "modality", "dup_pairs", "avg_hamming"]
+        for r in df.collect():
+            assert r.modality in ("image", "audio", "video")
+            assert r.dup_pairs >= 0

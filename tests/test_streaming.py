@@ -203,6 +203,68 @@ def test_stream_interval_join(spark, tmp_path_factory):
     assert rows == {("t1", 3), ("t2", 1)}
 
 
+def test_stream_interval_join_left_outer_emits_timeouts(
+        spark, tmp_path_factory):
+    """Left-outer stream-stream join: tweets with no engagement inside the
+    30-min window are emitted with NULL deltas once the right watermark
+    passes their window end. Right side is fed one file per micro-batch so
+    the watermark actually advances across batches (eviction/null emission
+    happens one batch behind the data that moved the watermark)."""
+    from social_media_sentiment_analysis_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    tweets_dir = tmp_path_factory.mktemp("ssjo_tweets")
+    eng_dir = tmp_path_factory.mktemp("ssjo_eng")
+    with open(tweets_dir / "t0.jsonl", "w") as f:
+        f.write(json.dumps({"tweet_id": "t1",
+                            "event_time": "2024-01-15T10:00:00"}) + "\n")
+        f.write(json.dumps({"tweet_id": "t2",
+                            "event_time": "2024-01-15T10:05:00"}) + "\n")
+    # the GLOBAL watermark is min(left wm, right wm), so BOTH sides need
+    # later data or eviction never triggers — the left gets a late tweet
+    # (itself unmatched, but the query ends before its own timeout).
+    with open(tweets_dir / "t1.jsonl", "w") as f:
+        f.write(json.dumps({"tweet_id": "t3",
+                            "event_time": "2024-01-15T21:00:00"}) + "\n")
+    # file names order the batches: batch0 has the only real match, batch1
+    # advances both watermarks far past t2's window end, batch2 gives
+    # the join a batch in which to emit the timed-out t2 with NULLs.
+    with open(eng_dir / "e0.jsonl", "w") as f:
+        f.write(json.dumps({"e_tweet_id": "t1",
+                            "engagement_time": "2024-01-15T10:10:00",
+                            "like_delta": 3}) + "\n")
+    with open(eng_dir / "e1.jsonl", "w") as f:
+        f.write(json.dumps({"e_tweet_id": "t9",
+                            "engagement_time": "2024-01-15T20:00:00",
+                            "like_delta": 1}) + "\n")
+    with open(eng_dir / "e2.jsonl", "w") as f:
+        f.write(json.dumps({"e_tweet_id": "t9",
+                            "engagement_time": "2024-01-15T21:00:00",
+                            "like_delta": 1}) + "\n")
+
+    tweets = (spark.readStream
+              .schema("tweet_id string, event_time timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .json(str(tweets_dir)))
+    eng = (spark.readStream
+           .schema("e_tweet_id string, engagement_time timestamp, "
+                   "like_delta long")
+           .option("maxFilesPerTrigger", 1)
+           .json(str(eng_dir)))
+    joined = stream_interval_join(
+        tweets, eng, key="tweet_id", right_key="e_tweet_id",
+        left_ts="event_time", right_ts="engagement_time",
+        within="30 minutes", how="left_outer")
+    name = f"ssjo_{uuid.uuid4().hex[:8]}"
+    q = _mem_query(joined.select("tweet_id", "like_delta"), name)
+    q.awaitTermination(120)
+    rows = {(r.tweet_id, r.like_delta)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert ("t1", 3) in rows          # matched inside the window
+    assert ("t2", None) in rows       # timed out → NULL-padded outer row
+
+
 def test_stream_static_dim_join(spark, tmp_path_factory):
     """Stream-static enrichment: dim rows match by key; stream rows without
     a dim row survive with nulls (left join), and no state store is used."""
