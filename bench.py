@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "promo_revenue",
     "dataset_split",
     "heavy_hitters",
+    "excess_volume_suppliers",
+    "bigram_logprob",
+    "hybrid_search",
+    "media_phash",
 ]
 
 

@@ -88,13 +88,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return staged.select(F.col(id_col), sig.alias("minhash"))
 
 
-def lsh_candidates(signatures: DataFrame, id_col: str,
-                   num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
-    """Banded LSH: docs sharing any band of their signature become candidate
-    pairs (a_id < b_id). One explode (bands per doc) + one shuffle on the
-    band key; bucket sizes stay small for realistic corpora, so the
-    within-bucket pairing is cheap. Returns distinct (a_id, b_id)."""
-    banded = signatures.select(
+def band_keys(signatures: DataFrame, id_col: str,
+              num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, band_hash) LSH band keys: each doc's signature is cut
+    into ``num_bands`` bands of ``rows_per_band`` values, each band hashed
+    to one key. Docs sharing any (band, band_hash) are near-dup candidates.
+    Map-side only (one posexplode); this is the probe/persist unit for
+    both batch candidate joins and the incremental streaming band store."""
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
@@ -109,6 +110,16 @@ def lsh_candidates(signatures: DataFrame, id_col: str,
             ])
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidates(signatures: DataFrame, id_col: str,
+                   num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band of their signature become candidate
+    pairs (a_id < b_id). One explode (bands per doc) + one shuffle on the
+    band key; bucket sizes stay small for realistic corpora, so the
+    within-bucket pairing is cheap. Returns distinct (a_id, b_id)."""
+    banded = band_keys(signatures, id_col,
+                       num_bands=num_bands, rows_per_band=rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -1849,3 +1849,187 @@ FROM enriched
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram log-probability quality score (KenLM-style, order-2)
+# ---------------------------------------------------------------------------
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source order-2 perplexity-proxy profile: score every document by
+    the average negative log-probability of its word bigrams under the
+    corpus's own conditional bigram model, add-one smoothed over the
+    vocabulary — the next step up from ``unigram_logprob``: a doc full of
+    common words in UNCOMMON ORDER now scores badly, which is exactly the
+    word-salad signal an order-1 model cannot see.
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (ctx(w1) + |V|), with ctx(w1) the number
+    of bigrams whose left word is w1 (so the conditional sums to 1) and
+    |V| the vocabulary size.
+
+    Dataflow: one explode to (doc, bigram); the bigram-count table (bounded
+    by distinct bigrams ≪ corpus tokens, the persisted LM artifact at
+    100 TB) aggregates from it, context counts aggregate from the bigram
+    table (vocab-sized, no extra corpus pass), and scoring is a broadcast
+    probe of the model back onto the exploded corpus — the fact moves once.
+    """
+    w = tokens(F.col("cleaned_text"))
+    pairs = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("cleaned_text")) != "")
+        .filter(F.size(w) >= 2)
+        .select(
+            "doc_id", "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram"),
+        )
+    )
+    # persist the model core (distinct-bigram counts — the vocabulary-sized
+    # LM artifact): the |V| collect, the context aggregate, and the scoring
+    # probe all read it, and without the barrier each would re-explode the
+    # corpus. At 100 TB this is the table a pipeline persists to parquet.
+    bc = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc")).persist()
+    model = bc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    ctx = model.groupBy("w1").agg(F.sum("bc").alias("ctx"))
+    model = model.join(F.broadcast(ctx), "w1")
+    # |V| = distinct words across the corpus (right words of bigrams plus
+    # leading words = all words of every >=2-token doc; counted from the
+    # model table, not another corpus pass)
+    v_size = (
+        model.select(F.explode(F.split("bigram", " ")).alias("word"))
+        .agg(F.count_distinct("word")).collect()[0][0]
+    )
+    neglogp = -F.log((F.col("bc") + F.lit(1.0))
+                     / (F.col("ctx") + F.lit(float(v_size))))
+    per_doc = (
+        pairs.join(F.broadcast(model.select("bigram", "bc", "ctx")), "bigram")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(neglogp).alias("avg_neglogp"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.round(F.avg("avg_neglogp"), 4).alias("mean_score"),
+             F.round(F.min("avg_neglogp"), 4).alias("best_score"),
+             F.round(F.max("avg_neglogp"), 4).alias("worst_score"))
+        .orderBy("source")
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = _SQL_DOCS + """
+, toked AS (
+    SELECT doc_id, source, string_split(cleaned_text, ' ') AS w
+    FROM docs WHERE trim(cleaned_text) <> '' AND len(string_split(cleaned_text, ' ')) >= 2
+), pairs AS (
+    SELECT doc_id, source,
+           unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+    FROM toked
+), bigrams AS (
+    SELECT doc_id, source, pr[1] || ' ' || pr[2] AS bigram FROM pairs
+), bc AS (
+    SELECT bigram, COUNT(*) AS bc FROM bigrams GROUP BY bigram
+), model AS (
+    SELECT bigram, bc, split_part(bigram, ' ', 1) AS w1 FROM bc
+), ctx AS (
+    SELECT w1, SUM(bc) AS ctx FROM model GROUP BY w1
+), vsize AS (
+    SELECT COUNT(DISTINCT word) AS v FROM (
+        SELECT unnest(string_split(bigram, ' ')) AS word FROM model)
+), per_doc AS (
+    SELECT b.doc_id, b.source,
+           AVG(-ln((m.bc + 1.0) / (c.ctx + vs.v))) AS avg_neglogp
+    FROM bigrams b
+    JOIN model m ON b.bigram = m.bigram
+    JOIN ctx c ON m.w1 = c.w1
+    CROSS JOIN vsize vs
+    GROUP BY b.doc_id, b.source
+)
+SELECT source,
+       COUNT(*) AS docs,
+       round(AVG(avg_neglogp), 4) AS mean_score,
+       round(MIN(avg_neglogp), 4) AS best_score,
+       round(MAX(avg_neglogp), 4) AS worst_score
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each label's centroid, the top-5 most
+    similar vectors belonging to OTHER labels — the contrastive-training
+    negatives that are actually hard (near the decision boundary), as
+    opposed to random negatives that teach the model nothing.
+
+    Shape: the |labels|×dims centroid table broadcasts; every vector is
+    scored against every OTHER label's centroid in one map-side fold
+    (vectors × |labels| intermediate rows, aggregated on (vec, label)
+    before any exchange), then a per-centroid top-k window. Ranking is on
+    the ROUNDED cosine with vec_id tiebreak so the top-k is engine-stable.
+    At 100 TB the |labels|-fanout join is the same bounded pattern as
+    ``label_centroids``; for open-ended label sets, swap the broadcast for
+    the ANN bucket join (``knn_join_ann``).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "label", "dim", F.col("v").cast("double").alias("v"))
+    cent = (flat.groupBy("label", "dim")
+            .agg(F.avg("v").alias("c"))
+            .withColumnsRenamed({"label": "c_label", "dim": "c_dim"}))
+    scored = (
+        flat.join(F.broadcast(cent), flat.dim == cent.c_dim)
+        .filter(F.col("label") != F.col("c_label"))
+        .groupBy("c_label", "vec_id", "label")
+        .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+             F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm_v"),
+             F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("norm_c"))
+        .withColumn("cosine", F.round(
+            F.col("dot") / (F.col("norm_v") * F.col("norm_c")), 4))
+    )
+    w = Window.partitionBy("c_label").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select(F.col("c_label").alias("anchor_label"), "rank",
+                "vec_id", F.col("label").alias("negative_label"), "cosine")
+        .orderBy("anchor_label", "rank")
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH flat AS (
+    SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), cent AS (
+    SELECT label AS c_label, dim, AVG(v) AS c
+    FROM flat GROUP BY label, dim
+), scored AS (
+    SELECT ct.c_label, f.vec_id, f.label,
+           round(SUM(f.v * ct.c)
+                 / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(ct.c * ct.c))), 4)
+               AS cosine
+    FROM flat f JOIN cent ct ON f.dim = ct.dim AND f.label <> ct.c_label
+    GROUP BY ct.c_label, f.vec_id, f.label
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_label ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT c_label AS anchor_label, rank, vec_id,
+       label AS negative_label, cosine
+FROM ranked WHERE rank <= {_HARDNEG_K}
+ORDER BY anchor_label, rank
+"""

@@ -295,6 +295,10 @@ _ALL: list[Query] = [
     Query("winsorized_stats", shaping.q_winsorized_stats,
           shaping.ORACLE_WINSORIZED_STATS,
           "winsorized mean: exact p05/p95 clamp, broadcast bounds"),
+    Query("hourly_anomalies", shaping.q_hourly_anomalies,
+          shaping.ORACLE_HOURLY_ANOMALIES,
+          "seasonal-baseline anomaly detection: hour-of-day profile "
+          "(mean/σ over hourly rollup) broadcast back; >2σ hours flagged"),
     Query("mad_outliers", shaping.q_mad_outliers,
           shaping.ORACLE_MAD_OUTLIERS,
           "median/MAD robust outlier detection per group (broadcast-bounds "
@@ -427,6 +431,20 @@ _ALL: list[Query] = [
           llmdata.ORACLE_UNIGRAM_LOGPROB,
           "CCNet-style quality score: avg -log p(token) under the corpus "
           "unigram LM (broadcast vocabulary probe)"),
+    Query("hard_negatives", llmdata.q_hard_negatives,
+          llmdata.ORACLE_HARD_NEGATIVES,
+          "hard-negative mining: per-label-centroid top-5 most-similar "
+          "other-label vectors (broadcast centroids, map-side fold, "
+          "rank-stable top-k)"),
+    Query("hybrid_search", tokenization.q_hybrid_search,
+          tokenization.ORACLE_HYBRID_SEARCH,
+          "hybrid lexical+dense retrieval: BM25 top-20 ⊕ embedding-cosine "
+          "top-20 fused by reciprocal-rank fusion (rank-stable via rounded "
+          "scores + id tiebreaks)"),
+    Query("bigram_logprob", llmdata.q_bigram_logprob,
+          llmdata.ORACLE_BIGRAM_LOGPROB,
+          "order-2 LM quality score: avg -log p(w2|w1) with add-one "
+          "smoothing (bigram model aggregated once, broadcast probe)"),
     Query("gopher_quality", llmdata.q_gopher_quality,
           llmdata.ORACLE_GOPHER_QUALITY,
           "Gopher-style 5-rule quality gate, per-source per-rule pass "

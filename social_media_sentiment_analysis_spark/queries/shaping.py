@@ -1099,3 +1099,72 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection (hour-of-day z-score)
+# ---------------------------------------------------------------------------
+
+_ANOM_Z = 2.0
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection against a seasonal baseline: roll
+    events up to (event_type, calendar hour) totals, learn each type's
+    hour-of-day profile (mean/stddev of the hourly total across days),
+    and flag hours whose total deviates more than 2σ from the profile —
+    the load-monitoring query that respects daily seasonality instead of
+    alarming on every nightly trough.
+
+    Two aggregates, both on semantic keys: the hourly rollup shuffles
+    (type, hour) once; the baseline aggregates the ROLLED-UP table
+    (|types|×24 groups from |types|×hours rows) and broadcasts back, so
+    the fact never moves twice. Flat profiles (σ=0) are excluded rather
+    than alarmed. Output ordered by keys; z rounded for engine stability.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.sum("value").alias("hour_value"))
+    )
+    baseline = (
+        hourly.groupBy("event_type", F.hour("hour").alias("hod"))
+        .agg(F.avg("hour_value").alias("mu"),
+             F.stddev_samp("hour_value").alias("sigma"))
+        .filter(F.col("sigma") > 0)
+    )
+    z = (F.col("hour_value") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.withColumn("hod", F.hour("hour"))
+        .join(F.broadcast(baseline), ["event_type", "hod"])
+        .filter(F.abs(z) > _ANOM_Z)
+        .select("event_type", "hour",
+                F.round("hour_value", 4).alias("hour_value"),
+                F.round("mu", 4).alias("expected"),
+                F.round(z, 4).alias("z"))
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE_HOURLY_ANOMALIES = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           SUM(value) AS hour_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), baseline AS (
+    SELECT event_type, hour(hour) AS hod,
+           AVG(hour_value) AS mu, stddev_samp(hour_value) AS sigma
+    FROM hourly GROUP BY event_type, hour(hour)
+    HAVING stddev_samp(hour_value) > 0
+)
+SELECT h.event_type, h.hour,
+       round(h.hour_value, 4) AS hour_value,
+       round(b.mu, 4) AS expected,
+       round((h.hour_value - b.mu) / b.sigma, 4) AS z
+FROM hourly h
+JOIN baseline b ON h.event_type = b.event_type AND hour(h.hour) = b.hod
+WHERE abs((h.hour_value - b.mu) / b.sigma) > {_ANOM_Z}
+ORDER BY h.event_type, h.hour
+"""

@@ -484,7 +484,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BM25_SEARCH = f"""
+_BM25_CTES = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(text), '{{_TS}}')) AS word
@@ -506,9 +506,110 @@ WITH toks AS (
          * tf / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
                                     * dl / avgdl)) AS s
   FROM tf JOIN doclen USING (doc_id) CROSS JOIN stats
-)
+)""".replace("{_TS}", _TOKEN_SPLIT).replace("{_MINLEN}", str(_MIN_WORD_LEN))
+
+ORACLE_BM25_SEARCH = _BM25_CTES + """
 SELECT doc_id, round(SUM(s), 4) AS bm25, COUNT(*) AS terms_matched
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
-""".replace("{_TS}", _TOKEN_SPLIT).replace("{_MINLEN}", str(_MIN_WORD_LEN))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ embedding cosine via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # standard RRF damping (Cormack/Clarke/Buettcher 2009)
+_RRF_DEPTH = 20      # fuse the top-20 of each ranker
+_RRF_QUERY_VEC = 1   # embeddings row used as the dense query
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval: fuse the BM25 ranking (fixed query
+    terms, ``q_bm25_search``) with an embedding-cosine ranking (query
+    vector = embeddings row ``vec_id=1``) by reciprocal-rank fusion:
+    score(d) = Σ_lists 1/(K + rank_list(d)) over each ranker's top-20.
+
+    RRF needs only ranks, never comparable scores, which is what makes it
+    the standard way to merge a sparse and a dense retriever. Both input
+    rankings order by a ROUNDED score (4 dp) with id tiebreak, so the rank
+    — and therefore the fused output — is stable across engines and
+    accumulation orders. Each ranker's result is ≤ posting-list / corpus
+    top-k sized, so the fusion join is a few-hundred-row sort — the heavy
+    lifting stays in the two rankers, which at 100 TB are the index-free
+    BM25 scan and an ANN probe respectively.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC) \
+        .select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos_rank_w = Window.orderBy(F.desc("cosine"), F.col("doc_id"))
+    dense = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), 4)
+            .alias("cosine"))
+        .withColumn("rank", F.row_number().over(cos_rank_w))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+    )
+    bm25_rank_w = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+    sparse = (
+        q_bm25_search(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(bm25_rank_w))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+    )
+    rrf = F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank"))
+    fused = (
+        sparse.select("doc_id", rrf.alias("contrib"))
+        .unionByName(dense.select("doc_id", rrf.alias("contrib")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf_score"),
+             F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+    return fused
+
+
+ORACLE_HYBRID_SEARCH = _BM25_CTES + f"""
+, bm25_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM (SELECT doc_id, round(SUM(s), 4) AS bm25
+        FROM scored GROUP BY doc_id)
+), flat AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), qv AS (
+  SELECT dim, v AS qv FROM flat WHERE vec_id = {_RRF_QUERY_VEC}
+), cos AS (
+  SELECT f.vec_id AS doc_id,
+         round(SUM(f.v * q.qv)
+               / (sqrt(SUM(f.v * f.v)) * sqrt(SUM(q.qv * q.qv))), 4)
+             AS cosine
+  FROM flat f JOIN qv q ON f.dim = q.dim
+  WHERE f.vec_id <> {_RRF_QUERY_VEC}
+  GROUP BY f.vec_id
+), cos_ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank
+  FROM cos
+), contribs AS (
+  SELECT doc_id, 1.0 / ({_RRF_K} + rank) AS contrib
+  FROM bm25_ranked WHERE rank <= {_RRF_DEPTH}
+  UNION ALL
+  SELECT doc_id, 1.0 / ({_RRF_K} + rank) AS contrib
+  FROM cos_ranked WHERE rank <= {_RRF_DEPTH}
+)
+SELECT doc_id, round(SUM(contrib), 6) AS rrf_score,
+       COUNT(*) AS n_lists
+FROM contribs
+GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""

@@ -267,3 +267,90 @@ def quarantine_sink(df: DataFrame, main_path: str, late_path: str,
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_hashes: int = 32, num_bands: int = 8,
+                    rows_per_band: int = 4,
+                    shingle_k: int = 3) -> DataStreamWriter:
+    """Incremental streaming NEAR-duplicate dedup (MinHash+LSH band store).
+
+    The streaming twin of ``operators/dedup.py::minhash_near_duplicates``,
+    and the near-dup upgrade of ``curation.py``'s exact content-fingerprint
+    dedup: a document re-ingested in a later micro-batch with SMALL EDITS
+    (same shingle mass, different md5) is still dropped.
+
+    Per micro-batch: compute each doc's LSH band keys (map-side Column
+    algebra, ``operators/dedup.py::band_keys``); a doc is dropped if any
+    band key collides with (a) the persisted band store from PRIOR batches
+    or (b) a lower-id doc in the same batch (bucket-min keeper). Survivors
+    and their band keys land in ``batch_id=`` partitions with dynamic
+    partition overwrite, so a replayed batch REPLACES its own output —
+    exactly-once contents on at-least-once delivery, same recipe as
+    ``cms_sink``. The probe excludes the current batch's own partition, so
+    a replay after a partial write never drops a doc as a dup of itself.
+
+    State is the band-key table: ``num_bands`` small rows per KEPT doc —
+    at 100 TB that's the dedup index a batch pipeline would persist anyway,
+    pruned with the corpus (compact via ``sources/layout.py``). Candidate
+    semantics are LSH-level (no exact-Jaccard verify inside the sink: a
+    false-positive band collision drops a non-dup with probability bounded
+    by the band parameters; run the batch verifier over the kept corpus
+    where that matters).
+    """
+    from ..operators.dedup import band_keys, minhash_signatures
+
+    docs_path = f"{path}/docs"
+    bands_path = f"{path}/bands"
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = batch.dropDuplicates([id_col]).cache()
+        sigs = minhash_signatures(batch, text_col, id_col,
+                                  num_hashes=num_hashes, shingle_k=shingle_k)
+        keys = band_keys(sigs, id_col, num_bands=num_bands,
+                         rows_per_band=rows_per_band).cache()
+        dropped = None
+        try:
+            store = (spark.read.parquet(bands_path)
+                     .filter(F.col("batch_id") != F.lit(batch_id))
+                     .select("band", "band_hash"))
+            dropped = (keys.join(store, ["band", "band_hash"], "left_semi")
+                       .select(id_col).distinct())
+        except Exception:
+            pass  # first batch: no store yet
+        survivors_keys = keys if dropped is None else keys.join(
+            dropped, id_col, "left_anti")
+        # within-batch: bucket-min keeper — a doc loses to any lower id
+        # sharing a band (approximate-chain semantics, documented above)
+        bucket_min = (survivors_keys
+                      .groupBy("band", "band_hash")
+                      .agg(F.min(id_col).alias("__keeper")))
+        losers = (survivors_keys.join(bucket_min, ["band", "band_hash"])
+                  .filter(F.col(id_col) > F.col("__keeper"))
+                  .select(id_col).distinct())
+        kept_ids = (survivors_keys.select(id_col).distinct()
+                    .join(losers, id_col, "left_anti"))
+        kept = batch.join(kept_ids, id_col, "left_semi") \
+            .withColumn("batch_id", F.lit(batch_id))
+        kept.write.mode("overwrite").partitionBy("batch_id") \
+            .parquet(docs_path)
+        (keys.join(kept_ids, id_col, "left_semi")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(bands_path))
+        batch.unpersist()
+        keys.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_deduped_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Current kept corpus under a ``near_dedup_sink`` root."""
+    return spark.read.parquet(f"{path}/docs")

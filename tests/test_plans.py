@@ -236,3 +236,27 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 
     bcast = orders.join(customer.hint("broadcast"), cond)
     assert "BroadcastHashJoin" in physical_plan(bcast)
+
+
+def test_new_retrieval_and_q20_plan_contracts(spark, sf_dir):
+    """Q20 chains LEFT SEMI broadcasts (fact reduced before its one
+    aggregate exchange); hard-negative mining broadcasts the centroid
+    table; hybrid search must not sort-merge anything (both rankers are
+    window-over-small inputs + broadcast probes)."""
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    q20 = q("excess_volume_suppliers", spark, sf_dir)
+    plan = physical_plan(q20)
+    assert "LeftSemi" in plan
+    assert has_broadcast_join(q20)
+    assert not has_sort_merge_join(q20)
+
+    hn = q("hard_negatives", spark, sf_dir)
+    assert has_broadcast_join(hn)
+    assert not has_sort_merge_join(hn)
+
+    hs = q("hybrid_search", spark, sf_dir)
+    assert not has_sort_merge_join(hs)
+    assert is_top_k(hs) or "TakeOrdered" in physical_plan(hs)

@@ -619,3 +619,58 @@ def test_stream_and_batch_enrichment_agree(spark, stream_input):
                               round(r.confidence_score, 9))
                  for r in batched.collect()}
     assert got_stream == got_batch
+
+
+def test_near_dedup_sink_drops_edited_redeliveries(spark, tmp_path):
+    """Streaming MinHash near-dup: a later micro-batch's lightly-EDITED
+    copy of an earlier doc (different md5, same shingle mass) is dropped
+    via the persisted band store; distinct docs survive; a stream restart
+    on the same checkpoint keeps the store and drops a batch-3 near-dup
+    of a batch-1 survivor."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        near_dedup_sink, read_deduped_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "spark engine shuffles partitions across the cluster nodes")
+    edited = base.replace("lazy", "sleepy")          # 1 word of 19 changed
+    other = ("completely different text about stream processing windows "
+             "watermarks and stateful aggregation semantics in pipelines")
+    third = base.replace("quick", "rapid")           # near-dup of base again
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": base}) + "\n"
+        + json.dumps({"doc_id": 2, "text": other}) + "\n")
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": edited}) + "\n"
+        + json.dumps({"doc_id": 4, "text": "a fresh unrelated document "
+                      "describing broadcast joins and adaptive execution "
+                      "strategies for large scale analytics"}) + "\n")
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    out, ckpt = str(tmp_path / "dedup"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (near_dedup_sink(stream, out, ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    kept = {r.doc_id for r in read_deduped_corpus(spark, out).collect()}
+    assert kept == {1, 2, 4}          # 3 dropped as near-dup of 1
+
+    # restart on the same checkpoint: only the new file is processed, and
+    # the persisted band store still catches a near-dup of doc 1
+    (src / "c.jsonl").write_text(
+        json.dumps({"doc_id": 5, "text": third}) + "\n")
+    _os.utime(src / "c.jsonl", (3_000_000, 3_000_000))
+    run()
+    kept = {r.doc_id for r in read_deduped_corpus(spark, out).collect()}
+    assert kept == {1, 2, 4}
