@@ -378,3 +378,53 @@ def phash_near_duplicates(media: DataFrame,
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "modality", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Caption↔media alignment scoring (CLIP-score-style pair filter, stub encoder)
+# ---------------------------------------------------------------------------
+
+MEDIA_VEC_DIM = 16
+MEDIA_VEC_SCHEMA = "media_id string, modality string, media_vec array<double>"
+
+
+def _fake_media_encoder(payload: bytes, dim: int = MEDIA_VEC_DIM):
+    """Deterministic stand-in for a vision/audio encoder: hash overlapping
+    byte 4-grams into a ``dim``-bucket histogram, L2-normalized. Same
+    output contract as a real encoder (fixed-dim unit float vector from
+    raw bytes), so swapping in CLIP/CLAP weights changes no plumbing."""
+    import numpy as np
+
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    if arr.size < 4:
+        arr = np.pad(arr, (0, 4 - arr.size))
+    # rolling 4-gram key: base-257 polynomial of each byte window
+    windows = (arr[:-3].astype(np.int64) * 257 ** 3
+               + arr[1:-2].astype(np.int64) * 257 ** 2
+               + arr[2:-1].astype(np.int64) * 257
+               + arr[3:].astype(np.int64))
+    vec = np.bincount(windows % dim, minlength=dim).astype(np.float64)
+    n = np.linalg.norm(vec)
+    return (vec / n if n else vec).tolist()
+
+
+def encode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched bytes→vector encoding (the 'run the vision tower'
+    stage). One Python crossing per batch; output is a plain
+    array<double> column any downstream Column-algebra similarity op
+    consumes — the encoder is the ONLY non-JVM stage in the pair-filter
+    pipeline."""
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "media_vec": [_fake_media_encoder(p) for p in pdf["payload"]],
+            })
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        encode, schema=MEDIA_VEC_SCHEMA
+    )

@@ -185,3 +185,63 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def q_media_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style caption↔media pair-alignment audit — the pair
+    filter an image-text training set is curated with (LAION's CLIP-score
+    threshold): run BOTH towers (media bytes, caption bytes) through the
+    shared-space encoder (stub towers, real Arrow plumbing —
+    ``operators/multimodal.py::encode_media``) and compare matched-pair
+    cosine against a shifted MISMATCHED baseline. A healthy pairing shows
+    a positive alignment gap; pairs scoring below the matched distribution
+    are the drop candidates.
+
+    Rows-only (the encoder crossing has no SQL twin); the matched >
+    mismatched invariant is pinned in tests/test_multimodal.py. In this
+    stand-in data the payload derives from the caption, so matched pairs
+    score exactly 1.0 and the informative readout is the mismatched
+    distribution below it — real encoders change the numbers, not the
+    query. Both vectors are unit-normalized so cosine = one
+    zip_with/aggregate fold; the only join key is doc_id — at 100 TB this
+    is one equi-join of two map-side-derived tables, shuffled on the id."""
+    from ..operators.multimodal import encode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media_vecs = (
+        encode_media(_media(spark, sf_dir))
+        .withColumn("doc_id", F.substring("media_id", 2, 18).cast("long"))
+    )
+    captions = (
+        encode_media(docs.select(
+            F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+            .alias("media_id"),
+            F.lit("text").alias("modality"),
+            F.encode("text", "UTF-8").alias("payload")))
+        .select(
+            F.substring("media_id", 2, 18).cast("long").alias("cap_doc_id"),
+            F.col("media_vec").alias("cap_vec"))
+    )
+    dot = F.aggregate(
+        F.zip_with("media_vec", "cap_vec", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    matched = (
+        media_vecs.join(captions,
+                        media_vecs.doc_id == captions.cap_doc_id)
+        .select("modality", dot.alias("cos_matched")))
+    mismatched = (
+        media_vecs.join(captions,
+                        media_vecs.doc_id + 3 == captions.cap_doc_id)
+        .select("modality", dot.alias("cos_mismatched")))
+    m = matched.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("cos_matched"), 4).alias("mean_matched"))
+    mm = mismatched.groupBy("modality").agg(
+        F.round(F.avg("cos_mismatched"), 4).alias("mean_mismatched"))
+    return (
+        m.join(mm, "modality")
+        .withColumn("alignment_gap",
+                    F.round(F.col("mean_matched")
+                            - F.col("mean_mismatched"), 4))
+        .orderBy("modality")
+    )

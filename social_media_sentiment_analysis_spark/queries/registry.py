@@ -516,6 +516,9 @@ _ALL: list[Query] = [
     Query("media_features", multimodal.q_media_features, None,
           "mapInPandas decode→features (deterministic fake codec; "
           "rows-only check, pandas parity in tests)"),
+    Query("media_alignment", multimodal.q_media_alignment, None,
+          "CLIP-score-style caption↔media alignment audit (stub encoder, "
+          "real Arrow plumbing; matched vs mismatched cosine gap)"),
     Query("media_phash", multimodal.q_media_phash, None,
           "perceptual-hash (dHash) near-dup pairs via banded LSH join "
           "(rows-only; recall pinned in tests)"),

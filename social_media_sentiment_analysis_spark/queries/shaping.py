@@ -1123,16 +1123,20 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     than alarmed. Output ordered by keys; z rounded for engine stability.
     """
     events = load_table(spark, sf_dir, "events")
+    # aggregates are rounded (6 dp) BEFORE the z computation: double
+    # accumulation order varies with partitioning (both across engines and
+    # across Spark runs), and an unrounded σ in the z denominator turns
+    # that ulp-noise into membership flips for borderline |z|≈2 hours
     hourly = (
         events.groupBy(
             "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(F.sum("value").alias("hour_value"))
+        .agg(F.round(F.sum("value"), 6).alias("hour_value"))
     )
     baseline = (
         hourly.groupBy("event_type", F.hour("hour").alias("hod"))
-        .agg(F.avg("hour_value").alias("mu"),
-             F.stddev_samp("hour_value").alias("sigma"))
+        .agg(F.round(F.avg("hour_value"), 6).alias("mu"),
+             F.round(F.stddev_samp("hour_value"), 6).alias("sigma"))
         .filter(F.col("sigma") > 0)
     )
     z = (F.col("hour_value") - F.col("mu")) / F.col("sigma")
@@ -1151,13 +1155,14 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HOURLY_ANOMALIES = f"""
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS hour,
-           SUM(value) AS hour_value
+           round(SUM(value), 6) AS hour_value
     FROM events GROUP BY event_type, date_trunc('hour', ts)
 ), baseline AS (
     SELECT event_type, hour(hour) AS hod,
-           AVG(hour_value) AS mu, stddev_samp(hour_value) AS sigma
+           round(AVG(hour_value), 6) AS mu,
+           round(stddev_samp(hour_value), 6) AS sigma
     FROM hourly GROUP BY event_type, hour(hour)
-    HAVING stddev_samp(hour_value) > 0
+    HAVING round(stddev_samp(hour_value), 6) > 0
 )
 SELECT h.event_type, h.hour,
        round(h.hour_value, 4) AS hour_value,

@@ -282,3 +282,38 @@ def prune_versions(path: str, keep: int = 2) -> list[int]:
     for v in to_prune:
         shutil.rmtree(f"{path}/v={v}", ignore_errors=True)
     return to_prune
+
+
+def register_with_stats(spark: SparkSession, sf_dir: str,
+                        tables: list[str],
+                        stat_columns: dict[str, list[str]] | None = None,
+                        ) -> None:
+    """Register parquet tables in the session catalog and ANALYZE them so
+    the cost-based optimizer has real cardinalities.
+
+    Without catalog statistics Spark sizes every relation by file bytes
+    and guesses selectivities; with ``ANALYZE TABLE ... COMPUTE STATISTICS
+    FOR COLUMNS`` the optimizer gets rowCount plus per-column NDV/min/max
+    histograms, which is what `spark.sql.cbo.enabled` +
+    `spark.sql.cbo.joinReorder.enabled` need to reorder multi-join queries
+    and pick broadcast sides from FILTERED cardinality estimates rather
+    than raw file sizes. At 100 TB stats collection is the scheduled
+    maintenance job that runs with compaction; the scans it performs are
+    one pass per table.
+
+    The reference has no optimizer at all (SURVEY §4.1: SQL strings into
+    SQLite's planner) — this is the engine-grade replacement surface.
+    Registration is idempotent (CREATE TABLE IF NOT EXISTS on the same
+    LOCATION).
+    """
+    for name in tables:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} "
+            f"USING parquet LOCATION '{sf_dir}/{name}.parquet'")
+        cols = (stat_columns or {}).get(name)
+        if cols:
+            spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(cols)}")
+        else:
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")

@@ -352,3 +352,92 @@ class TestVersionedWrites:
         assert read_version(spark, path, 2).count() == 2       # kept
         assert [r.id for r in read_version(spark, path).collect()] == [9]
         assert v3 == 3
+
+
+class TestCatalogStats:
+    """ANALYZE-backed catalog statistics: the CBO's input. Pins that (a)
+    column stats land in the catalog, (b) EXPLAIN COST sees the true
+    rowCount (file-size guessing replaced by real cardinality)."""
+
+    def test_analyze_feeds_cbo_row_counts(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            register_with_stats,
+        )
+
+        try:
+            register_with_stats(
+                spark, sf_dir, ["nation"],
+                stat_columns={"nation": ["n_nationkey", "n_regionkey"]})
+            desc = spark.sql(
+                "DESCRIBE EXTENDED nation n_nationkey").collect()
+            info = {r.info_name: r.info_value for r in desc}
+            assert info.get("distinct_count") not in (None, "NULL")
+            assert info.get("max") == "24"
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            cost = spark.sql(
+                "EXPLAIN COST SELECT * FROM nation").collect()[0][0]
+            assert "rowCount=25" in cost
+            # idempotent re-registration must not fail or duplicate
+            register_with_stats(spark, sf_dir, ["nation"])
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+            spark.sql("DROP TABLE IF EXISTS nation")
+
+
+class TestIncrementalRollup:
+    """Incremental aggregate maintenance: refresh == full recompute, and
+    only touched day partitions are rewritten."""
+
+    def test_refresh_matches_full_recompute_and_scopes_writes(
+            self, spark, sf_dir, tmp_path):
+        import os
+
+        from social_media_sentiment_analysis_spark.operators.incremental import (
+            daily_rollup_state, read_daily_rollup, refresh_daily_rollup,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        split_day = events.select(
+            F.date_add(F.min(F.to_date("ts")), 3)).collect()[0][0]
+        early = events.filter(F.to_date("ts") <= F.lit(split_day))
+        late = events.filter(F.to_date("ts") >= F.lit(split_day))  # overlap
+
+        path = str(tmp_path / "rollup")
+        days1 = refresh_daily_rollup(spark, path, early)
+        assert str(split_day) in days1
+
+        def snapshot(df):
+            return {(str(r.day), r.event_type):
+                    (r.n_events, round(r.sum_value, 4),
+                     r.min_value, r.max_value)
+                    for r in df.collect()}
+
+        assert snapshot(spark.read.parquet(path)) == \
+            snapshot(daily_rollup_state(early))
+
+        # files of an untouched (early-only) day partition must not move
+        untouched = sorted(d for d in os.listdir(path)
+                           if d.startswith("day=") and
+                           d < f"day={split_day}")[0]
+        before = {f: os.path.getmtime(f"{path}/{untouched}/{f}")
+                  for f in os.listdir(f"{path}/{untouched}")
+                  if f.endswith(".parquet")}
+
+        days2 = refresh_daily_rollup(spark, path, late)
+        assert str(split_day) in days2 and untouched.split("=")[1] not in days2
+        after = {f: os.path.getmtime(f"{path}/{untouched}/{f}")
+                 for f in os.listdir(f"{path}/{untouched}")
+                 if f.endswith(".parquet")}
+        assert before == after
+
+        # merged state == one-shot rollup over ALL events (incl. the
+        # double-counted overlap day, which refresh must ADD, so feed the
+        # union with the overlap duplicated to the full recompute too)
+        full = daily_rollup_state(early.unionByName(late))
+        assert snapshot(spark.read.parquet(path)) == snapshot(full)
+        # derived average exists and is consistent
+        row = read_daily_rollup(spark, path).limit(1).collect()[0]
+        assert abs(row.avg_value - row.sum_value / row.n_events) < 1e-12

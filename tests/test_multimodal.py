@@ -233,3 +233,33 @@ class TestPhash:
         for r in df.collect():
             assert r.modality in ("image", "audio", "video")
             assert r.dup_pairs >= 0
+
+
+class TestMediaAlignment:
+    """Caption↔media alignment audit: encoder contract + the matched >
+    mismatched invariant (payload bytes derive from the caption text, so a
+    correct pipeline must separate the two distributions)."""
+
+    def test_encoder_unit_norm_and_deterministic(self, spark):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            _fake_media_encoder, encode_media,
+        )
+
+        payload = b"some media payload bytes for the encoder"
+        media = spark.createDataFrame(
+            [("m1", "image", payload)],
+            "media_id string, modality string, payload binary")
+        row = encode_media(media).collect()[0]
+        assert row.media_vec == _fake_media_encoder(payload)
+        assert abs(sum(v * v for v in row.media_vec) - 1.0) < 1e-9
+
+    def test_matched_pairs_align_better_than_shifted(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.registry import (
+            QUERIES,
+        )
+
+        rows = QUERIES["media_alignment"].builder(spark, sf_dir).collect()
+        assert {r.modality for r in rows} == {"image", "audio", "video"}
+        for r in rows:
+            assert r.n_pairs > 0
+            assert r.alignment_gap > 0, r

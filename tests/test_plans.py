@@ -100,6 +100,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "wealthy_inactive_customers",
                             "weighted_sample",
                             "unigram_logprob",
+                            "hybrid_search",  # 1-row query-vector anchor
                             "pmi_collocations",
                             "equidepth_histogram",
                             "bm25_search",
