@@ -220,6 +220,10 @@ _ALL: list[Query] = [
           windowed.ORACLE_TRAILING_HOUR_AVG,
           "RANGE-frame window: trailing 1-hour per-user average "
           "(time-gap frame, not row count)"),
+    Query("time_weighted_avg", windowed.q_time_weighted_avg,
+          windowed.ORACLE_TIME_WEIGHTED_AVG,
+          "daily TWAP per type: lead()-derived interval weights, one "
+          "window exchange reused by the rollup"),
     Query("top_orders_with_ties", windowed.q_top_orders_with_ties,
           windowed.ORACLE_TOP_ORDERS_WITH_TIES,
           "top-k per group WITH ties (rank vs row_number semantics)"),
@@ -484,6 +488,10 @@ _ALL: list[Query] = [
     Query("retention_cohorts", temporal.q_retention_cohorts,
           temporal.ORACLE_RETENTION_COHORTS,
           "weekly retention matrix: cohort stamp via window, no self-joins"),
+    Query("conversion_attribution", temporal.q_conversion_attribution,
+          temporal.ORACLE_CONVERSION_ATTRIBUTION,
+          "last-touch attribution: join-free forward-fill of the last "
+          "click onto purchases (one user_id exchange), 7-day lookback"),
     Query("common_paths", temporal.q_common_paths,
           temporal.ORACLE_COMMON_PATHS,
           "sequence mining: top-10 opening event paths per user "

@@ -541,3 +541,98 @@ SELECT user_id, state, ts AS valid_from,
 FROM collapsed
 ORDER BY user_id, valid_from, state
 """
+
+
+# ---------------------------------------------------------------------------
+# Last-touch conversion attribution (7-day lookback)
+# ---------------------------------------------------------------------------
+
+_ATTR_DAYS = 7
+
+
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent preceding click within 7 days (ties at the same timestamp go to
+    the click); purchases with no qualifying click are 'organic'. Channel
+    is a deterministic stand-in derived from the click's props
+    (``k % 4``) — swap for a real channel column without touching the
+    mechanics.
+
+    The classic join-free formulation: union clicks and purchases, ONE
+    window per user ordered by time carries the last non-null click
+    (``last(..., ignorenulls)``) forward onto each purchase row — the same
+    one-shuffle forward-fill the as-of join uses, so the fact is exchanged
+    once on user_id and never self-joined. At 100 TB the alternative
+    (purchases ⋈ clicks on user + range) shuffles both sides AND explodes
+    dense users; this stays linear.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.concat(F.lit("ch"), (k % 4).cast("string"))
+                      .alias("channel"),
+                      F.lit(None).cast("double").alias("value"),
+                      F.lit("c").alias("kind")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.lit(None).cast("string").alias("channel"),
+                         "value", F.lit("p").alias("kind")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "kind")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (
+        clicks.unionByName(purchases)
+        .withColumn("last_channel", F.last("channel", ignorenulls=True).over(w))
+        .withColumn("last_click_ts",
+                    F.last(F.when(F.col("kind") == "c", F.col("ts")),
+                           ignorenulls=True).over(w))
+    )
+    attributed = (
+        carried.filter(F.col("kind") == "p")
+        .withColumn(
+            "attributed_channel",
+            F.when(
+                F.col("last_click_ts")
+                >= F.timestamp_add("DAY", F.lit(-_ATTR_DAYS), F.col("ts")),
+                F.col("last_channel"))
+            .otherwise(F.lit("organic")))
+    )
+    return (
+        attributed.groupBy("attributed_channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"),
+             F.round(F.sum("value"), 4).alias("attributed_value"))
+        .orderBy("attributed_channel")
+    )
+
+
+ORACLE_CONVERSION_ATTRIBUTION = f"""
+WITH unioned AS (
+    SELECT user_id, ts,
+           'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                        AS VARCHAR) AS channel,
+           CAST(NULL AS DOUBLE) AS value, 'c' AS kind
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, NULL, value, 'p'
+    FROM events WHERE event_type = 'purchase'
+), carried AS (
+    SELECT *,
+           last_value(channel IGNORE NULLS) OVER w AS last_channel,
+           last_value(CASE WHEN kind = 'c' THEN ts END IGNORE NULLS)
+               OVER w AS last_click_ts
+    FROM unioned
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), attributed AS (
+    SELECT CASE WHEN last_click_ts >= ts - INTERVAL {_ATTR_DAYS} DAY
+                THEN last_channel ELSE 'organic' END AS attributed_channel,
+           value
+    FROM carried WHERE kind = 'p'
+)
+SELECT attributed_channel,
+       COUNT(*) AS n_conversions,
+       round(SUM(value), 4) AS attributed_value
+FROM attributed
+GROUP BY attributed_channel
+ORDER BY attributed_channel
+"""

@@ -497,3 +497,62 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per type and day
+# ---------------------------------------------------------------------------
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average value per event type: each observation
+    is weighted by how long it remained the latest one (seconds to the
+    next event in the same (type, day) series; the day's last observation
+    carries no weight). The irregular-sampling average a plain AVG gets
+    wrong — the finance/telemetry TWAP shape.
+
+    One window (lead over the series key) on one exchange; the weighted
+    rollup reuses the same partitioning. Weights and products are rounded
+    before aggregation for cross-engine stability.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    w = Window.partitionBy("event_type", "day").orderBy("ts")
+    # NTZ-safe exact interval: microsecond diff (no session-TZ dependence,
+    # no sub-second truncation)
+    seconds = (F.timestamp_diff("MICROSECOND", F.col("ts"),
+                                F.col("next_ts")) / F.lit(1_000_000.0))
+    weighted = (
+        events.select("event_type", day, "ts", "value")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn("wt", seconds)
+    )
+    return (
+        weighted.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_intervals"),
+             F.round(F.sum(F.col("wt") * F.col("value")) / F.sum("wt"), 4)
+             .alias("twap"),
+             F.round(F.avg("value"), 4).alias("plain_avg"))
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH series AS (
+    SELECT event_type, date_trunc('day', ts) AS day, ts, value,
+           lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                          ORDER BY ts) AS next_ts
+    FROM events
+), weighted AS (
+    SELECT event_type, day, value,
+           (epoch_us(next_ts) - epoch_us(ts)) / 1000000.0 AS wt
+    FROM series WHERE next_ts IS NOT NULL
+)
+SELECT event_type, day,
+       COUNT(*) AS n_intervals,
+       round(SUM(wt * value) / SUM(wt), 4) AS twap,
+       round(AVG(value), 4) AS plain_avg
+FROM weighted
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""

@@ -111,3 +111,19 @@ def ddl_for(schema: StructType, table: str, using: str = "parquet",
     if partitioned_by:
         ddl += f"\nPARTITIONED BY ({', '.join(partitioned_by)})"
     return ddl
+
+
+def export_orc(df: DataFrame, path: str,
+               partition_by: tuple[str, ...] = ()) -> None:
+    """ORC export (S8 family, columnar twin of the CSV/JSON paths) — the
+    interchange format for Hive/Trino-adjacent consumers. Built into Spark
+    (no extra package, unlike Avro); predicate pushdown and column pruning
+    work on read-back exactly as with parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -206,3 +206,29 @@ class TestSchemaEvolution:
         assert norm.columns == ["id", "score", "lang"]
         got = {r.id: (r.score, r.lang) for r in norm.collect()}
         assert got == {1: (None, None), 2: (0.5, None)}
+
+
+def test_orc_roundtrip_preserves_and_pushes_down(spark, sf_dir, tmp_path):
+    """ORC export: lossless roundtrip and filter pushdown on read-back
+    (the scan must report PushedFilters, same contract as parquet)."""
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from social_media_sentiment_analysis_spark.sources.batch import load_table
+    from social_media_sentiment_analysis_spark.sources.export import (
+        export_orc, read_orc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    export_orc(orders, out)
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    assert back.agg(F.round(F.sum("o_totalprice"), 4)).first()[0] == \
+        orders.agg(F.round(F.sum("o_totalprice"), 4)).first()[0]
+    filtered = back.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    plan = formatted_plan(filtered)
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split(
+        "PushedFilters")[1].split("\n")[0]

@@ -168,3 +168,51 @@ def test_asof_forward_matches_reference(spark, left_rows, right_rows):
         for r in as_of_join(left, right, "k", "t", "rt",
                             direction="forward").collect())
     assert got == asof_forward_reference(left_rows, right_vals)
+
+
+@pytest.mark.slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # day offset
+            st.sampled_from(["click", "view"]),          # type
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=24),
+    st.integers(min_value=0, max_value=23),              # split point
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path_factory,
+                                                  rows, split):
+    """refresh(refresh(∅, A), B) ≡ rollup(A ∪ B) for arbitrary event
+    splits — the mergeable-state contract of operators/incremental.py."""
+    import datetime
+
+    from social_media_sentiment_analysis_spark.operators.incremental import (
+        daily_rollup_state, refresh_daily_rollup,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    data = [(base + datetime.timedelta(days=d, minutes=i), t, v)
+            for i, (d, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "ts timestamp_ntz, event_type string, value double")
+    split = min(split, len(data))
+    a, b = data[:split], data[split:]
+    path = str(tmp_path_factory.mktemp("roll") / "state")
+    for part in (a, b):
+        if part:
+            refresh_daily_rollup(
+                spark, path,
+                spark.createDataFrame(
+                    part, "ts timestamp_ntz, event_type string, value double"))
+
+    def snap(sdf):
+        return {(str(r.day), r.event_type):
+                (r.n_events, round(r.sum_value, 6),
+                 round(r.min_value, 6), round(r.max_value, 6))
+                for r in sdf.collect()}
+
+    assert snap(spark.read.parquet(path)) == snap(daily_rollup_state(df))
