@@ -299,6 +299,14 @@ _ALL: list[Query] = [
     Query("winsorized_stats", shaping.q_winsorized_stats,
           shaping.ORACLE_WINSORIZED_STATS,
           "winsorized mean: exact p05/p95 clamp, broadcast bounds"),
+    Query("pseudonymize_audit", shaping.q_pseudonymize_audit,
+          shaping.ORACLE_PSEUDONYMIZE_AUDIT,
+          "de-identification integrity: salted-SHA256 pseudonyms are 1:1 "
+          "with subjects (JVM-side hash, one aggregate)"),
+    Query("k_anonymity", shaping.q_k_anonymity,
+          shaping.ORACLE_K_ANONYMITY,
+          "k-anonymity release audit over the quasi-identifier tuple "
+          "(min group size, below-threshold group count)"),
     Query("hourly_anomalies", shaping.q_hourly_anomalies,
           shaping.ORACLE_HOURLY_ANOMALIES,
           "seasonal-baseline anomaly detection: hour-of-day profile "
@@ -488,6 +496,10 @@ _ALL: list[Query] = [
     Query("retention_cohorts", temporal.q_retention_cohorts,
           temporal.ORACLE_RETENTION_COHORTS,
           "weekly retention matrix: cohort stamp via window, no self-joins"),
+    Query("event_pattern_match", temporal.q_event_pattern_match,
+          temporal.ORACLE_EVENT_PATTERN_MATCH,
+          "MATCH_RECOGNIZE-style regex over per-user event-code sequences "
+          "(one groupBy exchange; repetition-aware patterns)"),
     Query("conversion_attribution", temporal.q_conversion_attribution,
           temporal.ORACLE_CONVERSION_ATTRIBUTION,
           "last-touch attribution: join-free forward-fill of the last "

@@ -1173,3 +1173,92 @@ JOIN baseline b ON h.event_type = b.event_type AND hour(h.hour) = b.hod
 WHERE abs((h.hour_value - b.mu) / b.sigma) > {_ANOM_Z}
 ORDER BY h.event_type, h.hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Privacy: pseudonymization integrity + k-anonymity release audit
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SALT = "release-2024-q1"
+_K_THRESHOLD = 5
+
+
+def q_pseudonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-identification integrity check: pseudonymize user_id (salted
+    SHA-256, ``functions/privacy.py``) and verify the mapping is 1:1 —
+    n_users == n_pseudonyms (no collisions, no splits) — plus row
+    conservation. The audit a release pipeline runs after swapping real
+    ids out of a corpus. One aggregate; the hash is JVM-side."""
+    from ..functions.privacy import pseudonymize
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.select(
+        "user_id",
+        pseudonymize(F.col("user_id"), _PSEUDO_SALT).alias("pseudo"))
+    return p.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("pseudo").alias("n_pseudonyms"),
+        F.min(F.length("pseudo")).alias("min_len"),
+        F.max(F.length("pseudo")).alias("max_len"),
+    )
+
+
+ORACLE_PSEUDONYMIZE_AUDIT = f"""
+WITH p AS (
+    SELECT user_id,
+           sha256('{_PSEUDO_SALT}' || CAST(user_id AS VARCHAR)) AS pseudo
+    FROM events
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT pseudo) AS n_pseudonyms,
+       MIN(length(pseudo)) AS min_len,
+       MAX(length(pseudo)) AS max_len
+FROM p
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit over a quasi-identifier tuple
+    (event_type, 6-hour band, props-k decade): the smallest group size is
+    the dataset's k; groups below the threshold are re-identification
+    risks the release must suppress or generalize. One aggregate over the
+    QI tuple, then a |groups|-sized rollup — the audit never moves the
+    fact twice."""
+    events = load_table(spark, sf_dir, "events")
+    k_prop = F.get_json_object(F.col("props"), "$.k").cast("long")
+    qi = (
+        events.select(
+            "event_type",
+            (F.floor(F.hour("ts") / F.lit(6)) * 6).alias("hour_band"),
+            (F.floor(k_prop / F.lit(10)) * 10).alias("k_decade"))
+        .groupBy("event_type", "hour_band", "k_decade")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("k_anonymity"),
+        F.count_if(F.col("group_size") < _K_THRESHOLD)
+        .alias("groups_below_threshold"),
+        F.round(F.avg("group_size"), 4).alias("avg_group_size"),
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH qi AS (
+    SELECT event_type,
+           (hour(ts) // 6) * 6 AS hour_band,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) * 10
+               AS k_decade,
+           COUNT(*) AS group_size
+    FROM events
+    GROUP BY 1, 2, 3
+)
+SELECT COUNT(*) AS n_groups,
+       MIN(group_size) AS k_anonymity,
+       COUNT(*) FILTER (WHERE group_size < {_K_THRESHOLD})
+           AS groups_below_threshold,
+       round(AVG(group_size), 4) AS avg_group_size
+FROM qi
+"""

@@ -1260,14 +1260,18 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("is_late").alias("supp_late"))
     )
-    per_order = (
-        per_pair.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"),
-             F.count(F.when(F.col("supp_late"), 1)).alias("n_late_supp"))
-    )
+    # per-order counts as a WINDOW over the aggregate, not a groupBy +
+    # join-back: hash(l_orderkey) from the join already clusters both the
+    # (orderkey, suppkey) aggregate and the orderkey window, so this adds
+    # zero exchanges AND avoids recomputing the fact-fact join for a
+    # second consumer (the join-back formulation ran the li pipeline twice)
+    per_order_w = Window.partitionBy("l_orderkey")
     return (
-        per_pair.filter(F.col("supp_late"))
-        .join(per_order, "l_orderkey")
+        per_pair
+        .withColumn("n_supp", F.count(F.lit(1)).over(per_order_w))
+        .withColumn("n_late_supp",
+                    F.count(F.when(F.col("supp_late"), 1)).over(per_order_w))
+        .filter(F.col("supp_late"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -1327,11 +1331,17 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("l_partkey").alias("p")).distinct()
     a = bip.toDF("u", "p")
     b = bip.toDF("v", "p2")
+    # persist: the edge table feeds FIVE consumers (two wedge sides, the
+    # closure probe, node count, edge count) — without the barrier each
+    # re-runs the fact-sized bipartite self-join; with it the graph is
+    # materialized once (|edges| rows, tiny) and everything downstream is
+    # broadcast algebra over it
     edges = (
         a.join(b, (F.col("p") == F.col("p2")) & (F.col("u") < F.col("v")))
         .groupBy("u", "v").agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= _TRIANGLE_MIN_SHARED)
         .select("u", "v")
+        .persist()
     )
     e1 = edges.toDF("u", "v")
     e2 = edges.toDF("v", "w")

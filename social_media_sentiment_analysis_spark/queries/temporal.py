@@ -636,3 +636,78 @@ FROM attributed
 GROUP BY attributed_channel
 ORDER BY attributed_channel
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-style, regex over event codes)
+# ---------------------------------------------------------------------------
+
+# event types map to unique initials: click→c error→e purchase→p signup→s view→v
+_SEQ_PATTERNS = ["vc+p", "ee+", "sv"]
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern analytics: encode each user's
+    time-ordered event history as a code string (one letter per event) and
+    count regex pattern occurrences — e.g. ``vc+p`` = a view, then one or
+    more clicks, then a purchase, contiguously. Complements the funnel
+    query (first-occurrence ordering) with full-history, repetition-aware
+    patterns — the standard SQL engines expose as MATCH_RECOGNIZE, which
+    Spark lacks; the encode-then-regex formulation is the scalable
+    equivalent for per-entity histories.
+
+    One groupBy(user) exchange builds every user's sequence string
+    (sort_array over collected (ts, code) structs — deterministic under
+    same-ts ties because the code is part of the sort key); the pattern
+    sweep is a literal-pattern projection over |users| rows. Per-user
+    history length is bounded in practice (and chunkable by time window
+    when it is not). Matching is non-overlapping left-to-right in both
+    engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    seqs = (
+        events.groupBy("user_id")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("ts"),
+                             F.substring("event_type", 1, 1).alias("c")))),
+                lambda x: x["c"]),
+            "").alias("seq"))
+    )
+    per_pattern = [
+        seqs.select(
+            F.lit(p).alias("pattern"),
+            F.count_if(F.regexp_count(F.col("seq"), F.lit(p)) > 0)
+            .alias("users_matched"),
+            F.sum(F.regexp_count(F.col("seq"), F.lit(p))).cast("bigint")
+            .alias("total_occurrences"))
+        for p in _SEQ_PATTERNS
+    ]
+    out = per_pattern[0]
+    for df in per_pattern[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("pattern")
+
+
+ORACLE_EVENT_PATTERN_MATCH = """
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(substring(event_type, 1, 1), ''
+                      ORDER BY ts, substring(event_type, 1, 1)) AS seq
+    FROM events GROUP BY user_id
+), counts AS (
+    SELECT 'vc+p' AS pattern,
+           len(regexp_extract_all(seq, 'vc+p')) AS n, seq FROM seqs
+    UNION ALL
+    SELECT 'ee+', len(regexp_extract_all(seq, 'ee+')), seq FROM seqs
+    UNION ALL
+    SELECT 'sv', len(regexp_extract_all(seq, 'sv')), seq FROM seqs
+)
+SELECT pattern,
+       COUNT(*) FILTER (WHERE n > 0) AS users_matched,
+       CAST(SUM(n) AS BIGINT) AS total_occurrences
+FROM counts
+GROUP BY pattern
+ORDER BY pattern
+"""
