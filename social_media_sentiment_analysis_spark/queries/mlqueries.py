@@ -94,3 +94,87 @@ def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = recommend_for_users(model, users, k=3)
     inter.unpersist()
     return out.select("user", "rec_rank", "item").orderBy("user", "rec_rank")
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for recommender / contrastive training
+# ---------------------------------------------------------------------------
+
+_NEG_POPULAR = 50   # candidate pool: top-50 most-purchased parts
+_NEG_K = 3          # negatives per user
+_NEG_USERS = 20     # audit slice: lowest-numbered customers
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-weighted negative sampling — the training-pair generator
+    for implicit-feedback recommenders (the ALS model here) and two-tower
+    retrieval: for each user, k popular items the user did NOT buy.
+    Sampling negatives from the POPULAR pool is the standard correction —
+    uniform negatives are too easy and teach the model popularity, not
+    preference.
+
+    Determinism: candidate ranking is md5(user, item) — a pure function of
+    the pair, so the 'random' draw is stable across runs/engines (same
+    recipe as the deterministic samplers). Shape: purchases aggregate once
+    (user, item); the candidate pool is a broadcast top-k; the user ×
+    candidates expansion is |users| × 50 with the anti-join condition
+    applied map-side against the user's own purchase set (collected as an
+    array per user — bounded by the pool size after the semi filter).
+    """
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    purchases = (
+        lineitem.select("l_orderkey", F.col("l_partkey").alias("item"))
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                            F.col("o_custkey").alias("user")),
+              "l_orderkey")
+        .select("user", "item").distinct()
+    )
+    pool = (purchases.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("buyers"))
+            .orderBy(F.desc("buyers"), "item").limit(_NEG_POPULAR)
+            .select("item"))
+    users = (purchases.select("user").distinct()
+             .orderBy("user").limit(_NEG_USERS))
+    cand = users.crossJoin(F.broadcast(pool))
+    negatives = cand.join(purchases, ["user", "item"], "left_anti")
+    w = Window.partitionBy("user").orderBy(
+        F.md5(F.concat_ws(",", F.col("user"), F.col("item"))), F.col("item"))
+    return (
+        negatives.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select(F.col("user").cast("long").alias("user"), "neg_rank",
+                F.col("item").cast("long").alias("item"))
+        .orderBy("user", "neg_rank")
+    )
+
+
+ORACLE_NEGATIVE_SAMPLES = f"""
+WITH purchases AS (
+    SELECT DISTINCT o.o_custkey AS user, l.l_partkey AS item
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), pool AS (
+    SELECT item FROM (
+        SELECT item, COUNT(*) AS buyers FROM purchases GROUP BY item
+    ) ORDER BY buyers DESC, item LIMIT {_NEG_POPULAR}
+), users AS (
+    SELECT DISTINCT user FROM purchases ORDER BY user LIMIT {_NEG_USERS}
+), cand AS (
+    SELECT u.user, p.item FROM users u CROSS JOIN pool p
+), negatives AS (
+    SELECT c.user, c.item FROM cand c
+    ANTI JOIN purchases pu ON c.user = pu.user AND c.item = pu.item
+), ranked AS (
+    SELECT user, item,
+           ROW_NUMBER() OVER (
+               PARTITION BY user
+               ORDER BY md5(user || ',' || item), item) AS neg_rank
+    FROM negatives
+)
+SELECT CAST(user AS BIGINT) AS user, neg_rank,
+       CAST(item AS BIGINT) AS item
+FROM ranked WHERE neg_rank <= {_NEG_K}
+ORDER BY user, neg_rank
+"""

@@ -299,6 +299,10 @@ _ALL: list[Query] = [
     Query("winsorized_stats", shaping.q_winsorized_stats,
           shaping.ORACLE_WINSORIZED_STATS,
           "winsorized mean: exact p05/p95 clamp, broadcast bounds"),
+    Query("feature_drift", shaping.q_feature_drift,
+          shaping.ORACLE_FEATURE_DRIFT,
+          "PSI drift monitor between time halves (fixed-width bins from "
+          "broadcast anchors; one fact scan + one histogram exchange)"),
     Query("pseudonymize_audit", shaping.q_pseudonymize_audit,
           shaping.ORACLE_PSEUDONYMIZE_AUDIT,
           "de-identification integrity: salted-SHA256 pseudonyms are 1:1 "
@@ -564,6 +568,11 @@ _ALL: list[Query] = [
     Query("recommend_parts", mlqueries.q_recommend_parts, None,
           "ALS implicit-feedback part recommendations (rows-only — factor "
           "matrices; fit quality pinned in tests)"),
+    Query("negative_samples", mlqueries.q_negative_samples,
+          mlqueries.ORACLE_NEGATIVE_SAMPLES,
+          "popularity-weighted negative sampling for recommender / "
+          "two-tower training (md5-deterministic draw, anti-join against "
+          "the user's positives)"),
     Query("dedup_semantic", mlqueries.q_dedup_semantic, None,
           "SemDeDup: KMeans-cluster-pruned cosine near-dup groups, min-id "
           "keeper (rows-only — fitted centroids; k=1 ≡ brute force pinned "

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
@@ -1261,4 +1261,106 @@ SELECT COUNT(*) AS n_groups,
            AS groups_below_threshold,
        round(AVG(group_size), 4) AS avg_group_size
 FROM qi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitoring (PSI between time halves)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_EPS = 1e-6
+
+
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: split the stream at its
+    time midpoint, histogram ``value`` into 10 fixed-width bins (global
+    min/max), and compute PSI per event type between the two halves —
+    the train/serve skew check an ML feature pipeline runs on every
+    refresh (PSI > 0.2 is the standard 'investigate' threshold).
+
+    Two broadcast scalar anchors (time midpoint; value range) and two
+    aggregates over semantic keys: (type, half, bin) counts, then the
+    |types|×bins-sized PSI fold — the fact is scanned once and shuffled
+    once on the histogram key. All inputs to the log-ratio are integer
+    counts over fixed edges, so the score is engine-exact before the
+    final round.
+    """
+    events = load_table(spark, sf_dir, "events")
+    anchors = events.agg(
+        F.min("ts").alias("ts_lo"), F.max("ts").alias("ts_hi"),
+        F.min("value").alias("v_lo"), F.max("value").alias("v_hi"))
+    binned = (
+        events.crossJoin(F.broadcast(anchors))
+        .select(
+            "event_type",
+            F.when(
+                F.timestamp_diff("SECOND", F.col("ts_lo"), F.col("ts"))
+                * 2 <= F.timestamp_diff("SECOND", F.col("ts_lo"),
+                                        F.col("ts_hi")),
+                F.lit("ref")).otherwise(F.lit("cur")).alias("half"),
+            F.least(
+                F.floor((F.col("value") - F.col("v_lo"))
+                        / ((F.col("v_hi") - F.col("v_lo"))
+                           / F.lit(float(_PSI_BINS)))),
+                F.lit(_PSI_BINS - 1)).cast("long").alias("bin"))
+        .groupBy("event_type", "half", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals_w = Window.partitionBy("event_type", "half")
+    share = (F.col("n") / F.sum("n").over(totals_w)) + F.lit(_PSI_EPS)
+    shares = binned.withColumn("share", share)
+    ref = shares.filter(F.col("half") == "ref") \
+        .select("event_type", "bin", F.col("share").alias("p"))
+    cur = shares.filter(F.col("half") == "cur") \
+        .select("event_type", "bin", F.col("share").alias("q"))
+    return (
+        ref.join(cur, ["event_type", "bin"], "full_outer")
+        .select("event_type",
+                F.coalesce("p", F.lit(_PSI_EPS)).alias("p"),
+                F.coalesce("q", F.lit(_PSI_EPS)).alias("q"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum((F.col("p") - F.col("q"))
+                           * F.log(F.col("p") / F.col("q"))), 4)
+             .alias("psi"),
+             F.count(F.lit(1)).alias("n_bins"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FEATURE_DRIFT = f"""
+WITH anchors AS (
+    SELECT MIN(ts) AS ts_lo, MAX(ts) AS ts_hi,
+           MIN(value) AS v_lo, MAX(value) AS v_hi
+    FROM events
+), binned AS (
+    SELECT event_type,
+           CASE WHEN date_diff('second', a.ts_lo, ts) * 2
+                     <= date_diff('second', a.ts_lo, a.ts_hi)
+                THEN 'ref' ELSE 'cur' END AS half,
+           LEAST(CAST(floor((value - a.v_lo)
+                            / ((a.v_hi - a.v_lo) / {float(_PSI_BINS)}))
+                      AS BIGINT), {_PSI_BINS - 1}) AS bin,
+           COUNT(*) AS n
+    FROM events CROSS JOIN anchors a
+    GROUP BY 1, 2, 3
+), shares AS (
+    SELECT event_type, half, bin,
+           n / SUM(n) OVER (PARTITION BY event_type, half) + {_PSI_EPS}
+               AS share
+    FROM binned
+), joined AS (
+    SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+           COALESCE(r.share, {_PSI_EPS}) AS p,
+           COALESCE(c.share, {_PSI_EPS}) AS q
+    FROM (SELECT * FROM shares WHERE half = 'ref') r
+    FULL OUTER JOIN (SELECT * FROM shares WHERE half = 'cur') c
+      ON r.event_type = c.event_type AND r.bin = c.bin
+)
+SELECT event_type,
+       round(SUM((p - q) * ln(p / q)), 4) AS psi,
+       COUNT(*) AS n_bins
+FROM joined
+GROUP BY event_type
+ORDER BY event_type
 """
