@@ -173,6 +173,10 @@ _ALL: list[Query] = [
           star.ORACLE_EXCESS_VOLUME_SUPPLIERS,
           "TPC-H Q20 shape: doubly nested IN collapsed to chained LEFT "
           "SEMI joins (fact reduced map-side, supplier never shuffled)"),
+    Query("regional_revenue_share", star.q_regional_revenue_share,
+          star.ORACLE_REGIONAL_REVENUE_SHARE,
+          "two-level percent-of-parent hierarchy report (windows over the "
+          "25-row aggregate; no second fact scan)"),
     Query("supplier_triangles", star.q_supplier_triangles,
           star.ORACLE_SUPPLIER_TRIANGLES,
           "triangle counting on the supplier co-purchase graph (oriented "
@@ -457,6 +461,10 @@ _ALL: list[Query] = [
           "hybrid lexical+dense retrieval: BM25 top-20 ⊕ embedding-cosine "
           "top-20 fused by reciprocal-rank fusion (rank-stable via rounded "
           "scores + id tiebreaks)"),
+    Query("inverted_index", tokenization.q_inverted_index,
+          tokenization.ORACLE_INVERTED_INDEX,
+          "inverted-index materialization: per-term df/tf + sorted "
+          "posting-list arrays (deterministic packing)"),
     Query("bigram_logprob", llmdata.q_bigram_logprob,
           llmdata.ORACLE_BIGRAM_LOGPROB,
           "order-2 LM quality score: avg -log p(w2|w1) with add-one "

@@ -1589,3 +1589,74 @@ WHERE s_nationkey IN (
         HAVING SUM(l_quantity) > {_Q20_QTY_THRESHOLD})
 ORDER BY s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical percent-of-parent rollup (region → nation shares)
+# ---------------------------------------------------------------------------
+
+def q_regional_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level percent-of-parent report: revenue per nation, each
+    nation's share of its region, each region's share of the global total
+    — the drill-down readout every BI layer wants from a geography
+    hierarchy, computed with two windows OVER THE AGGREGATE (25 rows), so
+    neither share needs a second fact scan or a join-back.
+
+    The fact is aggregated once on custkey→nation (broadcast dims fold
+    the hierarchy in before the exchange); everything after the groupBy
+    is |nations|-sized window algebra."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_nation = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name",
+                                        "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"))
+    )
+    region_w = Window.partitionBy("r_name")
+    global_w = Window.partitionBy()
+    return (
+        per_nation
+        .withColumn("pct_of_region",
+                    F.round(F.col("revenue")
+                            / F.sum("revenue").over(region_w) * 100, 4))
+        .withColumn("pct_of_global",
+                    F.round(F.col("revenue")
+                            / F.sum("revenue").over(global_w) * 100, 4))
+        .select("r_name", "n_name", F.round("revenue", 4).alias("revenue"),
+                "pct_of_region", "pct_of_global")
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_REGIONAL_REVENUE_SHARE = """
+WITH per_nation AS (
+    SELECT r.r_name, n.n_name,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, round(revenue, 4) AS revenue,
+       round(revenue / SUM(revenue) OVER (PARTITION BY r_name) * 100, 4)
+           AS pct_of_region,
+       round(revenue / SUM(revenue) OVER () * 100, 4) AS pct_of_global
+FROM per_nation
+ORDER BY r_name, n_name
+"""

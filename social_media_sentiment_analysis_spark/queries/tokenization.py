@@ -613,3 +613,59 @@ GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index materialization (posting lists as arrays)
+# ---------------------------------------------------------------------------
+
+_INDEX_MIN_DF = 3
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the search index the index-free BM25 query implies:
+    one row per term with document frequency, total term frequency, and
+    the sorted posting list (doc_ids) packed as an array — the layout a
+    serving tier loads, and the precomputation that turns every later
+    retrieval query's cost from corpus-sized to posting-list-sized.
+
+    One (doc, word) aggregate then one (word) aggregate — both partial-
+    combined; posting lists are array_sort(collect_list(...)) so the
+    packed array is deterministic regardless of shuffle order. Rare terms
+    below df=3 are dropped (the long tail that bloats an index without
+    serving queries). At 100 TB posting lists for stopword-like terms are
+    the skew risk: cap or shard them (the df filter is the first dial).
+    """
+    tf = (_tokens(spark, sf_dir)
+          .groupBy("word", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    return (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df_docs"),
+             F.sum("tf").alias("total_tf"),
+             F.array_sort(F.collect_list("doc_id")).alias("postings"))
+        .filter(F.col("df_docs") >= _INDEX_MIN_DF)
+        # the packed list is serialized to a comma-joined string for the
+        # cross-engine hash (array encodings differ between engines'
+        # pandas bridges); a real index writer would keep the array column
+        .select("word", "df_docs", "total_tf",
+                F.array_join(F.col("postings"), ",").alias("postings"))
+        .orderBy("word")
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH tf AS (
+  SELECT word, doc_id, COUNT(*) AS tf FROM filtered GROUP BY word, doc_id
+)
+SELECT word, COUNT(*) AS df_docs,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM tf
+GROUP BY word
+HAVING COUNT(*) >= {_INDEX_MIN_DF}
+ORDER BY word
+"""
+# reuse the BM25 CTE prefix for identical tokenization
+ORACLE_INVERTED_INDEX = _BM25_CTES.split(", doclen AS")[0] + \
+    ORACLE_INVERTED_INDEX.replace("WITH tf AS", ", tf AS")

@@ -674,3 +674,20 @@ def test_near_dedup_sink_drops_edited_redeliveries(spark, tmp_path):
     run()
     kept = {r.doc_id for r in read_deduped_corpus(spark, out).collect()}
     assert kept == {1, 2, 4}
+
+    # full replay (checkpoint loss): batch partitions are dynamically
+    # OVERWRITTEN, and the probe skips the batch's own partition, so the
+    # corpus neither duplicates nor self-collides
+    ckpt2 = str(tmp_path / "ckpt2")
+
+    def rerun():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (near_dedup_sink(stream, out, ckpt2)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    rerun()
+    rows = read_deduped_corpus(spark, out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 4}
+    assert len(rows) == 3  # no duplicated rows after replay
