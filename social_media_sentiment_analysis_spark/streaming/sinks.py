@@ -10,7 +10,7 @@ reference's `INSERT OR IGNORE` on `tweet_id UNIQUE`
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
@@ -354,3 +354,71 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
 def read_deduped_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Current kept corpus under a ``near_dedup_sink`` root."""
     return spark.read.parquet(f"{path}/docs")
+
+
+def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,
+               bins: int = 10, eps: float = 1e-6) -> DataStreamWriter:
+    """Streaming distribution-drift monitor: PSI of each micro-batch
+    against a persisted REFERENCE histogram (established by the first
+    batch) — the serve-time twin of the batch ``feature_drift`` query,
+    catching upstream schema/unit/population changes while they happen
+    instead of at the next training run.
+
+    First batch: persist bin edges (min/max anchors) + reference bin
+    shares under ``path/ref``. Every batch (including the first): bin the
+    batch with the REFERENCE edges (out-of-range clamps to the edge bins
+    — drifted mass lands visibly in the extremes), compute
+    PSI = Σ (q−p)·ln(q/p), and write one (batch_id, n_rows, psi) row to a
+    ``batch_id=`` partition with dynamic overwrite — replay rewrites its
+    own row, never double-counts. State is the tiny ref histogram; the
+    monitor adds one aggregate per batch, no extra pass over the data.
+    """
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ref_path = f"{path}/ref"
+        try:
+            ref = spark.read.parquet(ref_path)
+        except Exception:
+            anchors = batch.agg(
+                F.min(value_col).alias("lo"),
+                F.max(value_col).alias("hi")).collect()[0]
+            lo, hi = float(anchors.lo), float(anchors.hi)
+            width = (hi - lo) / bins or 1.0
+            (batch.select(
+                F.least(F.greatest(
+                    F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+                    F.lit(bins - 1)).cast("long").alias("bin"))
+             .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("share",
+                         F.col("n") / F.sum("n").over(Window.partitionBy()))
+             .withColumn("lo", F.lit(lo)).withColumn("width", F.lit(width))
+             .write.mode("overwrite").parquet(ref_path))
+            ref = spark.read.parquet(ref_path)
+        meta = ref.select("lo", "width").first()
+        ref_shares = {r.bin: r.share for r in ref.collect()}
+        binned = (batch.select(
+            F.least(F.greatest(
+                F.floor((F.col(value_col) - meta.lo) / meta.width),
+                F.lit(0)), F.lit(bins - 1)).cast("long").alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect())
+        total = sum(r.n for r in binned) or 1
+        cur = {r.bin: r.n / total for r in binned}
+        import math
+        psi = sum(
+            (cur.get(b, 0.0) + eps - (ref_shares.get(b, 0.0) + eps))
+            * math.log((cur.get(b, 0.0) + eps)
+                       / (ref_shares.get(b, 0.0) + eps))
+            for b in range(bins))
+        (batch.sparkSession.createDataFrame(
+            [(int(total), float(round(psi, 6)), int(batch_id))],
+            "n_rows long, psi double, batch_id int")
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(f"{path}/psi"))
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -441,3 +441,48 @@ class TestIncrementalRollup:
         # derived average exists and is consistent
         row = read_daily_rollup(spark, path).limit(1).collect()[0]
         assert abs(row.avg_value - row.sum_value / row.n_events) < 1e-12
+
+
+class TestValidatedWrite:
+    """CHECK-constrained writes: single-pass observed validation, staged
+    swap, target untouched on failure."""
+
+    def test_valid_write_lands_with_zero_counts(self, spark, sf_dir,
+                                                tmp_path):
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            write_validated,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        out = str(tmp_path / "orders_checked")
+        counts = write_validated(orders, out, {
+            "positive_price": F.col("o_totalprice") > 0,
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        })
+        assert counts == {"positive_price": 0, "known_status": 0}
+        assert spark.read.parquet(out).count() == orders.count()
+
+    def test_violation_aborts_and_preserves_target(self, spark, sf_dir,
+                                                   tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            write_validated,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        out = str(tmp_path / "orders_checked")
+        write_validated(orders.limit(10), out,
+                        {"positive_price": F.col("o_totalprice") > 0})
+        before = sorted(os.listdir(out))
+        with _pytest.raises(ValueError, match="impossible_price"):
+            write_validated(orders, out, {
+                "impossible_price": F.col("o_totalprice") > 1e12,
+            })
+        # target untouched; no staging debris
+        assert sorted(os.listdir(out)) == before
+        assert spark.read.parquet(out).count() == 10
+        assert not [d for d in os.listdir(tmp_path)
+                    if d.startswith("orders_checked.staging")]

@@ -691,3 +691,40 @@ def test_near_dedup_sink_drops_edited_redeliveries(spark, tmp_path):
     rows = read_deduped_corpus(spark, out).collect()
     assert {r.doc_id for r in rows} == {1, 2, 4}
     assert len(rows) == 3  # no duplicated rows after replay
+
+
+def test_drift_sink_flags_shifted_batch(spark, tmp_path):
+    """Streaming PSI monitor: a batch drawn from the reference
+    distribution scores near zero; a shifted batch scores clearly higher
+    (its mass clamps into the far edge bins of the reference histogram)."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        drift_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 0 (becomes the reference) and batch 1: values 0..99
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"v": float(i % 100)}) for i in range(400)))
+    (src / "b.jsonl").write_text(
+        "\n".join(json.dumps({"v": float(i % 100)}) for i in range(400)))
+    # batch 2: shifted far right (300..349)
+    (src / "c.jsonl").write_text(
+        "\n".join(json.dumps({"v": 300.0 + i % 50}) for i in range(400)))
+    for i, f in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        _os.utime(src / f, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    out, ckpt = str(tmp_path / "drift"), str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema("v double")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = drift_sink(stream, "v", out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    psi = {r.batch_id: r.psi for r in
+           spark.read.parquet(f"{out}/psi").collect()}
+    assert len(psi) == 3
+    assert psi[0] < 0.01           # reference vs itself
+    assert psi[1] < 0.05           # same distribution
+    assert psi[2] > 1.0            # hard shift → loud signal
