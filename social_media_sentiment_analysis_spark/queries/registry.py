@@ -508,6 +508,11 @@ _ALL: list[Query] = [
     Query("retention_cohorts", temporal.q_retention_cohorts,
           temporal.ORACLE_RETENTION_COHORTS,
           "weekly retention matrix: cohort stamp via window, no self-joins"),
+    Query("similar_days", temporal.q_similar_days,
+          temporal.ORACLE_SIMILAR_DAYS,
+          "time-series similarity search: top-5 z-normalized-euclidean "
+          "similar day-pairs per type (pairwise join over day vectors, "
+          "never a fact self-join)"),
     Query("event_pattern_match", temporal.q_event_pattern_match,
           temporal.ORACLE_EVENT_PATTERN_MATCH,
           "MATCH_RECOGNIZE-style regex over per-user event-code sequences "

@@ -711,3 +711,97 @@ FROM counts
 GROUP BY pattern
 ORDER BY pattern
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (z-normalized similar-day pairs)
+# ---------------------------------------------------------------------------
+
+_SIMDAY_TOPK = 5
+
+
+def q_similar_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: for each event type, the 5 most
+    similar day-pairs by z-normalized euclidean distance over their hourly
+    profiles — the "find days that behaved like this one" query behind
+    anomaly triage and seasonality discovery (cf. distributed time-series
+    similarity search, EDBT 2019; z-normalized euclidean is the standard
+    UCR-suite baseline distance).
+
+    Shape: hourly rollup (one fact exchange) → per-day z-normalization as
+    a window over the rollup (means/σ rounded before use — membership and
+    ranking must not hinge on accumulation ulps) → self-join on
+    (type, hour) so the pairwise distance is a JOIN + re-aggregation of
+    |days|²-bounded rows per type, never a fact self-join → top-k window.
+    At 100 TB the rollup is the only fact-sized stage; day-vector counts
+    grow with the calendar, not the data.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour("ts").alias("hod"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    day_w = Window.partitionBy("event_type", "day")
+    z = (
+        hourly
+        .withColumn("mu", F.round(F.avg("v").over(day_w), 6))
+        .withColumn("sigma", F.round(F.stddev_samp("v").over(day_w), 6))
+        .filter(F.col("sigma") > 0)
+        .select("event_type", "day", "hod",
+                F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6)
+                .alias("z"))
+    )
+    a, b = z.alias("a"), z.alias("b")
+    dist = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a.hod") == F.col("b.hod"))
+               & (F.col("a.day") < F.col("b.day")))
+        .groupBy(F.col("a.event_type").alias("event_type"),
+                 F.col("a.day").alias("day_a"),
+                 F.col("b.day").alias("day_b"))
+        .agg(F.round(F.sqrt(F.sum(F.pow(F.col("a.z") - F.col("b.z"), 2))), 4)
+             .alias("distance"),
+             F.count(F.lit(1)).alias("shared_hours"))
+    )
+    rank_w = Window.partitionBy("event_type").orderBy(
+        "distance", "day_a", "day_b")
+    return (
+        dist.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= _SIMDAY_TOPK)
+        .select("event_type", "rank", "day_a", "day_b",
+                "distance", "shared_hours")
+        .orderBy("event_type", "rank")
+    )
+
+
+ORACLE_SIMILAR_DAYS = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('day', ts) AS day, hour(ts) AS hod,
+           round(SUM(value), 6) AS v
+    FROM events GROUP BY 1, 2, 3
+), z AS (
+    SELECT event_type, day, hod,
+           round((v - round(AVG(v) OVER w, 6))
+                 / round(stddev_samp(v) OVER w, 6), 6) AS z
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type, day)
+    QUALIFY round(stddev_samp(v) OVER w, 6) > 0
+), dist AS (
+    SELECT a.event_type, a.day AS day_a, b.day AS day_b,
+           round(sqrt(SUM((a.z - b.z) * (a.z - b.z))), 4) AS distance,
+           COUNT(*) AS shared_hours
+    FROM z a JOIN z b
+      ON a.event_type = b.event_type AND a.hod = b.hod AND a.day < b.day
+    GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY distance, day_a, day_b) AS rank
+    FROM dist
+)
+SELECT event_type, rank, day_a, day_b, distance, shared_hours
+FROM ranked WHERE rank <= {_SIMDAY_TOPK}
+ORDER BY event_type, rank
+"""
