@@ -224,6 +224,10 @@ _ALL: list[Query] = [
           windowed.ORACLE_TRAILING_HOUR_AVG,
           "RANGE-frame window: trailing 1-hour per-user average "
           "(time-gap frame, not row count)"),
+    Query("rfm_segments", windowed.q_rfm_segments,
+          windowed.ORACLE_RFM_SEGMENTS,
+          "RFM customer segmentation: quintile windows over the per-"
+          "customer rollup, broadcast recency anchor, segment rollup"),
     Query("time_weighted_avg", windowed.q_time_weighted_avg,
           windowed.ORACLE_TIME_WEIGHTED_AVG,
           "daily TWAP per type: lead()-derived interval weights, one "
@@ -508,6 +512,14 @@ _ALL: list[Query] = [
     Query("retention_cohorts", temporal.q_retention_cohorts,
           temporal.ORACLE_RETENTION_COHORTS,
           "weekly retention matrix: cohort stamp via window, no self-joins"),
+    Query("conversion_latency", temporal.q_conversion_latency,
+          temporal.ORACLE_CONVERSION_LATENCY,
+          "time-to-convert percentiles (conditional-MIN first events, no "
+          "fact self-join; exact percentiles over converters)"),
+    Query("event_transitions", temporal.q_event_transitions,
+          temporal.ORACLE_EVENT_TRANSITIONS,
+          "first-order Markov transition matrix over user journeys (lead "
+          "window on one user exchange; row-normalized probabilities)"),
     Query("similar_days", temporal.q_similar_days,
           temporal.ORACLE_SIMILAR_DAYS,
           "time-series similarity search: top-5 z-normalized-euclidean "

@@ -805,3 +805,120 @@ SELECT event_type, rank, day_a, day_b, distance, shared_hours
 FROM ranked WHERE rank <= {_SIMDAY_TOPK}
 ORDER BY event_type, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (first-order Markov chain over user journeys)
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for every
+    consecutive event pair within a user's time-ordered history, count
+    (from_type → to_type) and the row-normalized transition probability —
+    the journey model behind next-action prediction and funnel-leak
+    hunting (which state bleeds users to 'error'?).
+
+    One window (lead over the user partition) on one user_id exchange
+    builds the pairs; the |types|² matrix aggregates from it with partial
+    combine, and row probabilities are a window over the 25-row matrix.
+    Same-timestamp ties order by event_type so the chain is engine-exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    pairs = (
+        events.select("user_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    row_w = Window.partitionBy("event_type")
+    return (
+        pairs.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .withColumn("p",
+                    F.round(F.col("n_transitions")
+                            / F.sum("n_transitions").over(row_w), 4))
+        .select(F.col("event_type").alias("from_type"),
+                F.col("next_type").alias("to_type"),
+                "n_transitions", "p")
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH pairs AS (
+    SELECT event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type) AS next_type
+    FROM events
+), counted AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM pairs WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions
+             / SUM(n_transitions) OVER (PARTITION BY from_type), 4) AS p
+FROM counted
+ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency percentiles (time-to-convert distribution)
+# ---------------------------------------------------------------------------
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first purchase comes
+    after their first view, the hours between the two — count plus exact
+    p25/p50/p90 — the "how long does the funnel take" readout that pairs
+    with the stage-count funnel (``q_session_funnel``).
+
+    One groupBy(user) pass computes both first-event timestamps as
+    conditional MIN aggregates (no self-join of the fact); the latency
+    percentile runs over the |converting users| rollup. Sub-second-exact
+    NTZ microsecond diffs; percentiles rounded for engine stability.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view",
+                          F.col("ts"))).alias("t_view"),
+             F.min(F.when(F.col("event_type") == "purchase",
+                          F.col("ts"))).alias("t_purchase"))
+        .filter(F.col("t_view").isNotNull()
+                & F.col("t_purchase").isNotNull()
+                & (F.col("t_purchase") > F.col("t_view")))
+        .withColumn(
+            "hours_to_convert",
+            F.round(F.timestamp_diff("MICROSECOND", F.col("t_view"),
+                                     F.col("t_purchase"))
+                    / F.lit(3_600_000_000.0), 6))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile("hours_to_convert", 0.25), 4).alias("p25_hours"),
+        F.round(F.percentile("hours_to_convert", 0.5), 4).alias("p50_hours"),
+        F.round(F.percentile("hours_to_convert", 0.9), 4).alias("p90_hours"),
+    )
+
+
+ORACLE_CONVERSION_LATENCY = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+), converters AS (
+    SELECT round((epoch_us(t_purchase) - epoch_us(t_view)) / 3600000000.0, 6)
+               AS hours_to_convert
+    FROM per_user
+    WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+      AND t_purchase > t_view
+)
+SELECT COUNT(*) AS n_converters,
+       round(quantile_cont(hours_to_convert, 0.25), 4) AS p25_hours,
+       round(quantile_cont(hours_to_convert, 0.5), 4) AS p50_hours,
+       round(quantile_cont(hours_to_convert, 0.9), 4) AS p90_hours
+FROM converters
+"""

@@ -556,3 +556,97 @@ FROM weighted
 GROUP BY event_type, day
 ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintile scores)
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics readout:
+    score every customer 1–5 on Recency (days since last order, newer =
+    higher), Frequency (order count) and Monetary (total spend) via
+    quintile windows, label the 'champion' (5-5-5 … 4-4-4 band) and
+    'at-risk' (high F/M, low R) segments, and roll up segment sizes.
+
+    One orders aggregate (the only fact-sized stage), then three ntile
+    windows over the |customers| rollup and a |segments| rollup. Recency
+    anchors on max(o_orderdate) (broadcast 1-row scalar) so the query is
+    deterministic for a fixed dataset, not wall-clock dependent. ntile
+    ties break on the customer key so quintile membership is engine-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("now"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.round(F.sum("o_totalprice"), 4).alias("monetary"))
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days",
+                    F.date_diff(F.col("now"), F.col("last_order")))
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency"), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary"), F.col("o_custkey"))
+    scored = (
+        per_cust
+        .withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+        .withColumn(
+            "segment",
+            F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+                   & (F.col("m_score") >= 4), "champion")
+            .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4)
+                  & (F.col("m_score") >= 4), "at_risk")
+            .when(F.col("r_score") >= 4, "recent")
+            .otherwise("other"))
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+             F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+             F.round(F.avg("recency_days"), 4).alias("avg_recency_days"))
+        .orderBy("segment")
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH anchor AS (
+    SELECT MAX(o_orderdate) AS now FROM orders
+), per_cust AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           round(SUM(o_totalprice), 4) AS monetary
+    FROM orders GROUP BY o_custkey
+), with_recency AS (
+    SELECT p.*, date_diff('day', p.last_order, a.now) AS recency_days
+    FROM per_cust p CROSS JOIN anchor a
+), scored AS (
+    SELECT *,
+           NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+    FROM with_recency
+), labeled AS (
+    SELECT *,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 AND m_score >= 4
+                THEN 'at_risk'
+                WHEN r_score >= 4 THEN 'recent'
+                ELSE 'other' END AS segment
+    FROM scored
+)
+SELECT segment,
+       COUNT(*) AS n_customers,
+       round(AVG(frequency), 4) AS avg_frequency,
+       round(AVG(monetary), 4) AS avg_monetary,
+       round(AVG(recency_days), 4) AS avg_recency_days
+FROM labeled
+GROUP BY segment
+ORDER BY segment
+"""

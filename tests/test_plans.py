@@ -101,6 +101,11 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "weighted_sample",
                             "unigram_logprob",
                             "hybrid_search",  # 1-row query-vector anchor
+                            "rfm_segments",   # 1-row recency anchor
+                            "feature_drift",  # 1-row min/max anchors
+                            # deliberate bounded expansion: 20 users ×
+                            # broadcast 50-item candidate pool
+                            "negative_samples",
                             "pmi_collocations",
                             "equidepth_histogram",
                             "bm25_search",
