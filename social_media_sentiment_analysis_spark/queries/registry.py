@@ -173,6 +173,11 @@ _ALL: list[Query] = [
           star.ORACLE_EXCESS_VOLUME_SUPPLIERS,
           "TPC-H Q20 shape: doubly nested IN collapsed to chained LEFT "
           "SEMI joins (fact reduced map-side, supplier never shuffled)"),
+    Query("basket_rules", star.q_basket_rules,
+          star.ORACLE_BASKET_RULES,
+          "market-basket association rules: top-20 pairs by lift "
+          "(same-order self-join bounded by basket size; supports "
+          "broadcast back)"),
     Query("regional_revenue_share", star.q_regional_revenue_share,
           star.ORACLE_REGIONAL_REVENUE_SHARE,
           "two-level percent-of-parent hierarchy report (windows over the "

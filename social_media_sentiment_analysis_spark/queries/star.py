@@ -1660,3 +1660,92 @@ SELECT r_name, n_name, round(revenue, 4) AS revenue,
 FROM per_nation
 ORDER BY r_name, n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_PAIR = 3
+_BASKET_TOPK = 20
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: the top-20 part pairs by lift among pairs
+    co-purchased in ≥3 orders, with support counts and directional
+    confidence — the association-rule readout (Agrawal/Srikant's Apriori
+    output at itemset size 2) behind "customers who bought X also
+    bought Y".
+
+    The pair join is the SAME-ORDER self-join — bounded by (items per
+    order)² ≈ ≤45 pairs per order here, so the candidate space scales
+    with orders, never |parts|². Item supports broadcast back onto the
+    pair counts; lift/confidence derive from integer counts (engine-exact
+    before the output rounding) and rank on the rounded lift with pair
+    tiebreaks. One fact-sized exchange (orderkey self-join); everything
+    after is |pairs|-sized.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = (lineitem.select("l_orderkey",
+                               F.col("l_partkey").alias("item"))
+               .distinct())
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
+    )
+    na = item_n.withColumnsRenamed({"item": "item_a", "n_item": "n_a"})
+    nb = item_n.withColumnsRenamed({"item": "item_b", "n_item": "n_b"})
+    scored = (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .withColumn("lift", F.round(
+            F.col("n_pair") * F.lit(float(n_orders))
+            / (F.col("n_a") * F.col("n_b")), 4))
+        .withColumn("conf_a_to_b",
+                    F.round(F.col("n_pair") / F.col("n_a"), 4))
+        .withColumn("conf_b_to_a",
+                    F.round(F.col("n_pair") / F.col("n_b"), 4))
+    )
+    return (
+        scored.orderBy(F.desc("lift"), "item_a", "item_b")
+        .select(F.col("item_a").cast("long").alias("item_a"),
+                F.col("item_b").cast("long").alias("item_b"),
+                "n_pair", "lift", "conf_a_to_b", "conf_b_to_a")
+        .limit(_BASKET_TOPK)
+    )
+
+
+ORACLE_BASKET_RULES = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem
+), n_orders AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets
+), item_n AS (
+    SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item
+), pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+)
+SELECT CAST(item_a AS BIGINT) AS item_a,
+       CAST(item_b AS BIGINT) AS item_b,
+       n_pair,
+       round(n_pair * no.n / (na.n_item * nb.n_item), 4) AS lift,
+       round(n_pair / na.n_item, 4) AS conf_a_to_b,
+       round(n_pair / nb.n_item, 4) AS conf_b_to_a
+FROM pairs
+JOIN item_n na ON pairs.item_a = na.item
+JOIN item_n nb ON pairs.item_b = nb.item
+CROSS JOIN n_orders no
+ORDER BY lift DESC, item_a, item_b
+LIMIT {_BASKET_TOPK}
+"""
