@@ -312,6 +312,10 @@ _ALL: list[Query] = [
     Query("winsorized_stats", shaping.q_winsorized_stats,
           shaping.ORACLE_WINSORIZED_STATS,
           "winsorized mean: exact p05/p95 clamp, broadcast bounds"),
+    Query("ab_test", shaping.q_ab_test,
+          shaping.ORACLE_AB_TEST,
+          "A/B experiment readout: salted-hash arm assignment, per-type "
+          "two-sample z-score from one conditional aggregate"),
     Query("feature_drift", shaping.q_feature_drift,
           shaping.ORACLE_FEATURE_DRIFT,
           "PSI drift monitor between time halves (fixed-width bins from "

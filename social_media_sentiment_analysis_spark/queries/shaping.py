@@ -1364,3 +1364,79 @@ FROM joined
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (hash-assigned arms, two-sample z-test)
+# ---------------------------------------------------------------------------
+
+_AB_SALT = "exp-42"
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis: assign every user to an arm by salted hash
+    (the deterministic bucketing a real experimentation system uses — the
+    assignment is a pure function of (salt, user), reproducible across
+    sessions and engines), then per event type compare mean value between
+    arms with a two-sample z-score from pooled standard errors.
+
+    One fact pass: arm assignment is a map-side expression, and all six
+    aggregates (n/mean/var per arm) come from ONE conditional aggregate —
+    no per-arm scans, no join. Moments are rounded before the z
+    computation so the statistic never hinges on accumulation ulps.
+    """
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.lit(_AB_SALT),
+                                   F.col("user_id").cast("string"))), 1, 1)
+        .isin(*"01234567"), F.lit("A")).otherwise(F.lit("B"))
+    tagged = events.select("event_type", "value", arm.alias("arm"))
+    agg = (
+        tagged.groupBy("event_type")
+        .agg(F.count_if(F.col("arm") == "A").alias("n_a"),
+             F.count_if(F.col("arm") == "B").alias("n_b"),
+             F.round(F.avg(F.when(F.col("arm") == "A", F.col("value"))), 6)
+             .alias("mean_a"),
+             F.round(F.avg(F.when(F.col("arm") == "B", F.col("value"))), 6)
+             .alias("mean_b"),
+             F.round(F.var_samp(F.when(F.col("arm") == "A",
+                                       F.col("value"))), 6).alias("var_a"),
+             F.round(F.var_samp(F.when(F.col("arm") == "B",
+                                       F.col("value"))), 6).alias("var_b"))
+    )
+    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    return (
+        agg.withColumn("lift", F.round(F.col("mean_b") - F.col("mean_a"), 6))
+        .withColumn("z_score",
+                    F.round((F.col("mean_b") - F.col("mean_a")) / se, 4))
+        .select("event_type", "n_a", "n_b", "mean_a", "mean_b",
+                "lift", "z_score")
+        .orderBy("event_type")
+    )
+
+
+ORACLE_AB_TEST = f"""
+WITH tagged AS (
+    SELECT event_type, value,
+           CASE WHEN substring(md5('{_AB_SALT}' || CAST(user_id AS VARCHAR)),
+                               1, 1) IN
+                     ('0','1','2','3','4','5','6','7')
+                THEN 'A' ELSE 'B' END AS arm
+    FROM events
+), agg AS (
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE arm = 'A') AS n_a,
+           COUNT(*) FILTER (WHERE arm = 'B') AS n_b,
+           round(AVG(value) FILTER (WHERE arm = 'A'), 6) AS mean_a,
+           round(AVG(value) FILTER (WHERE arm = 'B'), 6) AS mean_b,
+           round(var_samp(value) FILTER (WHERE arm = 'A'), 6) AS var_a,
+           round(var_samp(value) FILTER (WHERE arm = 'B'), 6) AS var_b
+    FROM tagged GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       round(mean_b - mean_a, 6) AS lift,
+       round((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4)
+           AS z_score
+FROM agg
+ORDER BY event_type
+"""
