@@ -229,6 +229,10 @@ _ALL: list[Query] = [
           windowed.ORACLE_TRAILING_HOUR_AVG,
           "RANGE-frame window: trailing 1-hour per-user average "
           "(time-gap frame, not row count)"),
+    Query("cohort_ltv", windowed.q_cohort_ltv,
+          windowed.ORACLE_COHORT_LTV,
+          "cohort LTV curves: first-order-month cohorts, cumulative spend "
+          "per member by month age (windows over the rollup)"),
     Query("rfm_segments", windowed.q_rfm_segments,
           windowed.ORACLE_RFM_SEGMENTS,
           "RFM customer segmentation: quintile windows over the per-"

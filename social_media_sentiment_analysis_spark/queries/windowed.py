@@ -650,3 +650,95 @@ FROM labeled
 GROUP BY segment
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative spend per first-order-month cohort)
+# ---------------------------------------------------------------------------
+
+_LTV_MAX_AGE = 6
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month; for each cohort and month-age 0..6, cumulative spend per cohort
+    member — the retention-economics readout (does month-3 LTV of newer
+    cohorts beat older ones?).
+
+    The cohort stamp is a min() window over the orders scan (one custkey
+    exchange, reused by nothing else); ages clip at 6 months so the output
+    is |cohorts|×7 regardless of scale. The cumulative sum is a window
+    over the (cohort, age) rollup — fact moves once.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust_w = Window.partitionBy("o_custkey")
+    staged = (
+        orders.select("o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("cohort_month",
+                    F.date_trunc("month",
+                                 F.min("o_orderdate").over(cust_w)))
+        .withColumn(
+            "age",
+            F.months_between(F.date_trunc("month", F.col("o_orderdate")),
+                             F.col("cohort_month")).cast("long"))
+        .filter(F.col("age") <= _LTV_MAX_AGE)
+    )
+    cohort_sizes = (
+        staged.groupBy("cohort_month")
+        .agg(F.count_distinct("o_custkey").alias("cohort_users")))
+    by_age = (
+        staged.groupBy("cohort_month", "age")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("month_spend"))
+    )
+    cum_w = (Window.partitionBy("cohort_month").orderBy("age")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        by_age
+        .withColumn("cum_spend", F.round(F.sum("month_spend").over(cum_w), 4))
+        .join(F.broadcast(cohort_sizes), "cohort_month")
+        # explicit floor-based half-up instead of round(): Spark rounds
+        # doubles via decimal HALF_UP, DuckDB numerically — they disagree
+        # on exact .00005 boundaries; floor(x*1e4+0.5)/1e4 is the same
+        # IEEE op sequence on the same doubles in both engines
+        .withColumn("ltv_per_user",
+                    F.floor(F.col("cum_spend") / F.col("cohort_users")
+                            * 10000 + F.lit(0.5)) / 10000)
+        .select("cohort_month", "age", "cohort_users",
+                "month_spend", "cum_spend", "ltv_per_user")
+        .orderBy("cohort_month", "age")
+    )
+
+
+ORACLE_COHORT_LTV = f"""
+WITH staged AS (
+    SELECT o_custkey, o_totalprice,
+           date_trunc('month',
+                      MIN(o_orderdate) OVER (PARTITION BY o_custkey))
+               AS cohort_month,
+           CAST(datediff('month',
+                date_trunc('month',
+                           MIN(o_orderdate) OVER (PARTITION BY o_custkey)),
+                date_trunc('month', o_orderdate)) AS BIGINT) AS age
+    FROM orders
+), filtered AS (
+    SELECT * FROM staged WHERE age <= {_LTV_MAX_AGE}
+), sizes AS (
+    SELECT cohort_month, COUNT(DISTINCT o_custkey) AS cohort_users
+    FROM filtered GROUP BY cohort_month
+), by_age AS (
+    SELECT cohort_month, age,
+           round(SUM(o_totalprice), 4) AS month_spend
+    FROM filtered GROUP BY cohort_month, age
+), cum AS (
+    SELECT *, round(SUM(month_spend) OVER (
+        PARTITION BY cohort_month ORDER BY age
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_spend
+    FROM by_age
+)
+SELECT c.cohort_month, c.age, s.cohort_users,
+       c.month_spend, c.cum_spend,
+       floor(c.cum_spend / s.cohort_users * 10000 + 0.5) / 10000
+           AS ltv_per_user
+FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
+ORDER BY c.cohort_month, c.age
+"""
