@@ -173,6 +173,14 @@ _ALL: list[Query] = [
           star.ORACLE_EXCESS_VOLUME_SUPPLIERS,
           "TPC-H Q20 shape: doubly nested IN collapsed to chained LEFT "
           "SEMI joins (fact reduced map-side, supplier never shuffled)"),
+    Query("discount_elasticity", star.q_discount_elasticity,
+          star.ORACLE_DISCOUNT_ELASTICITY,
+          "grouped OLS: per-brand slope/intercept/r2 of quantity on "
+          "discount (algebraic aggregates, one brand-key exchange)"),
+    Query("order_intervals", windowed.q_order_intervals,
+          windowed.ORACLE_ORDER_INTERVALS,
+          "inter-purchase interval distribution (lag window; exact "
+          "percentiles over integer day gaps)"),
     Query("basket_rules", star.q_basket_rules,
           star.ORACLE_BASKET_RULES,
           "market-basket association rules: top-20 pairs by lift "

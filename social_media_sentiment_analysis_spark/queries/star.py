@@ -1749,3 +1749,46 @@ CROSS JOIN n_orders no
 ORDER BY lift DESC, item_a, item_b
 LIMIT {_BASKET_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped regression: discount elasticity of quantity per brand
+# ---------------------------------------------------------------------------
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity: OLS slope/intercept/r² of line-item
+    quantity on discount, one regression per brand in a single aggregate
+    pass — the grouped-regression readout behind price-sensitivity
+    dashboards ("which brands actually move when discounted?").
+
+    regr_slope/regr_intercept/regr_r2 are algebraic aggregates (sums of
+    products), so each partial-combines map-side and the fact shuffles
+    once on the brand key after the broadcast part join. Moments are
+    engine-exact up to accumulation order; outputs rounded.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_discount")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.regr_slope("l_quantity", "l_discount"), 4)
+             .alias("slope"),
+             F.round(F.regr_intercept("l_quantity", "l_discount"), 4)
+             .alias("intercept"),
+             F.round(F.regr_r2("l_quantity", "l_discount"), 4).alias("r2"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_DISCOUNT_ELASTICITY = """
+SELECT p_brand,
+       COUNT(*) AS n_lines,
+       round(regr_slope(l_quantity, l_discount), 4) AS slope,
+       round(regr_intercept(l_quantity, l_discount), 4) AS intercept,
+       round(regr_r2(l_quantity, l_discount), 4) AS r2
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""

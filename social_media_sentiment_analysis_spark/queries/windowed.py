@@ -742,3 +742,58 @@ SELECT c.cohort_month, c.age, s.cohort_users,
 FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
 ORDER BY c.cohort_month, c.age
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase interval distribution (repeat-order cadence)
+# ---------------------------------------------------------------------------
+
+def q_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-order cadence: the distribution of days between a customer's
+    consecutive orders (count + exact p25/p50/p75/p90 plus the share of
+    gaps over 90 days) — the replenishment-cycle readout behind churn
+    windows and send-time optimization.
+
+    One lag window on the custkey exchange produces the gaps; the
+    percentile aggregate runs over |repeat orders| rows. Day-granular
+    integer gaps, so no float-order sensitivity anywhere before the
+    rounded percentiles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(F.date_diff(F.col("o_orderdate"),
+                            F.col("prev_date")).alias("gap_days"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.percentile("gap_days", 0.25), 4).alias("p25_days"),
+        F.round(F.percentile("gap_days", 0.5), 4).alias("p50_days"),
+        F.round(F.percentile("gap_days", 0.75), 4).alias("p75_days"),
+        F.round(F.percentile("gap_days", 0.9), 4).alias("p90_days"),
+        F.round(F.count_if(F.col("gap_days") > 90)
+                / F.count(F.lit(1)), 6).alias("share_over_90d"),
+    )
+
+
+ORACLE_ORDER_INTERVALS = """
+WITH gaps AS (
+    SELECT date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+    FROM orders
+    QUALIFY gap_days IS NOT NULL
+)
+SELECT COUNT(*) AS n_intervals,
+       round(quantile_cont(gap_days, 0.25), 4) AS p25_days,
+       round(quantile_cont(gap_days, 0.5), 4) AS p50_days,
+       round(quantile_cont(gap_days, 0.75), 4) AS p75_days,
+       round(quantile_cont(gap_days, 0.9), 4) AS p90_days,
+       round(COUNT(*) FILTER (WHERE gap_days > 90) * 1.0 / COUNT(*), 6)
+           AS share_over_90d
+FROM gaps
+"""
