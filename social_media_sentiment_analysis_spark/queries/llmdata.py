@@ -2033,3 +2033,47 @@ SELECT c_label AS anchor_label, rank, vec_id,
 FROM ranked WHERE rank <= {_HARDNEG_K}
 ORDER BY anchor_label, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution (dedup health report)
+# ---------------------------------------------------------------------------
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup health report: the distribution of exact-duplicate cluster
+    sizes (how many fingerprints occur 1×, 2×, 3×…) plus each bucket's
+    share of total volume — the histogram that tells you whether dup mass
+    sits in a few huge clusters (boilerplate — cheap to remove) or a long
+    tail of pairs (near-dup methods needed).
+
+    Two aggregates, both with partial combine: fingerprint → copies (the
+    only corpus-sized exchange), then copies → cluster count. Output is
+    max-multiplicity-sized."""
+    docs = _docs(spark, sf_dir)
+    clusters = (
+        docs.filter(F.trim(F.col("cleaned_text")) != "")
+        .groupBy(F.md5(F.col("cleaned_text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    return (
+        clusters.groupBy("copies")
+        .agg(F.count(F.lit(1)).alias("n_clusters"),
+             (F.count(F.lit(1)) * F.col("copies")).cast("bigint")
+             .alias("n_docs"))
+        .orderBy("copies")
+    )
+
+
+ORACLE_DUP_CLUSTER_SIZES = _SQL_DOCS + """
+, clusters AS (
+    SELECT md5(cleaned_text) AS fp, COUNT(*) AS copies
+    FROM docs WHERE trim(cleaned_text) <> ''
+    GROUP BY md5(cleaned_text)
+)
+SELECT copies,
+       COUNT(*) AS n_clusters,
+       CAST(COUNT(*) * copies AS BIGINT) AS n_docs
+FROM clusters
+GROUP BY copies
+ORDER BY copies
+"""

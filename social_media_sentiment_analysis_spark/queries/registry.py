@@ -173,6 +173,14 @@ _ALL: list[Query] = [
           star.ORACLE_EXCESS_VOLUME_SUPPLIERS,
           "TPC-H Q20 shape: doubly nested IN collapsed to chained LEFT "
           "SEMI joins (fact reduced map-side, supplier never shuffled)"),
+    Query("supplier_concentration", star.q_supplier_concentration,
+          star.ORACLE_SUPPLIER_CONCENTRATION,
+          "Herfindahl index of supplier revenue shares per brand "
+          "(single-source-risk readout; shares rounded before squaring)"),
+    Query("dup_cluster_sizes", llmdata.q_dup_cluster_sizes,
+          llmdata.ORACLE_DUP_CLUSTER_SIZES,
+          "dedup health report: exact-dup cluster size histogram + "
+          "per-bucket doc volume"),
     Query("discount_elasticity", star.q_discount_elasticity,
           star.ORACLE_DISCOUNT_ELASTICITY,
           "grouped OLS: per-brand slope/intercept/r2 of quantity on "

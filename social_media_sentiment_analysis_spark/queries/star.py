@@ -1792,3 +1792,62 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (Herfindahl–Hirschman index per brand)
+# ---------------------------------------------------------------------------
+
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration: the Herfindahl–Hirschman index of
+    supplier revenue shares within each brand (HHI = Σ share², 10000 ×
+    share² in antitrust convention) plus the top-supplier share — the
+    single-source-risk readout ("which brands depend on one supplier?").
+
+    Two aggregates on nested keys: (brand, supplier) revenue — the only
+    fact-sized exchange — then the |brands|×|suppliers| rollup folds to
+    per-brand HHI with shares derived from a window over the small table.
+    Shares are rounded (6 dp) before squaring so the index is engine-exact.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = (
+        lineitem.select("l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.round(revenue, 4).alias("rev"))
+    )
+    brand_w = Window.partitionBy("p_brand")
+    shares = per_supp.withColumn(
+        "share", F.round(F.col("rev") / F.sum("rev").over(brand_w), 6))
+    return (
+        shares.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.round(F.sum(F.col("share") * F.col("share")) * 10000, 4)
+             .alias("hhi"),
+             F.round(F.max("share"), 6).alias("top_supplier_share"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SUPPLIER_CONCENTRATION = """
+WITH per_supp AS (
+    SELECT p_brand, l_suppkey,
+           round(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, l_suppkey
+), shares AS (
+    SELECT p_brand,
+           round(rev / SUM(rev) OVER (PARTITION BY p_brand), 6) AS share
+    FROM per_supp
+)
+SELECT p_brand,
+       COUNT(*) AS n_suppliers,
+       round(SUM(share * share) * 10000, 4) AS hhi,
+       round(MAX(share), 6) AS top_supplier_share
+FROM shares
+GROUP BY p_brand
+ORDER BY p_brand
+"""
