@@ -494,6 +494,14 @@ _ALL: list[Query] = [
           "hybrid lexical+dense retrieval: BM25 top-20 ⊕ embedding-cosine "
           "top-20 fused by reciprocal-rank fusion (rank-stable via rounded "
           "scores + id tiebreaks)"),
+    Query("vocab_growth", tokenization.q_vocab_growth,
+          tokenization.ORACLE_VOCAB_GROWTH,
+          "Heaps'-law vocabulary growth curve (first-seen attribution — "
+          "no distinct-over-growing-frame state)"),
+    Query("zipf_exponent", tokenization.q_zipf_exponent,
+          tokenization.ORACLE_ZIPF_EXPONENT,
+          "Zipf's-law fit: OLS slope of log-freq on log-rank over the "
+          "top-100 words"),
     Query("inverted_index", tokenization.q_inverted_index,
           tokenization.ORACLE_INVERTED_INDEX,
           "inverted-index materialization: per-term df/tf + sorted "

@@ -669,3 +669,113 @@ ORDER BY word
 # reuse the BM25 CTE prefix for identical tokenization
 ORACLE_INVERTED_INDEX = _BM25_CTES.split(", doclen AS")[0] + \
     ORACLE_INVERTED_INDEX.replace("WITH tf AS", ", tf AS")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: Heaps'-law vocabulary growth + Zipf exponent
+# ---------------------------------------------------------------------------
+
+_VOCAB_BUCKET_DOCS = 50
+_ZIPF_TOP = 100
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocabulary
+    vs cumulative tokens as the corpus grows in doc_id order (bucketed
+    every 50 docs) — the curve whose flattening tells you when more data
+    stops buying new vocabulary (tokenizer/corpus sizing evidence).
+
+    Scalable identity (same trick as the user growth curve): each word
+    contributes once, at its FIRST document, so cumulative-distinct is a
+    first-seen aggregate (|vocab| rows) + running sums over the tiny
+    bucket rollup — no distinct-over-growing-frame state anywhere.
+    """
+    toks = _tokens(spark, sf_dir)
+    bucket = (F.floor(F.col("doc_id") / _VOCAB_BUCKET_DOCS)
+              .cast("long").alias("bucket"))
+    first_seen = (
+        toks.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+        .select((F.floor(F.col("first_doc") / _VOCAB_BUCKET_DOCS))
+                .cast("long").alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    tokens_per_bucket = (
+        toks.select(bucket)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        tokens_per_bucket.join(first_seen, "bucket", "left")
+        .na.fill({"new_words": 0})
+        .select("bucket",
+                F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+                F.sum("new_words").over(w).alias("cum_vocab"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{{_TS}}')) AS word
+  FROM documents WHERE lang = 'en'
+), filtered AS (
+  SELECT doc_id, word FROM toks WHERE length(word) >= {{_MINLEN}}
+), first_seen AS (
+  SELECT (MIN(doc_id) // {_VOCAB_BUCKET_DOCS}) AS bucket
+  FROM filtered GROUP BY word
+), new_words AS (
+  SELECT bucket, COUNT(*) AS new_words FROM first_seen GROUP BY bucket
+), tokens_per_bucket AS (
+  SELECT (doc_id // {_VOCAB_BUCKET_DOCS}) AS bucket,
+         COUNT(*) AS bucket_tokens
+  FROM filtered GROUP BY 1
+)
+SELECT t.bucket,
+       CAST(SUM(t.bucket_tokens) OVER (ORDER BY t.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+       CAST(SUM(COALESCE(n.new_words, 0)) OVER (ORDER BY t.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_vocab
+FROM tokens_per_bucket t LEFT JOIN new_words n ON t.bucket = n.bucket
+ORDER BY t.bucket
+""".replace("{_TS}", _TOKEN_SPLIT).replace("{_MINLEN}", str(_MIN_WORD_LEN))
+
+
+def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log(frequency) on log(rank) over the
+    top-100 words — natural corpora sit near −1; a corpus that doesn't is
+    synthetic, templated, or broken (and this one IS synthetic, which the
+    number shows). One word-count aggregate, a top-k window over it, and
+    an algebraic regression over 100 rows."""
+    wf = (_tokens(spark, sf_dir)
+          .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    rank_w = Window.orderBy(F.desc("freq"), F.col("word"))
+    ranked = (wf.withColumn("rank", F.row_number().over(rank_w))
+              .filter(F.col("rank") <= _ZIPF_TOP))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4)
+        .alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("r2"),
+    )
+
+
+ORACLE_ZIPF_EXPONENT = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '{{_TS}}')) AS word
+  FROM documents WHERE lang = 'en'
+), wf AS (
+  SELECT word, COUNT(*) AS freq FROM toks
+  WHERE length(word) >= {{_MINLEN}} GROUP BY word
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+  FROM wf QUALIFY rank <= {_ZIPF_TOP}
+)
+SELECT COUNT(*) AS n_words,
+       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       round(regr_r2(ln(freq), ln(rank)), 4) AS r2
+FROM ranked
+""".replace("{_TS}", _TOKEN_SPLIT).replace("{_MINLEN}", str(_MIN_WORD_LEN))
