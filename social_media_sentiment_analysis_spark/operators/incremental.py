@@ -18,6 +18,8 @@ snapshot-on-refresh.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,16 +64,22 @@ def refresh_daily_rollup(spark: SparkSession, path: str,
     delta = daily_rollup_state(new_events).cache()
     touched = [r.day.isoformat() for r in
                delta.select("day").distinct().collect()]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    # Probe for a prior build explicitly: only a genuinely-absent store means
+    # "delta is the whole state". Any other read failure (corrupt footer,
+    # permissions, transient FS error) must propagate — treating it as
+    # first-build would overwrite the touched days with delta-only state and
+    # permanently lose the accumulated counts.
+    if os.path.exists(path):
         existing = (spark.read.parquet(path)
                     .filter(F.col("day").isin(touched)))
         merged = _merge_states(existing.select("day", "event_type", *_STATE),
                                delta)
-    except Exception:  # first build: nothing persisted yet
+    else:  # first build: nothing persisted yet
         merged = delta
     (merged.select("event_type", *_STATE, "day")
-     .write.mode("overwrite").partitionBy("day").parquet(path))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")  # scoped to this write
+     .partitionBy("day").parquet(path))
     delta.unpersist()
     return sorted(touched)
 

@@ -340,10 +340,11 @@ def phash_near_duplicates(media: DataFrame,
     group sizes are the bucket occupancies — skew shows up only if many
     payloads share a hash band, which is the duplicate mass itself.
     """
-    # persist the (tiny) hash table: the banded self-join below reads it
-    # twice, and without a materialization barrier each side would re-run
-    # the Python decode stage over the full payload column
-    fp = phash_media(media).persist()
+    # localCheckpoint the (tiny) hash table: the banded self-join below reads
+    # it twice, and without a materialization barrier each side would re-run
+    # the Python decode stage over the full payload column. Checkpoint (not
+    # persist) so the blocks free themselves when the result is GC'd.
+    fp = phash_media(media).localCheckpoint()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = fp.select(

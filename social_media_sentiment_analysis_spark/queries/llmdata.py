@@ -1889,11 +1889,15 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram"),
         )
     )
-    # persist the model core (distinct-bigram counts — the vocabulary-sized
-    # LM artifact): the |V| collect, the context aggregate, and the scoring
-    # probe all read it, and without the barrier each would re-explode the
-    # corpus. At 100 TB this is the table a pipeline persists to parquet.
-    bc = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc")).persist()
+    # localCheckpoint the model core (distinct-bigram counts — the
+    # vocabulary-sized LM artifact): the |V| collect, the context aggregate,
+    # and the scoring probe all read it, and without the barrier each would
+    # re-explode the corpus. At 100 TB this is the table a pipeline persists
+    # to parquet. Checkpoint (not persist) so the blocks are released by GC
+    # once the query result is materialized — no cache accumulation across
+    # queries in one session.
+    bc = (pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+          .localCheckpoint())
     model = bc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
     ctx = model.groupBy("w1").agg(F.sum("bc").alias("ctx"))
     model = model.join(F.broadcast(ctx), "w1")

@@ -1331,17 +1331,19 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("l_partkey").alias("p")).distinct()
     a = bip.toDF("u", "p")
     b = bip.toDF("v", "p2")
-    # persist: the edge table feeds FIVE consumers (two wedge sides, the
-    # closure probe, node count, edge count) — without the barrier each
+    # localCheckpoint: the edge table feeds FIVE consumers (two wedge sides,
+    # the closure probe, node count, edge count) — without the barrier each
     # re-runs the fact-sized bipartite self-join; with it the graph is
     # materialized once (|edges| rows, tiny) and everything downstream is
-    # broadcast algebra over it
+    # broadcast algebra over it. Checkpoint (not persist): blocks free
+    # themselves when this DataFrame is GC'd, so multi-query sessions don't
+    # accumulate cache entries that only an explicit unpersist would drop.
     edges = (
         a.join(b, (F.col("p") == F.col("p2")) & (F.col("u") < F.col("v")))
         .groupBy("u", "v").agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= _TRIANGLE_MIN_SHARED)
         .select("u", "v")
-        .persist()
+        .localCheckpoint()
     )
     e1 = edges.toDF("u", "v")
     e2 = edges.toDF("v", "w")

@@ -342,6 +342,10 @@ def write_validated(df: DataFrame, path: str,
 
     from pyspark.sql import Observation
 
+    if not constraints:
+        raise ValueError(
+            "write_validated needs at least one constraint; use a plain "
+            "df.write for unconditional persistence")
     obs = Observation()
     metrics = [F.count_if(~c).alias(name) for name, c in constraints.items()]
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"

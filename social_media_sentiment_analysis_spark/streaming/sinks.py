@@ -15,6 +15,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
 
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on its (Hadoop) filesystem.
+
+    The first micro-batch of every stateful sink finds no prior state — that
+    is the ONLY read failure these sinks may swallow. Probing existence
+    explicitly (scheme-aware, via the JVM FileSystem) lets every other read
+    error — corrupt footer, permissions, transient FS fault — propagate and
+    fail the batch instead of silently discarding accumulated state.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def jsonl_sink(df: DataFrame, path: str, checkpoint: str,
                partition_granularity: str = "yyyyMMdd_HH") -> DataStreamWriter:
     """S5 with the evident intent (hourly partitions — the reference's
@@ -47,11 +62,9 @@ def idempotent_parquet_sink(df: DataFrame, path: str, checkpoint: str,
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([key_col])
-        try:
+        if _target_exists(spark, path):
             existing = spark.read.parquet(path).select(key_col)
             fresh = fresh.join(existing, on=key_col, how="left_anti")
-        except Exception:
-            pass  # first batch: target doesn't exist yet
         fresh.write.mode("append").parquet(path)
 
     return (
@@ -105,12 +118,12 @@ def upsert_parquet_sink(df: DataFrame, path: str, checkpoint: str,
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates(keys)
-        try:
+        if _target_exists(spark, path):
             existing = spark.read.parquet(path)
             keep = existing.join(batch.select(*keys), on=keys,
                                  how="left_anti")
             out = keep.unionByName(batch)
-        except Exception:
+        else:
             out = batch   # first batch: no target yet
         # write to a temp dir then swap would be the production move; the
         # local sink collects (aggregate outputs are small by construction)
@@ -148,11 +161,9 @@ def fanout_sink(df: DataFrame, jsonl_path: str, table_path: str,
                 "hour", F.date_format(F.col(partition_col), "yyyyMMdd_HH"))
              .write.mode("append").partitionBy("hour").json(jsonl_path))
             fresh = batch.dropDuplicates([key_col])
-            try:
+            if _target_exists(spark, table_path):
                 existing = spark.read.parquet(table_path).select(key_col)
                 fresh = fresh.join(existing, on=key_col, how="left_anti")
-            except Exception:
-                pass  # first batch: table doesn't exist yet
             fresh.write.mode("append").parquet(table_path)
         finally:
             batch.unpersist()
@@ -236,10 +247,10 @@ def quarantine_sink(df: DataFrame, main_path: str, late_path: str,
 
     def split(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
+        if _target_exists(spark, hwm_path):
             prev = spark.read.parquet(hwm_path).first()
             cutoff = prev["hwm"] if prev else None
-        except Exception:
+        else:
             cutoff = None
         batch.persist()
         try:
@@ -306,21 +317,18 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch = batch.dropDuplicates([id_col]).cache()
         sigs = minhash_signatures(batch, text_col, id_col,
                                   num_hashes=num_hashes, shingle_k=shingle_k)
         keys = band_keys(sigs, id_col, num_bands=num_bands,
                          rows_per_band=rows_per_band).cache()
         dropped = None
-        try:
+        if _target_exists(spark, bands_path):  # absent only on first batch
             store = (spark.read.parquet(bands_path)
                      .filter(F.col("batch_id") != F.lit(batch_id))
                      .select("band", "band_hash"))
             dropped = (keys.join(store, ["band", "band_hash"], "left_semi")
                        .select(id_col).distinct())
-        except Exception:
-            pass  # first batch: no store yet
         survivors_keys = keys if dropped is None else keys.join(
             dropped, id_col, "left_anti")
         # within-batch: bucket-min keeper — a doc loses to any lower id
@@ -335,12 +343,14 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
                     .join(losers, id_col, "left_anti"))
         kept = batch.join(kept_ids, id_col, "left_semi") \
             .withColumn("batch_id", F.lit(batch_id))
-        kept.write.mode("overwrite").partitionBy("batch_id") \
-            .parquet(docs_path)
+        (kept.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(docs_path))
         (keys.join(kept_ids, id_col, "left_semi")
          .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id")
-         .parquet(bands_path))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(bands_path))
         batch.unpersist()
         keys.unpersist()
 
@@ -376,11 +386,10 @@ def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         ref_path = f"{path}/ref"
-        try:
+        if _target_exists(spark, ref_path):
             ref = spark.read.parquet(ref_path)
-        except Exception:
+        else:
             anchors = batch.agg(
                 F.min(value_col).alias("lo"),
                 F.max(value_col).alias("hi")).collect()[0]
@@ -414,8 +423,9 @@ def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,
         (batch.sparkSession.createDataFrame(
             [(int(total), float(round(psi, 6)), int(batch_id))],
             "n_rows long, psi double, batch_id int")
-         .write.mode("overwrite").partitionBy("batch_id")
-         .parquet(f"{path}/psi"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(f"{path}/psi"))
 
     return (
         df.writeStream.foreachBatch(update)
