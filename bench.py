@@ -66,6 +66,8 @@ BENCH_QUERIES = [
 
 def run() -> dict:
     spark = get_spark("bench")
+    # keep stderr to genuine errors so the recorded bench tail is signal
+    spark.sparkContext.setLogLevel("ERROR")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in QUERIES]

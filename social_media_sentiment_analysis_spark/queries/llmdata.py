@@ -797,17 +797,15 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cleaned_text") == "", F.lit(0))
          .otherwise(F.size(tokens(F.col("cleaned_text"))))
          .cast("long").alias("n_tok"))
-    from pyspark.sql import Window
-
     totals = toked.groupBy("source").agg(
         F.sum("n_tok").alias("source_tokens"))
-    # global min via window over the already-aggregated totals (one row per
-    # source — the unpartitioned window runs on a #sources-row frame, not
-    # the fact table, and avoids a 1-row cross join)
-    min_tokens = F.min("source_tokens").over(Window.partitionBy())
-    rates = totals.select(
-        "source", "source_tokens",
-        (min_tokens.cast("double") / F.col("source_tokens")).alias("rate"))
+    # global min via 1-row broadcast onto the per-source totals (exchange
+    # reused) — no single-partition window exchange
+    floor = totals.agg(F.min("source_tokens").alias("__min_tokens"))
+    rates = (totals.crossJoin(F.broadcast(floor))
+             .select("source", "source_tokens",
+                     (F.col("__min_tokens").cast("double")
+                      / F.col("source_tokens")).alias("rate")))
     u = (F.conv(F.substring(
             F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
          .cast("double") / F.lit(4294967296.0))
@@ -1631,15 +1629,21 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tok = F.size(F.filter(F.split(F.col("text"), " "),
                             lambda t: t != F.lit("")))
-    total = Window.partitionBy()
-    return (
+    per_split = (
         docs.select(split.alias("split"), n_tok.alias("n_tok"))
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tok").alias("n_tokens"))
+    )
+    # share-of-total via 1-row broadcast (exchange-reused), not an
+    # unpartitioned window
+    total = per_split.agg(F.sum("n_docs").alias("__total_docs"))
+    return (
+        per_split.crossJoin(F.broadcast(total))
         .withColumn(
             "doc_share",
-            F.round(F.col("n_docs") / F.sum("n_docs").over(total), 4))
+            F.round(F.col("n_docs") / F.col("__total_docs"), 4))
+        .drop("__total_docs")
         .orderBy("split")
     )
 

@@ -1475,7 +1475,7 @@ ORDER BY revenue DESC, n_name
 """
 
 
-_Q11_SHARE = 0.002
+_Q11_SHARE = 0.0001
 
 
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1483,10 +1483,12 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds a fixed fraction of the GLOBAL total — the share-of-total
     HAVING that needs a scalar subquery.
 
-    The global total is the sum over the same aggregate — computed as a
-    window-over-nothing on the grouped result (one extra 1-row-per-
-    partition exchange of |groups| rows), not a second fact scan. Output
-    ordered by group keys (no float ranking).
+    The global total is the sum over the same aggregate — a 1-row
+    broadcast cross-joined onto the groups. Catalyst reuses the grouping
+    exchange for the total branch (ReusedExchange), so this costs one
+    extra reduce over |groups| rows; an unpartitioned window here would
+    instead move ALL |supplier×part| groups to a single partition — the
+    classic 100 TB cliff. Output ordered by group keys (no float ranking).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     value = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
@@ -1494,10 +1496,10 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy("l_suppkey", "l_partkey")
         .agg(value.alias("stock_value"))
     )
-    total_w = Window.partitionBy()
+    total = grouped.agg(F.sum("stock_value").alias("total"))
     return (
         grouped
-        .withColumn("total", F.sum("stock_value").over(total_w))
+        .crossJoin(F.broadcast(total))
         .filter(F.col("stock_value") > F.lit(_Q11_SHARE) * F.col("total"))
         .select(F.col("l_suppkey").cast("long").alias("l_suppkey"),
                 F.col("l_partkey").cast("long").alias("l_partkey"),
@@ -1629,15 +1631,17 @@ def q_regional_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue.alias("revenue"))
     )
     region_w = Window.partitionBy("r_name")
-    global_w = Window.partitionBy()
+    # global share via 1-row broadcast (exchange-reused), not an
+    # unpartitioned window — no all-rows-to-one-partition exchange
+    grand = per_nation.agg(F.sum("revenue").alias("__grand"))
     return (
         per_nation
         .withColumn("pct_of_region",
                     F.round(F.col("revenue")
                             / F.sum("revenue").over(region_w) * 100, 4))
+        .crossJoin(F.broadcast(grand))
         .withColumn("pct_of_global",
-                    F.round(F.col("revenue")
-                            / F.sum("revenue").over(global_w) * 100, 4))
+                    F.round(F.col("revenue") / F.col("__grand") * 100, 4))
         .select("r_name", "n_name", F.round("revenue", 4).alias("revenue"),
                 "pct_of_region", "pct_of_global")
         .orderBy("r_name", "n_name")

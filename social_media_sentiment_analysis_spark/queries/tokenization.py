@@ -261,7 +261,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left string, right string, merged string, pair_count long")
 
 
-_PMI_MIN_COUNT = 30
+_PMI_MIN_COUNT = 10
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

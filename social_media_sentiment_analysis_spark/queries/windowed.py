@@ -209,13 +209,17 @@ def q_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("type_value"),
         )
     )
-    w = Window.partitionBy()
+    # shares via a 1-row broadcast total (the grouping exchange is reused
+    # for the total branch) — no single-partition window exchange
+    totals = agg.agg(F.sum("n_events").alias("__tot_n"),
+                     F.sum("type_value").alias("__tot_v"))
     return (
-        agg.select(
+        agg.crossJoin(F.broadcast(totals))
+        .select(
             "event_type", "n_events", "type_value",
-            F.round(F.col("n_events") / F.sum("n_events").over(w), 6)
+            F.round(F.col("n_events") / F.col("__tot_n"), 6)
              .alias("count_share"),
-            F.round(F.col("type_value") / F.sum("type_value").over(w), 6)
+            F.round(F.col("type_value") / F.col("__tot_v"), 6)
              .alias("value_share"),
         )
         .orderBy(F.desc("n_events"), "event_type")

@@ -10,7 +10,7 @@ reference's `INSERT OR IGNORE` on `tweet_id UNIQUE`
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
@@ -395,13 +395,16 @@ def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,
                 F.max(value_col).alias("hi")).collect()[0]
             lo, hi = float(anchors.lo), float(anchors.hi)
             width = (hi - lo) / bins or 1.0
-            (batch.select(
+            binned_ref = (batch.select(
                 F.least(F.greatest(
                     F.floor((F.col(value_col) - lo) / width), F.lit(0)),
                     F.lit(bins - 1)).cast("long").alias("bin"))
-             .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
-             .withColumn("share",
-                         F.col("n") / F.sum("n").over(Window.partitionBy()))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+            (binned_ref
+             .crossJoin(F.broadcast(
+                 binned_ref.agg(F.sum("n").alias("__tot"))))
+             .withColumn("share", F.col("n") / F.col("__tot"))
+             .drop("__tot")
              .withColumn("lo", F.lit(lo)).withColumn("width", F.lit(width))
              .write.mode("overwrite").parquet(ref_path))
             ref = spark.read.parquet(ref_path)
