@@ -18,6 +18,7 @@ from . import (
     mlqueries,
     multimodal,
     reference,
+    selection,
     shaping,
     star,
     temporal,
@@ -663,6 +664,21 @@ _ALL: list[Query] = [
           shaping.ORACLE_PII_REDACT,
           "PII scrub audit: global regex masking of props payload + "
           "per-type removal accounting"),
+    # --- data-selection extensions (queries/selection.py) ---
+    Query("dsir_select", selection.q_dsir_select,
+          selection.ORACLE_DSIR_SELECT,
+          "DSIR-style importance resampling: hashed-word bucket "
+          "distributions, broadcast log-ratio model, sign-based selection"),
+    Query("dedup_spans", selection.q_dedup_spans,
+          selection.ORACLE_DEDUP_SPANS,
+          "cross-doc duplicated-span detection (positional shingle table "
+          "+ island merge — suffix-array-lite substring dedup)"),
+    Query("group_sample", selection.q_group_sample,
+          selection.ORACLE_GROUP_SAMPLE,
+          "deterministic k-per-group sample via md5 shuffle order"),
+    Query("tokenizer_fertility", selection.q_tokenizer_fertility,
+          selection.ORACLE_TOKENIZER_FERTILITY,
+          "per-source tokenizer fertility / bytes-per-piece profile"),
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

@@ -1,0 +1,325 @@
+"""Data-selection operators for pretraining pipelines: DSIR-style importance
+resampling, duplicated-span detection, deterministic per-group sampling, and
+tokenizer-fertility profiling.
+
+These extend the engine beyond the reference's own surface (SURVEY §2 covers
+the reference; this module is part of the BASELINE north-star "LLM-data
+pipeline" set). All four are pure Column algebra — every query has an exact
+DuckDB oracle twin.
+
+Shared cross-engine primitives:
+- hash bucket: ``conv(substr(md5(x),1,4),16,10)`` == DuckDB
+  ``CAST('0x'||substring(md5(x),1,4) AS BIGINT)`` — deterministic,
+  engine-independent.
+- tokens: lowercase split on ``[^a-z]+`` (same regex dialect both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+_TOKEN_SPLIT = "[^a-z]+"
+_N_BUCKETS = 64
+_DSIR_TARGET_SOURCE = "src1"
+_SPAN_K = 8  # tokens per shingle for span detection
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, word) — lowercase alpha tokens, exploded."""
+    arr = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT),
+                   lambda t: t != F.lit(""))
+    return docs.select("doc_id", "source", F.explode(arr).alias("w"))
+
+
+_SQL_WORDS = f"""
+WITH words AS (
+    SELECT doc_id, source, unnest(list_filter(
+        regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+        t -> t <> '')) AS w
+    FROM documents
+)
+"""
+
+
+def _bucket(col: F.Column) -> F.Column:
+    return (F.conv(F.substring(F.md5(col), 1, 4), 16, 10)
+            .cast("long") % _N_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection with importance weights)
+# ---------------------------------------------------------------------------
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every raw-pool document by how much
+    its hashed-n-gram feature distribution looks like a TARGET domain, and
+    keep the docs whose average log importance ratio is positive.
+
+    Following the published DSIR recipe (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): features are
+    words hashed into a fixed bucket space; the target (here: docs from
+    source 'src1') and raw (all other sources) corpora each induce a
+    smoothed bucket distribution p / q; a doc's weight is the mean over its
+    words of ln(p[b]/q[b]). Selection keeps weight > 0 — "more target-like
+    than raw-average" — with no float *ranking* (sign tests are robust
+    cross-engine; ordered top-k on computed doubles is not).
+
+    Plan shape at scale: the bucket tables are 64 rows (broadcast); the
+    corpus shuffles once to explode+aggregate per-doc sums. This is exactly
+    the hashed-feature pass a 100 TB selection job runs — the model fits in
+    a closure, the data is touched twice (estimate, score), both map-heavy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(docs).withColumn("b", _bucket(F.col("w")))
+    is_target = F.col("source") == _DSIR_TARGET_SOURCE
+
+    counts = (words.groupBy("b")
+              .agg(F.count(F.when(is_target, 1)).alias("n_tgt"),
+                   F.count(F.when(~is_target, 1)).alias("n_raw")))
+    totals = counts.agg(F.sum("n_tgt").alias("t_tot"),
+                        F.sum("n_raw").alias("r_tot"))
+    ratios = (counts.crossJoin(F.broadcast(totals))
+              .select("b",
+                      (F.log((F.col("n_tgt") + 1.0)
+                             / (F.col("t_tot") + F.lit(_N_BUCKETS)))
+                       - F.log((F.col("n_raw") + 1.0)
+                               / (F.col("r_tot") + F.lit(_N_BUCKETS))))
+                      .alias("log_ratio")))
+
+    scored = (words.filter(~is_target)
+              .join(F.broadcast(ratios), "b")
+              .groupBy("doc_id", "source")
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.round(F.avg("log_ratio"), 6).alias("weight")))
+    return (scored.filter(F.col("weight") > 0)
+            .select("doc_id", "source", "n_words", "weight")
+            .orderBy("doc_id"))
+
+
+ORACLE_DSIR_SELECT = _SQL_WORDS + f"""
+, bucketed AS (
+    SELECT doc_id, source,
+           CAST('0x' || substring(md5(w), 1, 4) AS BIGINT) % {_N_BUCKETS}
+               AS b
+    FROM words
+), counts AS (
+    SELECT b,
+           COUNT(*) FILTER (source = '{_DSIR_TARGET_SOURCE}') AS n_tgt,
+           COUNT(*) FILTER (source <> '{_DSIR_TARGET_SOURCE}') AS n_raw
+    FROM bucketed GROUP BY b
+), totals AS (
+    SELECT SUM(n_tgt) AS t_tot, SUM(n_raw) AS r_tot FROM counts
+), ratios AS (
+    SELECT b, ln((n_tgt + 1.0) / (t_tot + {_N_BUCKETS}))
+              - ln((n_raw + 1.0) / (r_tot + {_N_BUCKETS})) AS log_ratio
+    FROM counts CROSS JOIN totals
+), scored AS (
+    SELECT doc_id, source, COUNT(*) AS n_words,
+           round(AVG(log_ratio), 6) AS weight
+    FROM bucketed JOIN ratios USING (b)
+    WHERE source <> '{_DSIR_TARGET_SOURCE}'
+    GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_words, weight
+FROM scored WHERE weight > 0
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (suffix-array-lite substring dedup)
+# ---------------------------------------------------------------------------
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection: for every document, find
+    maximal runs of {_SPAN_K}-token shingles that also occur in at least
+    one OTHER document — the shingle-table approximation of exact substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" build a suffix array; positional shingle hashing finds
+    the same ≥k-token repeated substrings with relational ops only).
+
+    Per doc: n_spans (maximal runs of consecutive duplicated shingle start
+    positions), dup_tokens (Σ span token lengths, spans measured start..
+    start+k-1), longest_span. Docs with no duplicated span are omitted.
+
+    Plan: positional shingles are one map-side posexplode; the shingle
+    profile aggregates once (corpus-sized exchange — the irreducible cost);
+    duplicated-hash set semi-joins back (shuffled equi-join on the hash);
+    the island grouping windows within doc_id (one exchange, reused by the
+    final per-doc aggregate). At 100 TB the shingle table is the same
+    artifact the MinHash pipeline already materializes — this query reads
+    positions from it rather than re-shingling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT),
+                   lambda t: t != F.lit(""))
+    toked = docs.select("doc_id", arr.alias("arr")) \
+        .filter(F.size("arr") >= _SPAN_K)
+    n_sh = F.size("arr") - F.lit(_SPAN_K - 1)
+    sh = toked.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, _SPAN_K)))
+        )).alias("pos", "h"))
+    dup_hashes = (sh.groupBy("h")
+                  .agg(F.count_distinct("doc_id").alias("nd"))
+                  .filter(F.col("nd") >= 2)
+                  .select("h"))
+    dup_pos = sh.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w))
+    spans = (islands.groupBy("doc_id", "isl")
+             .agg((F.max("pos") - F.min("pos") + F.lit(_SPAN_K))
+                  .alias("span_tokens")))
+    return (spans.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("span_tokens").alias("dup_tokens"),
+                 F.max("span_tokens").alias("longest_span"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_SPANS = f"""
+WITH toked AS (
+    SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+        t -> t <> '') AS arr
+    FROM documents
+), eligible AS (
+    SELECT doc_id, arr FROM toked WHERE len(arr) >= {_SPAN_K}
+), sh AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(arr[i:i+{_SPAN_K - 1}], ' ')) AS h
+    FROM eligible, unnest(range(1, len(arr) - {_SPAN_K - 1} + 1)) AS t(i)
+), dup AS (
+    SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), dup_pos AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM sh WHERE h IN (SELECT h FROM dup)
+), spans AS (
+    SELECT doc_id, isl,
+           MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens
+    FROM dup_pos GROUP BY doc_id, isl
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(MAX(span_tokens) AS BIGINT) AS longest_span
+FROM spans GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-group sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: the first {_SAMPLE_K} events of
+    each type under an md5 shuffle order — engine-independent "random"
+    sampling (reservoir semantics without reservoir state: the md5 of the
+    key IS the uniform draw, reproducible across engines/runs/retries).
+
+    One exchange (partition by type), rank, filter — the standard inspect-
+    a-few-per-stratum pipeline debug query. At 100 TB the same plan holds;
+    skew is bounded because every group truncates to k rows at the window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type") \
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    return (events
+            .select("event_id", "event_type",
+                    F.md5(F.col("event_id").cast("string")).alias("draw"))
+            .withColumn("draw_rank", F.row_number().over(w))
+            .filter(F.col("draw_rank") <= _SAMPLE_K)
+            .select("event_type", "draw_rank", "event_id")
+            .orderBy("event_type", "draw_rank"))
+
+
+ORACLE_GROUP_SAMPLE = f"""
+WITH ranked AS (
+    SELECT event_type, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS draw_rank
+    FROM events
+)
+SELECT event_type, draw_rank, event_id
+FROM ranked WHERE draw_rank <= {_SAMPLE_K}
+ORDER BY event_type, draw_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility profile
+# ---------------------------------------------------------------------------
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per source: BPE-ish pieces per
+    whitespace word and bytes per piece — the budgeting stats a tokenizer
+    change is evaluated with (fertility ↑ means the tokenizer fragments
+    this source's text more; bytes/token is the compression the model
+    actually sees).
+
+    One scan, one small aggregate; all token counting is JVM regex.
+    """
+    from ..functions.text import BPE_ISH_PATTERN, clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = clean_text(F.col("text"))
+    staged = docs.select(
+        "source",
+        F.octet_length(c).alias("n_bytes"),
+        F.when(c == "", F.lit(0))
+         .otherwise(F.size(F.split(c, " "))).alias("n_words"),
+        F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).alias("n_pieces"))
+    return (staged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.sum("n_words").alias("total_words"),
+                 F.sum("n_pieces").alias("total_pieces"),
+                 F.round(F.sum("n_pieces") / F.sum("n_words"), 4)
+                  .alias("fertility"),
+                 F.round(F.sum("n_bytes") / F.sum("n_pieces"), 4)
+                  .alias("bytes_per_piece"))
+            .orderBy("source"))
+
+
+def _sql_clean_expr() -> str:
+    from .sqlgen import sql_clean
+    return sql_clean("text")
+
+
+def _oracle_tokenizer_fertility() -> str:
+    return f"""
+WITH docs AS (
+    SELECT source, {_sql_clean_expr()} AS cleaned_text FROM documents
+), feats AS (
+    SELECT source,
+           strlen(cleaned_text) AS n_bytes,
+           CASE WHEN cleaned_text = '' THEN 0
+                ELSE len(string_split(cleaned_text, ' ')) END AS n_words,
+           len(regexp_extract_all(cleaned_text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_pieces
+    FROM docs
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+       round(SUM(n_pieces) / CAST(SUM(n_words) AS DOUBLE), 4) AS fertility,
+       round(SUM(n_bytes) / CAST(SUM(n_pieces) AS DOUBLE), 4)
+           AS bytes_per_piece
+FROM feats GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_TOKENIZER_FERTILITY = _oracle_tokenizer_fertility()
