@@ -429,3 +429,106 @@ def encode_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "modality", "payload").mapInPandas(
         encode, schema=MEDIA_VEC_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicates: frame-level perceptual hashing
+# ---------------------------------------------------------------------------
+
+FRAME_HASH_SCHEMA = "media_id string, frame_idx long, fhash long"
+
+
+def frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-frame perceptual hash table for video rows: sample frames
+    (``sample_frames``) then dHash each frame's bytes — one Arrow crossing
+    per batch, output pruned to (media_id, frame_idx, fhash). This is the
+    video fingerprint artifact a dedup pipeline persists next to the
+    corpus."""
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "fhash": [_fake_decode_phash(b) for b in pdf["frame_bytes"]],
+            })
+
+    return (
+        sample_frames(media, every_n=every_n)
+        .select("media_id", "frame_idx", "frame_bytes")
+        .mapInPandas(hashes, schema=FRAME_HASH_SCHEMA)
+    )
+
+
+def video_near_duplicates(media: DataFrame, band_bits: int = 16,
+                          max_hamming: int = 6,
+                          min_frame_match: float = 0.6,
+                          every_n: int = 1) -> DataFrame:
+    """Video near-duplicate pairs by frame-majority perceptual match: two
+    videos pair when ≥ ``min_frame_match`` of the shorter video's sampled
+    frames collide at the same frame index with hamming ≤ ``max_hamming``.
+
+    The temporal extension of ``phash_near_duplicates``: candidates block
+    on (frame_idx, band, band_val) so only same-position frames sharing a
+    16-bit hash band ever meet — the join never goes |videos|² and decode
+    cost is one pass over the frame table. Re-encoded/bit-rotted copies
+    survive (dHash is gradient-stable); trimmed or re-cut videos need an
+    alignment pass (as-of join on frame timestamps) that composes on top
+    of the same frame-hash artifact.
+
+    Scale: the shuffled key space is bucket occupancies of
+    (frame_idx, band, band_val); skew concentrates exactly on duplicated
+    content, which is the mass being removed.
+    """
+    fh = frame_hashes(media, every_n=every_n).localCheckpoint()
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = fh.select(
+        "media_id", "frame_idx", "fhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("fhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ])).alias("band", "band_val"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.frame_idx") == F.col("r.frame_idx"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("a_id"),
+            F.col("r.media_id").alias("b_id"),
+            F.col("l.frame_idx").alias("frame_idx"),
+            F.col("l.fhash").alias("a_hash"),
+            F.col("r.fhash").alias("b_hash"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    matches = (
+        cand.filter(hamming <= max_hamming)
+        .groupBy("a_id", "b_id")
+        .agg(F.count_distinct("frame_idx").alias("n_matched"))
+    )
+    counts = fh.groupBy("media_id").agg(
+        F.count_distinct("frame_idx").alias("n_frames"))
+    return (
+        matches
+        .join(F.broadcast(counts.withColumnRenamed("media_id", "a_id")
+                          .withColumnRenamed("n_frames", "a_frames")), "a_id")
+        .join(F.broadcast(counts.withColumnRenamed("media_id", "b_id")
+                          .withColumnRenamed("n_frames", "b_frames")), "b_id")
+        .withColumn(
+            "match_frac",
+            F.round(F.col("n_matched")
+                    / F.least("a_frames", "b_frames"), 4))
+        .filter(F.col("match_frac") >= min_frame_match)
+        .select("a_id", "b_id", "n_matched", "a_frames", "b_frames",
+                "match_frac")
+    )

@@ -178,3 +178,24 @@ SELECT CAST(user AS BIGINT) AS user, neg_rank,
 FROM ranked WHERE neg_rank <= {_NEG_K}
 ORDER BY user, neg_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Word2Vec distributional embeddings
+# ---------------------------------------------------------------------------
+
+def q_word_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit skip-gram Word2Vec on the documents corpus and report the top-5
+    nearest-vocabulary neighbors of the corpus's most frequent word —
+    the standard embedding sanity probe. Rows-only (learned weights have
+    no SQL twin); neighborhood quality is pinned in tests/test_ml.py.
+    """
+    from ..ml.word2vec import fit_word2vec, similar_words, tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    top_word = (
+        tokenized(docs).select(F.explode("__tokens").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w").limit(1).first()["w"])
+    model = fit_word2vec(docs, min_count=5, dim=32)
+    return similar_words(model, top_word, k=5)

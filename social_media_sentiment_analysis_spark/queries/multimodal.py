@@ -245,3 +245,20 @@ def q_media_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - F.col("mean_mismatched"), 4))
         .orderBy("modality")
     )
+
+
+def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-duplicate audit: pair count and mean matched-
+    frame fraction from ``operators/multimodal.py::video_near_duplicates``
+    (per-frame dHash, banded candidate join, frame-majority verify).
+    Rows-only (the frame decode→hash crossing has no SQL twin); exact /
+    perturbed / distinct recall is pinned in
+    tests/test_multimodal.py::TestVideoNearDup."""
+    from ..operators.multimodal import video_near_duplicates
+
+    pairs = video_near_duplicates(_media(spark, sf_dir))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("dup_pairs"),
+        F.round(F.avg("match_frac"), 4).alias("avg_match_frac"),
+        F.round(F.avg("n_matched"), 4).alias("avg_matched_frames"),
+    )

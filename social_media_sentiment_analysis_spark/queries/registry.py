@@ -606,6 +606,12 @@ _ALL: list[Query] = [
     Query("media_alignment", multimodal.q_media_alignment, None,
           "CLIP-score-style caption↔media alignment audit (stub encoder, "
           "real Arrow plumbing; matched vs mismatched cosine gap)"),
+    Query("media_video_neardup", multimodal.q_media_video_neardup, None,
+          "frame-level video near-dup (per-frame dHash + banded join + "
+          "frame-majority verify; rows-only — decode crossing)"),
+    Query("word_embeddings", mlqueries.q_word_embeddings, None,
+          "Word2Vec skip-gram fit + top-5 neighbors of the most frequent "
+          "word (rows-only — learned weights)"),
     Query("media_phash", multimodal.q_media_phash, None,
           "perceptual-hash (dHash) near-dup pairs via banded LSH join "
           "(rows-only; recall pinned in tests)"),

@@ -313,3 +313,36 @@ class TestALS:
         for r in rows:
             by_user.setdefault(r.user, []).append(r.rec_rank)
         assert all(ranks == [1, 2, 3] for ranks in by_user.values())
+
+
+class TestWord2Vec:
+    def test_neighbors_and_vocab(self, docs, spark):
+        from social_media_sentiment_analysis_spark.ml.word2vec import (
+            doc_vectors, fit_word2vec, similar_words, word_vectors,
+        )
+
+        model = fit_word2vec(docs, min_count=5, dim=16)
+        vocab = word_vectors(model)
+        assert vocab.count() > 10
+        assert {f.name for f in vocab.schema.fields} == {"word", "vector"}
+        some_word = vocab.orderBy("word").first()["word"]
+        syn = similar_words(model, some_word, k=3)
+        rows = syn.collect()
+        assert len(rows) == 3
+        assert all(r.query == some_word and r.word != some_word
+                   for r in rows)
+        # similarities sorted descending
+        sims = [r.similarity for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        dv = doc_vectors(model, docs.limit(20))
+        assert dv.count() == 20
+        assert "doc_vec" in dv.columns
+
+    def test_registry_query_shape(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.mlqueries import (
+            q_word_embeddings,
+        )
+
+        out = q_word_embeddings(spark, sf_dir).collect()
+        assert len(out) == 5
+        assert all(r.query == out[0].query for r in out)

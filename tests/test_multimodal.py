@@ -263,3 +263,52 @@ class TestMediaAlignment:
         for r in rows:
             assert r.n_pairs > 0
             assert r.alignment_gap > 0, r
+
+
+class TestVideoNearDup:
+    """Frame-level video near-dup: exact copies pair at match_frac 1.0,
+    re-encode-sized perturbations still pair, distinct content does not."""
+
+    def _video_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "media_id string, modality string, payload binary, "
+            "duration_ms long")
+
+    def test_copy_perturbed_and_distinct(self, spark):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            video_near_duplicates,
+        )
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, size=4096, dtype=np.uint8).tobytes()
+        near = bytearray(base)
+        near[100] = (near[100] + 3) % 256    # frame 0 perturbed
+        near[3000] = (near[3000] + 5) % 256  # frame 11 perturbed
+        other = rng.integers(0, 256, size=4096, dtype=np.uint8).tobytes()
+        media = self._video_df(spark, [
+            ("v1", "video", base, 4000),
+            ("v2", "video", bytes(near), 4000),
+            ("v3", "video", other, 4000),
+            ("v4", "video", base, 4000),
+        ])
+        rows = {(r.a_id, r.b_id): r for r in
+                video_near_duplicates(media).collect()}
+        assert ("v1", "v4") in rows
+        assert rows[("v1", "v4")].match_frac == 1.0
+        assert ("v1", "v2") in rows          # perturbed copy still pairs
+        assert rows[("v1", "v2")].match_frac >= 0.6
+        assert all("v3" not in pair for pair in rows)
+
+    def test_registry_rollup_shape(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.multimodal import (
+            q_media_video_neardup,
+        )
+
+        out = q_media_video_neardup(spark, sf_dir)
+        assert out.columns == ["dup_pairs", "avg_match_frac",
+                               "avg_matched_frames"]
+        row = out.first()
+        # the documents testdata carries exact duplicate texts, so some
+        # video payload pairs must match
+        assert row.dup_pairs > 0
