@@ -14,8 +14,13 @@ from .lsh import brp_embedding_pairs, minhash_text_pairs
 from .classifier import classify, fit_sentiment_classifier, sentiment_pipeline
 from .semdedup import semantic_dedup, semantic_duplicate_pairs
 from .recommend import fit_als, purchase_interactions, recommend_for_users
+from .word2vec import doc_vectors, fit_word2vec, similar_words, word_vectors
 
 __all__ = [
+    "doc_vectors",
+    "fit_word2vec",
+    "similar_words",
+    "word_vectors",
     "fit_als",
     "purchase_interactions",
     "recommend_for_users",

@@ -797,15 +797,18 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cleaned_text") == "", F.lit(0))
          .otherwise(F.size(tokens(F.col("cleaned_text"))))
          .cast("long").alias("n_tok"))
+    from pyspark.sql import Window
+
     totals = toked.groupBy("source").agg(
         F.sum("n_tok").alias("source_tokens"))
-    # global min via 1-row broadcast onto the per-source totals (exchange
-    # reused) — no single-partition window exchange
-    floor = totals.agg(F.min("source_tokens").alias("__min_tokens"))
-    rates = (totals.crossJoin(F.broadcast(floor))
-             .select("source", "source_tokens",
-                     (F.col("__min_tokens").cast("double")
-                      / F.col("source_tokens")).alias("rate")))
+    # global min via window over the already-aggregated totals (one row per
+    # source — the unpartitioned window runs on a #sources-row frame, not
+    # the fact table; a separate-aggregate crossJoin would re-scan the
+    # corpus since the global-agg branch's exchange is not reused)
+    min_tokens = F.min("source_tokens").over(Window.partitionBy())
+    rates = totals.select(
+        "source", "source_tokens",
+        (min_tokens.cast("double") / F.col("source_tokens")).alias("rate"))
     u = (F.conv(F.substring(
             F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
          .cast("double") / F.lit(4294967296.0))
@@ -1393,20 +1396,11 @@ ORDER BY label
 # Unigram log-probability quality score (CCNet-style perplexity proxy)
 # ---------------------------------------------------------------------------
 
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source perplexity-proxy profile: score every document by the
-    average negative log-probability of its tokens under the corpus's own
-    unigram distribution (add-one smoothed) — the CCNet-style quality
-    signal where gibberish and boilerplate both stand out (rare-token docs
-    score high, stutter-repetition docs score low).
-
-    Two aggregates and one join on the word key: (1) corpus term counts —
-    the vocabulary table, tiny relative to the corpus, broadcast back;
-    (2) explode docs to (doc, word), probe the vocabulary, and average
-    -log p per doc; (3) roll per-doc scores up per source. The vocabulary
-    is the only shared state — at 100 TB it's the word-count table a real
-    pipeline would persist once and reuse across scoring runs.
-    """
+def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_words, avg_neglogp): per-document average negative
+    log-probability under the corpus's own add-one-smoothed unigram LM —
+    shared core of ``unigram_logprob`` and ``ccnet_buckets``. The vocabulary
+    is the only shared state (broadcast back onto the exploded corpus)."""
     toked = (
         _docs(spark, sf_dir)
         .filter(F.trim(F.col("cleaned_text")) != "")
@@ -1423,11 +1417,29 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # add-one smoothing: p(w) = (tc + 1) / (N + |V|)
     neglogp = -F.log((F.col("tc") + F.lit(1.0))
                      / F.lit(float(n_tok + v_size)))
-    per_doc = (
+    return (
         toked.join(F.broadcast(vocab), "word")
         .groupBy("doc_id", "source")
-        .agg(F.avg(neglogp).alias("avg_neglogp"))
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.avg(neglogp).alias("avg_neglogp"))
     )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity-proxy profile: score every document by the
+    average negative log-probability of its tokens under the corpus's own
+    unigram distribution (add-one smoothed) — the CCNet-style quality
+    signal where gibberish and boilerplate both stand out (rare-token docs
+    score high, stutter-repetition docs score low).
+
+    Two aggregates and one join on the word key: (1) corpus term counts —
+    the vocabulary table, tiny relative to the corpus, broadcast back;
+    (2) explode docs to (doc, word), probe the vocabulary, and average
+    -log p per doc; (3) roll per-doc scores up per source. The vocabulary
+    is the only shared state — at 100 TB it's the word-count table a real
+    pipeline would persist once and reuse across scoring runs.
+    """
+    per_doc = _unigram_doc_scores(spark, sf_dir)
     return (
         per_doc.groupBy("source")
         .agg(F.count(F.lit(1)).alias("docs"),
@@ -1629,21 +1641,19 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tok = F.size(F.filter(F.split(F.col("text"), " "),
                             lambda t: t != F.lit("")))
-    per_split = (
+    # share-of-total via SUM() OVER () on the 3-row aggregate — single
+    # fact scan; the single-partition window exchange moves 3 rows (a
+    # crossJoin total branch would re-scan the corpus: the global-agg
+    # branch plans a different partial aggregate, no exchange reuse)
+    total = Window.partitionBy()
+    return (
         docs.select(split.alias("split"), n_tok.alias("n_tok"))
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tok").alias("n_tokens"))
-    )
-    # share-of-total via 1-row broadcast (exchange-reused), not an
-    # unpartitioned window
-    total = per_split.agg(F.sum("n_docs").alias("__total_docs"))
-    return (
-        per_split.crossJoin(F.broadcast(total))
         .withColumn(
             "doc_share",
-            F.round(F.col("n_docs") / F.col("__total_docs"), 4))
-        .drop("__total_docs")
+            F.round(F.col("n_docs") / F.sum("n_docs").over(total), 4))
         .orderBy("split")
     )
 
@@ -2084,4 +2094,72 @@ SELECT copies,
 FROM clusters
 GROUP BY copies
 ORDER BY copies
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-bucket split
+# ---------------------------------------------------------------------------
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: split the corpus into head / middle /
+    tail by per-document LM score tertiles (CCNet orders documents by
+    target-side perplexity and keeps the head; here the LM is the corpus's
+    own unigram model — swap in the KenLM score column and nothing else
+    changes). Reported per bucket: doc count, token volume, mean score.
+
+    Scale shape: the per-doc score table is the artifact a real pipeline
+    persists (one row per document); it takes a materialization barrier
+    (localCheckpoint) so the tertile thresholds (1-row exact-percentile
+    aggregate, broadcast back) and the bucket rollup both read it without
+    replaying the corpus explode. Thresholds and scores are rounded before
+    comparison so the bucket boundaries are engine-exact.
+    """
+    per_doc = (_unigram_doc_scores(spark, sf_dir)
+               .withColumn("score_r", F.round("avg_neglogp", 6))
+               .localCheckpoint())
+    th = (per_doc
+          .agg(F.expr("percentile(score_r, array(0.33D, 0.67D))").alias("t"))
+          .select(F.round(F.col("t")[0], 6).alias("t1"),
+                  F.round(F.col("t")[1], 6).alias("t2")))
+    bucket = (F.when(F.col("score_r") <= F.col("t1"), "head")
+              .when(F.col("score_r") <= F.col("t2"), "middle")
+              .otherwise("tail"))
+    return (per_doc.crossJoin(F.broadcast(th))
+            .select(bucket.alias("bucket"), "n_words", "score_r")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("total_words"),
+                 F.round(F.avg("score_r"), 4).alias("mean_score"))
+            .orderBy("bucket"))
+
+
+ORACLE_CCNET_BUCKETS = _SQL_DOCS + """
+, toked AS (
+    SELECT doc_id, source, unnest(string_split(cleaned_text, ' ')) AS word
+    FROM docs WHERE trim(cleaned_text) <> ''
+), vocab AS (
+    SELECT word, COUNT(*) AS tc FROM toked GROUP BY word
+), totals AS (
+    SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS v_size FROM toked
+), per_doc AS (
+    SELECT t.doc_id, COUNT(*) AS n_words,
+           round(AVG(-ln((v.tc + 1.0) / (tt.n_tokens + tt.v_size))), 6)
+               AS score_r
+    FROM toked t JOIN vocab v ON t.word = v.word CROSS JOIN totals tt
+    GROUP BY t.doc_id
+), th AS (
+    SELECT round(quantile_cont(score_r, 0.33), 6) AS t1,
+           round(quantile_cont(score_r, 0.67), 6) AS t2
+    FROM per_doc
+)
+SELECT CASE WHEN score_r <= t1 THEN 'head'
+            WHEN score_r <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       round(AVG(score_r), 4) AS mean_score
+FROM per_doc CROSS JOIN th
+GROUP BY bucket
+ORDER BY bucket
 """

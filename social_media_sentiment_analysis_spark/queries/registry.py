@@ -670,6 +670,10 @@ _ALL: list[Query] = [
           shaping.ORACLE_PII_REDACT,
           "PII scrub audit: global regex masking of props payload + "
           "per-type removal accounting"),
+    Query("ccnet_buckets", llmdata.q_ccnet_buckets,
+          llmdata.ORACLE_CCNET_BUCKETS,
+          "CCNet-style head/middle/tail perplexity-tertile split "
+          "(checkpointed per-doc score table, broadcast thresholds)"),
     # --- data-selection extensions (queries/selection.py) ---
     Query("dsir_select", selection.q_dsir_select,
           selection.ORACLE_DSIR_SELECT,

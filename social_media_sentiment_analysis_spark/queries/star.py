@@ -1483,18 +1483,22 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds a fixed fraction of the GLOBAL total — the share-of-total
     HAVING that needs a scalar subquery.
 
-    The global total is the sum over the same aggregate — a 1-row
-    broadcast cross-joined onto the groups. Catalyst reuses the grouping
-    exchange for the total branch (ReusedExchange), so this costs one
-    extra reduce over |groups| rows; an unpartitioned window here would
-    instead move ALL |supplier×part| groups to a single partition — the
-    classic 100 TB cliff. Output ordered by group keys (no float ranking).
+    The group table here is |supplier×part| — fact-dimension-sized, so
+    neither of the cheap share-of-total idioms holds: an unpartitioned
+    window would move EVERY group to one partition (the 100 TB cliff), and
+    a separate-aggregate crossJoin would re-scan the fact (the global-agg
+    branch plans a different partial aggregate — no exchange reuse). The
+    scalable shape is a materialization barrier: localCheckpoint the
+    grouped result once (distributed blocks, freed on GC), then both the
+    1-row total and the filter read the |groups|-sized artifact — one fact
+    scan total. Output ordered by group keys (no float ranking).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     value = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
     grouped = (
         lineitem.groupBy("l_suppkey", "l_partkey")
         .agg(value.alias("stock_value"))
+        .localCheckpoint()
     )
     total = grouped.agg(F.sum("stock_value").alias("total"))
     return (
@@ -1631,17 +1635,19 @@ def q_regional_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue.alias("revenue"))
     )
     region_w = Window.partitionBy("r_name")
-    # global share via 1-row broadcast (exchange-reused), not an
-    # unpartitioned window — no all-rows-to-one-partition exchange
-    grand = per_nation.agg(F.sum("revenue").alias("__grand"))
+    # global share via SUM() OVER () on the 25-row nation aggregate — the
+    # single-partition exchange moves 25 rows and keeps ONE pass over the
+    # star join (a separate-total crossJoin would replay the whole join:
+    # the global-agg branch's exchange is not reusable)
+    global_w = Window.partitionBy()
     return (
         per_nation
         .withColumn("pct_of_region",
                     F.round(F.col("revenue")
                             / F.sum("revenue").over(region_w) * 100, 4))
-        .crossJoin(F.broadcast(grand))
         .withColumn("pct_of_global",
-                    F.round(F.col("revenue") / F.col("__grand") * 100, 4))
+                    F.round(F.col("revenue")
+                            / F.sum("revenue").over(global_w) * 100, 4))
         .select("r_name", "n_name", F.round("revenue", 4).alias("revenue"),
                 "pct_of_region", "pct_of_global")
         .orderBy("r_name", "n_name")

@@ -209,17 +209,19 @@ def q_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("type_value"),
         )
     )
-    # shares via a 1-row broadcast total (the grouping exchange is reused
-    # for the total branch) — no single-partition window exchange
-    totals = agg.agg(F.sum("n_events").alias("__tot_n"),
-                     F.sum("type_value").alias("__tot_v"))
+    # SUM() OVER () on the |event_types|-row aggregate: the single-partition
+    # window exchange moves only the grouped rows (bounded, tiny), keeping
+    # ONE fact scan. A crossJoin against a separately-computed total would
+    # re-scan the fact (Catalyst plans the global-agg branch with a
+    # different partial aggregate, so the exchange is not reused) — the
+    # WindowExec single-partition warning is benign here by construction.
+    w = Window.partitionBy()
     return (
-        agg.crossJoin(F.broadcast(totals))
-        .select(
+        agg.select(
             "event_type", "n_events", "type_value",
-            F.round(F.col("n_events") / F.col("__tot_n"), 6)
+            F.round(F.col("n_events") / F.sum("n_events").over(w), 6)
              .alias("count_share"),
-            F.round(F.col("type_value") / F.col("__tot_v"), 6)
+            F.round(F.col("type_value") / F.sum("type_value").over(w), 6)
              .alias("value_share"),
         )
         .orderBy(F.desc("n_events"), "event_type")
