@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "hybrid_search",
     "media_phash",
+    "dsir_select",
+    "dedup_spans",
+    "ccnet_buckets",
 ]
 
 

@@ -670,6 +670,11 @@ _ALL: list[Query] = [
           shaping.ORACLE_PII_REDACT,
           "PII scrub audit: global regex masking of props payload + "
           "per-type removal accounting"),
+    Query("streaming_hourly_rollup", temporal.q_streaming_hourly_rollup,
+          temporal.ORACLE_STREAMING_HOURLY_ROLLUP,
+          "hour×type rollup computed by Structured Streaming (file-stream "
+          "source, availableNow drain, memory sink) and verified against "
+          "plain batch SQL — the streaming≡batch exactly-once check"),
     Query("ccnet_buckets", llmdata.q_ccnet_buckets,
           llmdata.ORACLE_CCNET_BUCKETS,
           "CCNet-style head/middle/tail perplexity-tertile split "

@@ -159,12 +159,16 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", arr.alias("arr")) \
         .filter(F.size("arr") >= _SPAN_K)
     n_sh = F.size("arr") - F.lit(_SPAN_K - 1)
+    # localCheckpoint: the positional shingle table feeds both the
+    # duplicated-hash profile and the position probe — without the barrier
+    # the corpus re-tokenizes and re-hashes once per consumer. This is the
+    # persisted dedup-index artifact of the docstring, materialized.
     sh = toked.select(
         "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(1), n_sh),
             lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, _SPAN_K)))
-        )).alias("pos", "h"))
+        )).alias("pos", "h")).localCheckpoint()
     dup_hashes = (sh.groupBy("h")
                   .agg(F.count_distinct("doc_id").alias("nd"))
                   .filter(F.col("nd") >= 2)

@@ -1279,46 +1279,42 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train/serve skew check an ML feature pipeline runs on every
     refresh (PSI > 0.2 is the standard 'investigate' threshold).
 
-    Two broadcast scalar anchors (time midpoint; value range) and two
-    aggregates over semantic keys: (type, half, bin) counts, then the
-    |types|×bins-sized PSI fold — the fact is scanned once and shuffled
-    once on the histogram key. All inputs to the log-ratio are integer
-    counts over fixed edges, so the score is engine-exact before the
-    final round.
+    Two broadcast scalar anchors (time midpoint; value range) and ONE
+    conditional aggregate to (type, bin) with ref/cur counts side by side
+    — no ref⋈cur self-join, so the fact is scanned once for the histogram
+    (plus the anchor pass) instead of once per half. Per-half totals ride
+    a window over the |types|×bins aggregate; a bin absent from one half
+    contributes exactly the ε floor, same as the old full-outer coalesce.
+    All inputs to the log-ratio are integer counts over fixed edges, so
+    the score is engine-exact before the final round.
     """
     events = load_table(spark, sf_dir, "events")
     anchors = events.agg(
         F.min("ts").alias("ts_lo"), F.max("ts").alias("ts_hi"),
         F.min("value").alias("v_lo"), F.max("value").alias("v_hi"))
-    binned = (
+    is_ref = (
+        F.timestamp_diff("SECOND", F.col("ts_lo"), F.col("ts")) * 2
+        <= F.timestamp_diff("SECOND", F.col("ts_lo"), F.col("ts_hi")))
+    counts = (
         events.crossJoin(F.broadcast(anchors))
         .select(
             "event_type",
-            F.when(
-                F.timestamp_diff("SECOND", F.col("ts_lo"), F.col("ts"))
-                * 2 <= F.timestamp_diff("SECOND", F.col("ts_lo"),
-                                        F.col("ts_hi")),
-                F.lit("ref")).otherwise(F.lit("cur")).alias("half"),
+            is_ref.alias("is_ref"),
             F.least(
                 F.floor((F.col("value") - F.col("v_lo"))
                         / ((F.col("v_hi") - F.col("v_lo"))
                            / F.lit(float(_PSI_BINS)))),
                 F.lit(_PSI_BINS - 1)).cast("long").alias("bin"))
-        .groupBy("event_type", "half", "bin")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.when(F.col("is_ref"), 1)).alias("rn"),
+             F.count(F.when(~F.col("is_ref"), 1)).alias("cn"))
     )
-    totals_w = Window.partitionBy("event_type", "half")
-    share = (F.col("n") / F.sum("n").over(totals_w)) + F.lit(_PSI_EPS)
-    shares = binned.withColumn("share", share)
-    ref = shares.filter(F.col("half") == "ref") \
-        .select("event_type", "bin", F.col("share").alias("p"))
-    cur = shares.filter(F.col("half") == "cur") \
-        .select("event_type", "bin", F.col("share").alias("q"))
+    tw = Window.partitionBy("event_type")
+    p = (F.col("rn") / F.sum("rn").over(tw)) + F.lit(_PSI_EPS)
+    q = (F.col("cn") / F.sum("cn").over(tw)) + F.lit(_PSI_EPS)
     return (
-        ref.join(cur, ["event_type", "bin"], "full_outer")
-        .select("event_type",
-                F.coalesce("p", F.lit(_PSI_EPS)).alias("p"),
-                F.coalesce("q", F.lit(_PSI_EPS)).alias("q"))
+        counts
+        .select("event_type", p.alias("p"), q.alias("q"))
         .groupBy("event_type")
         .agg(F.round(F.sum((F.col("p") - F.col("q"))
                            * F.log(F.col("p") / F.col("q"))), 4)

@@ -922,3 +922,51 @@ SELECT COUNT(*) AS n_converters,
        round(quantile_cont(hours_to_convert, 0.9), 4) AS p90_hours
 FROM converters
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming hourly rollup — the oracle-checked STREAMING query
+# ---------------------------------------------------------------------------
+
+def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour × type rollup computed by STRUCTURED STREAMING and verified by
+    the driver's batch SQL oracle: the events table is consumed as a
+    micro-batched file stream (``sources/batch.py::load_events_stream``),
+    aggregated with the same expressions as the batch ``hourly_rollup``,
+    drained with an availableNow trigger into a memory sink, and the final
+    table returned. Streaming ≡ batch on the same input IS the exactly-once
+    correctness statement — here the DuckDB gate checks it per round.
+
+    Complete output mode keeps every window in the (|hours|×|types|-sized)
+    state store — the right trade for a rollup whose result set is bounded;
+    the append-mode + watermark variant of the same aggregation is
+    ``streaming/pipeline.py::hourly_rollup_stream`` (state evicted, late
+    data bounded), exercised by the streaming tests.
+    """
+    import uuid
+
+    from ..sources.batch import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    rolled = (
+        stream
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                 F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (rolled.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(sink).orderBy("hour", "event_type")
+    return out
+
+
+ORACLE_STREAMING_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, round(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""

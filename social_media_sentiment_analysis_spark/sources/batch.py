@@ -91,3 +91,42 @@ def read_evolving(spark: SparkSession, path: str,
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``events`` table as a FILE STREAM (micro-batched parquet source)
+    — the batch/stream parity entry point: identical schema and NTZ
+    timestamp rebuild as ``load_table``, so every batch transform composes
+    unchanged onto the stream. Used by the oracle-checked streaming-rollup
+    query (the driver verifies the streaming path's OUTPUT against plain
+    SQL over the same parquet).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    # the file-stream source monitors a DIRECTORY; the testdata table is a
+    # single file, so expose it through a per-path staging dir (symlink
+    # where the filesystem allows, copy otherwise) — at production scale
+    # the source watches the ingest directory directly and this shim
+    # disappears
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_events_stream_" + sf_dir.strip("/").replace("/", "_"))
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.makedirs(stage, exist_ok=True)
+        try:
+            os.symlink(path, link)
+        except OSError:
+            shutil.copyfile(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr(
+            "timestampadd(MICROSECOND, ts div 1000, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    return df

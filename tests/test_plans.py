@@ -103,6 +103,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "hybrid_search",  # 1-row query-vector anchor
                             "rfm_segments",   # 1-row recency anchor
                             "feature_drift",  # 1-row min/max anchors
+                            "important_stock",  # 1-row grand-total anchor
+                            "dsir_select",      # 64-row log-ratio model
+                            "ccnet_buckets",    # 1-row tertile thresholds
                             # deliberate bounded expansion: 20 users ×
                             # broadcast 50-item candidate pool
                             "negative_samples",
