@@ -154,37 +154,51 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions from it rather than re-shingling.
     """
     docs = load_table(spark, sf_dir, "documents")
-    arr = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT),
-                   lambda t: t != F.lit(""))
-    toked = docs.select("doc_id", arr.alias("arr")) \
-        .filter(F.size("arr") >= _SPAN_K)
-    n_sh = F.size("arr") - F.lit(_SPAN_K - 1)
-    # localCheckpoint: the positional shingle table feeds both the
-    # duplicated-hash profile and the position probe — without the barrier
-    # the corpus re-tokenizes and re-hashes once per consumer. This is the
-    # persisted dedup-index artifact of the docstring, materialized.
-    sh = toked.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, _SPAN_K)))
-        )).alias("pos", "h")).localCheckpoint()
-    dup_hashes = (sh.groupBy("h")
-                  .agg(F.count_distinct("doc_id").alias("nd"))
-                  .filter(F.col("nd") >= 2)
-                  .select("h"))
-    dup_pos = sh.join(dup_hashes, "h", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = dup_pos.withColumn(
-        "isl", F.col("pos") - F.row_number().over(w))
-    spans = (islands.groupBy("doc_id", "isl")
-             .agg((F.max("pos") - F.min("pos") + F.lit(_SPAN_K))
-                  .alias("span_tokens")))
-    return (spans.groupBy("doc_id")
+    return (duplicated_spans(docs, "text", "doc_id", k=_SPAN_K)
+            .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_spans"),
                  F.sum("span_tokens").alias("dup_tokens"),
                  F.max("span_tokens").alias("longest_span"))
             .orderBy("doc_id"))
+
+
+def duplicated_spans(docs: DataFrame, text_col: str, id_col: str,
+                     k: int = _SPAN_K) -> DataFrame:
+    """(id, start_pos, end_pos, span_tokens) per maximal duplicated span:
+    runs of consecutive k-shingle start positions whose shingle also occurs
+    in ≥ 1 other document. Positions are 1-based over the lowercase-alpha
+    token array; a span covers start_pos .. end_pos+k-1 tokens. Core of
+    ``q_dedup_spans`` — see its docstring for the plan-shape story; the
+    cross-engine property pin is tests/test_properties.py."""
+    arr = F.filter(F.split(F.lower(text_col), _TOKEN_SPLIT),
+                   lambda t: t != F.lit(""))
+    toked = docs.select(F.col(id_col), arr.alias("arr")) \
+        .filter(F.size("arr") >= k)
+    n_sh = F.size("arr") - F.lit(k - 1)
+    # localCheckpoint: the positional shingle table feeds both the
+    # duplicated-hash profile and the position probe — without the barrier
+    # the corpus re-tokenizes and re-hashes once per consumer. This is the
+    # persisted dedup-index artifact, materialized.
+    sh = toked.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, k)))
+        )).alias("pos", "h")).localCheckpoint()
+    dup_hashes = (sh.groupBy("h")
+                  .agg(F.count_distinct(id_col).alias("nd"))
+                  .filter(F.col("nd") >= 2)
+                  .select("h"))
+    dup_pos = sh.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup_pos.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w))
+    return (islands.groupBy(id_col, "isl")
+            .agg((F.min("pos") + F.lit(1)).alias("start_pos"),
+                 (F.max("pos") + F.lit(1)).alias("end_pos"),
+                 (F.max("pos") - F.min("pos") + F.lit(k))
+                 .alias("span_tokens"))
+            .drop("isl"))
 
 
 ORACLE_DEDUP_SPANS = f"""

@@ -216,3 +216,51 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path_factory,
                 for r in sdf.collect()}
 
     assert snap(spark.read.parquet(path)) == snap(daily_rollup_state(df))
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+DOC = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+def naive_duplicated_spans(texts: dict[int, str], k: int):
+    """Pure-Python reference for duplicated_spans: positions of k-shingles
+    occurring in >=2 distinct docs, merged into maximal consecutive runs."""
+    from collections import defaultdict
+
+    toks = {i: [t for t in re.split("[^a-z]+", s.lower()) if t]
+            for i, s in texts.items()}
+    shingles = {i: [" ".join(ts[p:p + k]) for p in range(len(ts) - k + 1)]
+                for i, ts in toks.items() if len(ts) >= k}
+    docs_of = defaultdict(set)
+    for i, shs in shingles.items():
+        for s in shs:
+            docs_of[s].add(i)
+    out = set()
+    for i, shs in shingles.items():
+        dup = [p for p, s in enumerate(shs) if len(docs_of[s]) >= 2]
+        run_start = None
+        prev = None
+        for p in dup + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev is not None:
+                out.add((i, run_start + 1, prev + 1, prev - run_start + k))
+            run_start, prev = p, p
+        # (loop flushes the final run via the None sentinel)
+    return out
+
+
+@given(docs=st.lists(DOC, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_duplicated_spans_match_reference(spark, docs):
+    from social_media_sentiment_analysis_spark.queries.selection import (
+        duplicated_spans,
+    )
+
+    texts = {i: d for i, d in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, d) for i, d in texts.items()], "doc_id long, text string")
+    got = {(r.doc_id, r.start_pos, r.end_pos, r.span_tokens)
+           for r in duplicated_spans(df, "text", "doc_id", k=3).collect()}
+    assert got == naive_duplicated_spans(texts, 3)
