@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "dedup_spans",
     "ccnet_buckets",
+    "streaming_hourly_rollup",
 ]
 
 
