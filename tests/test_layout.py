@@ -388,6 +388,27 @@ class TestIncrementalRollup:
     """Incremental aggregate maintenance: refresh == full recompute, and
     only touched day partitions are rewritten."""
 
+    def test_corrupt_state_fails_refresh_not_silently_rebuilds(
+            self, spark, tmp_path):
+        """A read failure over an EXISTING store must propagate: treating
+        it as first-build would overwrite the touched day partitions with
+        delta-only state and permanently lose accumulated counts."""
+        import pytest as _pytest
+
+        from social_media_sentiment_analysis_spark.operators.incremental import (
+            refresh_daily_rollup,
+        )
+
+        path = tmp_path / "roll"
+        path.mkdir()
+        (path / "part-00000.parquet").write_bytes(b"NOT PARQUET")
+        delta = spark.createDataFrame(
+            [("2024-03-01 10:00:00", "click", 1.0)],
+            "ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        with _pytest.raises(Exception):
+            refresh_daily_rollup(spark, str(path), delta)
+
     def test_refresh_matches_full_recompute_and_scopes_writes(
             self, spark, sf_dir, tmp_path):
         import os

@@ -728,3 +728,43 @@ def test_drift_sink_flags_shifted_batch(spark, tmp_path):
     assert psi[0] < 0.01           # reference vs itself
     assert psi[1] < 0.05           # same distribution
     assert psi[2] > 1.0            # hard shift → loud signal
+
+
+def test_corrupt_state_store_fails_batch_not_silently_resets(spark, tmp_path):
+    """A non-first-batch state-read failure must FAIL the stream, never be
+    treated as 'nothing persisted': a corrupt band store that was silently
+    skipped would let near-duplicates into the kept corpus with no error
+    surfaced (and a corrupt keyed store would un-dedup the table)."""
+    import pytest as _pytest
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        idempotent_parquet_sink, near_dedup_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "tweet_id": "t1",
+                    "text": "some document text for the dedup store"}) + "\n")
+
+    # near_dedup_sink: corrupt bands store → batch must raise
+    out, ckpt = str(tmp_path / "dedup"), str(tmp_path / "ck1")
+    bands = tmp_path / "dedup" / "bands"
+    bands.mkdir(parents=True)
+    (bands / "part-00000.parquet").write_bytes(b"NOT A PARQUET FILE")
+    stream = (spark.readStream.schema("doc_id long, tweet_id string, "
+                                      "text string").json(str(src)))
+    q = near_dedup_sink(stream, out, ckpt).trigger(availableNow=True).start()
+    with _pytest.raises(Exception):
+        q.awaitTermination()
+
+    # idempotent sink: corrupt target → batch must raise, target untouched
+    tgt, ckpt2 = str(tmp_path / "store"), str(tmp_path / "ck2")
+    (tmp_path / "store").mkdir()
+    (tmp_path / "store" / "part-00000.parquet").write_bytes(b"GARBAGE")
+    stream2 = (spark.readStream.schema("doc_id long, tweet_id string, "
+                                       "text string").json(str(src)))
+    q2 = (idempotent_parquet_sink(stream2, tgt, ckpt2)
+          .trigger(availableNow=True).start())
+    with _pytest.raises(Exception):
+        q2.awaitTermination()
