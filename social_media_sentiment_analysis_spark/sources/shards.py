@@ -1,0 +1,138 @@
+"""Content-addressed training-shard sink as a PySpark 4 Python DataSource
+WRITER — the webdataset-style output stage of a training-data pipeline.
+
+Usage::
+
+    spark.dataSource.register(ShardDataSource)
+    (df.write.format("shards")
+       .option("path", "/data/corpus_shards")
+       .option("rows_per_shard", "1000")
+       .mode("append").save())
+
+What it does, and why this shape survives 100 TB:
+
+- Each executor task packs its partition's rows into JSONL shards of
+  ``rows_per_shard`` rows and names every shard by the sha256 of its own
+  bytes (``<digest>.jsonl``) — content addressing, so identical content
+  re-written under retries or replays lands on the SAME filename instead
+  of duplicating, and a dataloader can integrity-check every shard it
+  reads.
+- Tasks write shards directly but the MANIFEST commits atomically: each
+  task returns its (shard, rows, bytes) list as a
+  ``WriterCommitMessage``; the driver's ``commit()`` writes
+  ``manifest.json`` listing exactly the shards of this successful job.
+  Readers trust the manifest, never directory listings — a failed or
+  speculative task's orphan shards are invisible (and content addressing
+  means a retried task overwrote its own identical output anyway). This
+  is the same commit-protocol contract Spark's file sinks implement,
+  rebuilt in ~40 lines of Python where a custom format needs it.
+- ``abort()`` removes the shards named by the completed tasks' messages,
+  leaving the directory as it was.
+
+The companion ``read_shard_manifest`` / ``load_shards`` read the committed
+corpus back (manifest-driven, so partial jobs are never visible).
+
+Reference parity note: the reference's only file sink is an append-only
+JSONL writer (twitter_streamer.py:194-213) with no atomicity story; this
+is that sink rebuilt with exactly-once output semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class ShardCommitMessage(WriterCommitMessage):
+    shards: list = field(default_factory=list)  # [(name, n_rows, n_bytes)]
+
+
+class ShardWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.rows_per_shard = int(options.get("rows_per_shard", "1000"))
+
+    def write(self, iterator) -> ShardCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        out: list[tuple[str, int, int]] = []
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            payload = ("\n".join(buf) + "\n").encode("utf-8")
+            digest = hashlib.sha256(payload).hexdigest()[:32]
+            name = f"{digest}.jsonl"
+            # content-addressed: identical payload => identical name, so a
+            # task retry overwrites its own bytes (idempotent)
+            with open(os.path.join(self.path, name), "wb") as f:
+                f.write(payload)
+            out.append((name, len(buf), len(payload)))
+            buf.clear()
+
+        for row in iterator:
+            buf.append(json.dumps(row.asDict(), default=str, sort_keys=True))
+            if len(buf) >= self.rows_per_shard:
+                flush()
+        flush()
+        return ShardCommitMessage(shards=out)
+
+    def commit(self, messages) -> None:
+        shards = sorted(
+            (list(s) for m in messages if m is not None for s in m.shards))
+        manifest = {
+            "n_shards": len(shards),
+            "n_rows": sum(s[1] for s in shards),
+            "n_bytes": sum(s[2] for s in shards),
+            "shards": shards,
+        }
+        tmp = os.path.join(self.path, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for name, _, _ in m.shards:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
+
+
+class ShardDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "shards"
+
+    def writer(self, schema: StructType, overwrite: bool) -> ShardWriter:
+        return ShardWriter(dict(self.options))
+
+
+def read_shard_manifest(path: str) -> dict:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)
+
+
+def load_shards(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read back exactly the committed corpus: the manifest's shard list,
+    never a directory listing."""
+    manifest = read_shard_manifest(path)
+    files = [os.path.join(path, s[0]) for s in manifest["shards"]]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(files)
