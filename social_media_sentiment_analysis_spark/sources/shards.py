@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -113,6 +114,47 @@ class ShardWriter(DataSourceWriter):
                     pass
 
 
+class ShardStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: every micro-batch commits its own
+    ``manifest-<batchId>.json``. Shards stay content-addressed, so a
+    REPLAYED batch re-produces byte-identical files and re-commits the
+    same manifest — exactly-once output on at-least-once delivery, with
+    no band-store or anti-join needed. Readers union the per-epoch
+    manifests (``read_stream_manifests``)."""
+
+    def __init__(self, options: dict):
+        self._w = ShardWriter(options)
+        self.path = self._w.path
+
+    def write(self, iterator) -> ShardCommitMessage:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        shards = sorted(
+            (list(s) for m in messages if m is not None for s in m.shards))
+        manifest = {
+            "batch_id": batchId,
+            "n_shards": len(shards),
+            "n_rows": sum(s[1] for s in shards),
+            "n_bytes": sum(s[2] for s in shards),
+            "shards": shards,
+        }
+        tmp = os.path.join(self.path, f".manifest-{batchId}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, f"manifest-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for name, _, _ in m.shards:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
+
+
 class ShardDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -121,10 +163,34 @@ class ShardDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> ShardWriter:
         return ShardWriter(dict(self.options))
 
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> ShardStreamWriter:
+        return ShardStreamWriter(dict(self.options))
+
 
 def read_shard_manifest(path: str) -> dict:
     with open(os.path.join(path, "manifest.json")) as f:
         return json.load(f)
+
+
+def read_stream_manifests(path: str) -> dict:
+    """Union of all committed per-epoch manifests (streaming sink): the
+    dataloader-facing view of the corpus. Duplicate shard names across
+    epochs (a replayed batch) collapse — content addressing makes the
+    union idempotent."""
+    shards: dict[str, list] = {}
+    for fname in sorted(os.listdir(path)):
+        if fname.startswith("manifest-") and fname.endswith(".json"):
+            with open(os.path.join(path, fname)) as f:
+                for s in json.load(f)["shards"]:
+                    shards[s[0]] = s
+    ordered = [shards[k] for k in sorted(shards)]
+    return {
+        "n_shards": len(ordered),
+        "n_rows": sum(s[1] for s in ordered),
+        "n_bytes": sum(s[2] for s in ordered),
+        "shards": ordered,
+    }
 
 
 def load_shards(spark: SparkSession, path: str, schema=None) -> DataFrame:

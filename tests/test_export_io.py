@@ -296,3 +296,39 @@ class TestShardSink:
         # content addressing: the second job re-produced the SAME shard
         # files — no duplicates on disk, manifest covers all of them
         assert sorted(files) == sorted(s[0] for s in manifest["shards"])
+
+    def test_streaming_shards_per_epoch_manifests(self, spark, tmp_path):
+        import json as _json
+
+        from social_media_sentiment_analysis_spark.sources.shards import (
+            ShardDataSource, read_stream_manifests,
+        )
+
+        spark.dataSource.register(ShardDataSource)
+        src = tmp_path / "in"
+        src.mkdir()
+        import os as _os
+        (src / "a.jsonl").write_text("\n".join(
+            _json.dumps({"doc_id": i, "text": f"doc number {i}"})
+            for i in range(10)) + "\n")
+        (src / "b.jsonl").write_text("\n".join(
+            _json.dumps({"doc_id": i, "text": f"doc number {i}"})
+            for i in range(10, 25)) + "\n")
+        _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+        _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+        out = str(tmp_path / "shards")
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (stream.writeStream.format("shards")
+             .option("path", out).option("rows_per_shard", "8")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        manifest = read_stream_manifests(out)
+        assert manifest["n_rows"] == 25
+        files = {f for f in _os.listdir(out) if f.endswith(".jsonl")}
+        assert files == {s[0] for s in manifest["shards"]}
+        # at least two epochs committed their own manifests
+        epochs = [f for f in _os.listdir(out) if f.startswith("manifest-")]
+        assert len(epochs) >= 2
