@@ -18,10 +18,10 @@ snapshot-on-refresh.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..sources.batch import target_exists
 
 # mergeable state columns of the daily rollup
 _STATE = ["n_events", "sum_value", "min_value", "max_value"]
@@ -64,12 +64,13 @@ def refresh_daily_rollup(spark: SparkSession, path: str,
     delta = daily_rollup_state(new_events).cache()
     touched = [r.day.isoformat() for r in
                delta.select("day").distinct().collect()]
-    # Probe for a prior build explicitly: only a genuinely-absent store means
-    # "delta is the whole state". Any other read failure (corrupt footer,
-    # permissions, transient FS error) must propagate — treating it as
-    # first-build would overwrite the touched days with delta-only state and
-    # permanently lose the accumulated counts.
-    if os.path.exists(path):
+    # Probe for a prior build explicitly (scheme-aware Hadoop FS — works on
+    # hdfs://, s3a://, local): only a genuinely-absent store means "delta is
+    # the whole state". Any other read failure (corrupt footer, permissions,
+    # transient FS error) must propagate — treating it as first-build would
+    # overwrite the touched days with delta-only state and permanently lose
+    # the accumulated counts.
+    if target_exists(spark, path):
         existing = (spark.read.parquet(path)
                     .filter(F.col("day").isin(touched)))
         merged = _merge_states(existing.select("day", "event_type", *_STATE),

@@ -1310,8 +1310,15 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.when(~F.col("is_ref"), 1)).alias("cn"))
     )
     tw = Window.partitionBy("event_type")
-    p = (F.col("rn") / F.sum("rn").over(tw)) + F.lit(_PSI_EPS)
-    q = (F.col("cn") / F.sum("cn").over(tw)) + F.lit(_PSI_EPS)
+    # an event type living entirely in one half has a 0 total on the other
+    # side: its bins must contribute the ε floor (matching the old
+    # full-outer coalesce), not NULL from 0/0 — NULL would erase the PSI of
+    # exactly the strongest drift signal (a brand-new event type)
+    rtot, ctot = F.sum("rn").over(tw), F.sum("cn").over(tw)
+    p = (F.when(rtot > 0, F.col("rn") / rtot).otherwise(F.lit(0.0))
+         + F.lit(_PSI_EPS))
+    q = (F.when(ctot > 0, F.col("cn") / ctot).otherwise(F.lit(0.0))
+         + F.lit(_PSI_EPS))
     return (
         counts
         .select("event_type", p.alias("p"), q.alias("q"))

@@ -959,8 +959,15 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (rolled.writeStream.format("memory").queryName(sink)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
-    out = spark.table(sink).orderBy("hour", "event_type")
-    return out
+    # detach the result from the memory sink before dropping it, so
+    # repeated invocations (bench runs this every round) don't accumulate
+    # one driver-resident temp view per call; the rollup is bounded
+    # (|hours|×|types|), so the driver round-trip is small by construction
+    table = spark.table(sink)
+    rows = table.collect()
+    spark.catalog.dropTempView(sink)
+    return (spark.createDataFrame(rows, table.schema)
+            .orderBy("hour", "event_type"))
 
 
 ORACLE_STREAMING_HOURLY_ROLLUP = """

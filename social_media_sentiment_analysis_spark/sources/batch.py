@@ -21,6 +21,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def target_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on its (Hadoop) filesystem — scheme-aware
+    (hdfs://, s3a://, file:), unlike ``os.path.exists``.
+
+    The shared probe for every "is there prior state?" decision (stateful
+    sinks, incremental rollup): an absent store is the ONLY read failure
+    those paths may treat as first-build; every other error must propagate
+    rather than silently reset accumulated state.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table lazily.
 
@@ -117,9 +132,19 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         "spark_events_stream_" + sf_dir.strip("/").replace("/", "_"))
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.makedirs(stage, exist_ok=True)
+    os.makedirs(stage, exist_ok=True)
+    # a symlink always reflects the current source; a fallback COPY must be
+    # refreshed when the source file changes, or the stream would silently
+    # read stale data while the batch oracle reads the new file
+    src_stat = os.stat(path)
+    if os.path.islink(link):
+        pass
+    elif (not os.path.exists(link)
+          or os.stat(link).st_size != src_stat.st_size
+          or os.stat(link).st_mtime < src_stat.st_mtime):
         try:
+            if os.path.exists(link):
+                os.remove(link)
             os.symlink(path, link)
         except OSError:
             shutil.copyfile(path, link)

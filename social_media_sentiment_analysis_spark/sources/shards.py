@@ -59,10 +59,32 @@ class ShardCommitMessage(WriterCommitMessage):
     shards: list = field(default_factory=list)  # [(name, n_rows, n_bytes)]
 
 
+def _committed_shard_names(path: str) -> set:
+    """Shard files referenced by ANY committed manifest (batch or
+    per-epoch) at ``path`` — files an abort must never delete, because
+    content addressing maps identical payloads from different jobs onto
+    the same filename."""
+    names: set[str] = set()
+    try:
+        listing = os.listdir(path)
+    except OSError:
+        return names
+    for fname in listing:
+        if fname == "manifest.json" or (
+                fname.startswith("manifest-") and fname.endswith(".json")):
+            try:
+                with open(os.path.join(path, fname)) as f:
+                    names.update(s[0] for s in json.load(f)["shards"])
+            except (OSError, ValueError, KeyError):
+                continue
+    return names
+
+
 class ShardWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
         self.rows_per_shard = int(options.get("rows_per_shard", "1000"))
+        self.overwrite = overwrite
 
     def write(self, iterator) -> ShardCommitMessage:
         os.makedirs(self.path, exist_ok=True)
@@ -90,8 +112,18 @@ class ShardWriter(DataSourceWriter):
         return ShardCommitMessage(shards=out)
 
     def commit(self, messages) -> None:
-        shards = sorted(
-            (list(s) for m in messages if m is not None for s in m.shards))
+        new = {tuple(s)[0]: list(s)
+               for m in messages if m is not None for s in m.shards}
+        # append mode MERGES with the committed manifest (dedup by
+        # content-addressed name — re-appending identical data is a
+        # no-op); overwrite replaces the view with this job's shards only
+        merged = dict(new)
+        manifest_path = os.path.join(self.path, "manifest.json")
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                for s in json.load(f)["shards"]:
+                    merged.setdefault(s[0], list(s))
+        shards = [merged[k] for k in sorted(merged)]
         manifest = {
             "n_shards": len(shards),
             "n_rows": sum(s[1] for s in shards),
@@ -101,13 +133,18 @@ class ShardWriter(DataSourceWriter):
         tmp = os.path.join(self.path, ".manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
+        # never delete a file some committed manifest references: identical
+        # content from an earlier successful job shares the filename
+        keep = _committed_shard_names(self.path)
         for m in messages:
             if m is None:
                 continue
             for name, _, _ in m.shards:
+                if name in keep:
+                    continue
                 try:
                     os.remove(os.path.join(self.path, name))
                 except OSError:
@@ -145,10 +182,15 @@ class ShardStreamWriter(DataSourceStreamWriter):
         os.replace(tmp, os.path.join(self.path, f"manifest-{batchId}.json"))
 
     def abort(self, messages, batchId: int) -> None:
+        # as in the batch writer: files referenced by any committed
+        # manifest (including this batch's own earlier attempt) survive
+        keep = _committed_shard_names(self.path)
         for m in messages:
             if m is None:
                 continue
             for name, _, _ in m.shards:
+                if name in keep:
+                    continue
                 try:
                     os.remove(os.path.join(self.path, name))
                 except OSError:
@@ -161,7 +203,7 @@ class ShardDataSource(DataSource):
         return "shards"
 
     def writer(self, schema: StructType, overwrite: bool) -> ShardWriter:
-        return ShardWriter(dict(self.options))
+        return ShardWriter(dict(self.options), overwrite=overwrite)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> ShardStreamWriter:

@@ -15,19 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
 
-def _target_exists(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists on its (Hadoop) filesystem.
-
-    The first micro-batch of every stateful sink finds no prior state — that
-    is the ONLY read failure these sinks may swallow. Probing existence
-    explicitly (scheme-aware, via the JVM FileSystem) lets every other read
-    error — corrupt footer, permissions, transient FS fault — propagate and
-    fail the batch instead of silently discarding accumulated state.
-    """
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+from ..sources.batch import target_exists as _target_exists  # noqa: E402
 
 
 def jsonl_sink(df: DataFrame, path: str, checkpoint: str,

@@ -332,3 +332,33 @@ class TestShardSink:
         # at least two epochs committed their own manifests
         epochs = [f for f in _os.listdir(out) if f.startswith("manifest-")]
         assert len(epochs) >= 2
+
+    def test_append_merges_manifest_across_jobs(self, spark, sf_dir,
+                                                tmp_path):
+        from pyspark.sql import functions as F
+
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+        from social_media_sentiment_analysis_spark.sources.shards import (
+            ShardDataSource, load_shards, read_shard_manifest,
+        )
+
+        spark.dataSource.register(ShardDataSource)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        first = docs.filter(F.col("doc_id") < 100)
+        second = docs.filter(F.col("doc_id") >= 100)
+        out = str(tmp_path / "shards")
+        for part in (first, second):
+            (part.write.format("shards")
+             .option("path", out).option("rows_per_shard", "64")
+             .mode("append").save())
+        manifest = read_shard_manifest(out)
+        assert manifest["n_rows"] == docs.count()  # both jobs visible
+        back = load_shards(spark, out, schema="doc_id long, text string")
+        assert back.count() == docs.count()
+        # overwrite replaces the committed view with the new job only
+        (first.write.format("shards")
+         .option("path", out).option("rows_per_shard", "64")
+         .mode("overwrite").save())
+        assert read_shard_manifest(out)["n_rows"] == first.count()
