@@ -15,8 +15,13 @@ from .classifier import classify, fit_sentiment_classifier, sentiment_pipeline
 from .semdedup import semantic_dedup, semantic_duplicate_pairs
 from .recommend import fit_als, purchase_interactions, recommend_for_users
 from .word2vec import doc_vectors, fit_word2vec, similar_words, word_vectors
+from .pq import PQModel, encode_pq, fit_pq, pq_topk
 
 __all__ = [
+    "PQModel",
+    "encode_pq",
+    "fit_pq",
+    "pq_topk",
     "doc_vectors",
     "fit_word2vec",
     "similar_words",

@@ -199,3 +199,20 @@ def q_word_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "w").limit(1).first()["w"])
     model = fit_word2vec(docs, min_count=5, dim=32)
     return similar_words(model, top_word, k=5)
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace KMeans codebooks compress
+    each embedding to m small codes; top-10 neighbors of vec_id=0 by
+    asymmetric distance (broadcast query-to-centroid tables, Column fold
+    over the codes — one scan, TakeOrdered). Rows-only (fitted codebooks);
+    ADC recall vs exact L2 is pinned in tests/test_ml.py::TestPQ."""
+    from ..ml.pq import encode_pq, fit_pq, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(x)
+             for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    model = fit_pq(emb, "embedding", m=16, k=16, seed=7)
+    encoded = encode_pq(corpus, "embedding", model)
+    return pq_topk(encoded, model, query, "vec_id", k=10)
