@@ -114,3 +114,22 @@ def pq_topk(encoded: DataFrame, model: PQModel, query_vec: list[float],
             .select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
             .orderBy(F.asc("adc_dist"), F.asc(id_col))
             .limit(k))
+
+
+def ivfpq_topk(assigned_encoded: DataFrame, ivf_model, pq_model: PQModel,
+               query_vec: list[float], id_col: str, k: int = 10,
+               n_probe: int = 4, cluster_col: str = "cluster_id",
+               codes_col: str = "pq_codes") -> DataFrame:
+    """IVF-PQ: the standard production ANN layout (FAISS ``IVFx,PQy``) as a
+    composition of the two Spark-side artifacts — coarse cells prune the
+    SCAN (partition pruning on ``cluster_col``), PQ codes prune the BYTES
+    (ADC over the codes, never decoding vectors). ``assigned_encoded`` is
+    a table carrying both columns, i.e. ``encode_pq(assign_clusters(...))``
+    written partitioned by cell. Probe cost: n_probe/k_cells of the corpus
+    read, m bytes per row scored."""
+    from .ivf import _nearest_cells
+
+    cells = _nearest_cells(ivf_model, query_vec, n_probe)
+    return pq_topk(
+        assigned_encoded.filter(F.col(cluster_col).isin(cells)),
+        pq_model, query_vec, id_col, k=k, codes_col=codes_col)

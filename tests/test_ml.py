@@ -394,3 +394,27 @@ class TestPQ:
         # (measured 0.7 on this fixture; 0.5 leaves seed margin)
         recall = len(set(exact) & set(got)) / len(exact)
         assert recall >= 0.5, (recall, exact, got)
+
+    def test_ivfpq_composition_subset_of_pq(self, emb, spark):
+        from social_media_sentiment_analysis_spark.ml.ivf import (
+            assign_clusters, fit_ivf,
+        )
+        from social_media_sentiment_analysis_spark.ml.pq import (
+            encode_pq, fit_pq, ivfpq_topk, pq_topk,
+        )
+
+        qrow = emb.filter(F.col("vec_id") == 0).first()
+        query = [float(x) for x in qrow.embedding]
+        corpus = emb.filter(F.col("vec_id") != 0)
+        ivf = fit_ivf(emb, "embedding", k=8, seed=7)
+        pq = fit_pq(emb, "embedding", m=16, k=16, seed=7)
+        table = encode_pq(assign_clusters(corpus, "embedding", ivf),
+                          "embedding", pq)
+        got = ivfpq_topk(table, ivf, pq, query, "vec_id", k=10, n_probe=8)
+        full = pq_topk(table, pq, query, "vec_id", k=10)
+        # probing ALL cells must equal plain ADC over the whole table
+        assert ([r.vec_id for r in got.collect()]
+                == [r.vec_id for r in full.collect()])
+        # fewer probes return a subset of the corpus, still k rows
+        some = ivfpq_topk(table, ivf, pq, query, "vec_id", k=10, n_probe=3)
+        assert some.count() == 10
