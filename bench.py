@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "ccnet_buckets",
     "streaming_hourly_rollup",
+    "streaming_sentiment_summary",
 ]
 
 

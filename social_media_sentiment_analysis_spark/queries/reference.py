@@ -23,17 +23,24 @@ from ..sources.batch import load_table
 from .sqlgen import ENRICHED_DOCS_CTE
 
 
-def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's `tweets` relation: documents cleaned, scored, labeled
-    (U4/U6 composite) with deterministic synthetic engagement counts."""
+def _enrich_docs_relation(docs: DataFrame) -> DataFrame:
+    """Shared batch/stream projection: rename, synthesize engagement
+    counts, run the full clean→score→ensemble pipeline (stateless Column
+    algebra — identical on a batch scan and a file stream)."""
     docs = (
-        load_table(spark, sf_dir, "documents")
+        docs
         .withColumnRenamed("text", "tweet_text")
         .withColumnRenamed("lang", "language")
         .withColumn("like_count", F.col("doc_id") % 100)
         .withColumn("retweet_count", (F.col("doc_id") * 7) % 50)
     )
     return sentiment_enrich(docs, text_col="tweet_text")
+
+
+def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's `tweets` relation: documents cleaned, scored, labeled
+    (U4/U6 composite) with deterministic synthetic engagement counts."""
+    return _enrich_docs_relation(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -249,3 +256,33 @@ FROM events
 WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 72 HOUR
 ORDER BY ts DESC, event_id DESC
 """
+
+
+def q_streaming_sentiment_summary(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The flagship query computed by STRUCTURED STREAMING and verified by
+    the SAME DuckDB oracle as the batch form: the documents table consumed
+    as a micro-batched file stream, pushed through the identical
+    clean→score→ensemble Column pipeline (``_enrich_docs_relation`` —
+    stateless, so batch and stream share the code path verbatim),
+    aggregated in complete mode, drained with availableNow, final table
+    returned. This is the reference's whole architecture (SURVEY §3.2-3.3:
+    Kafka loop → per-tweet RPC scoring → SQL summary endpoint) restated as
+    one streaming plan whose output is provably identical to the batch
+    plan on the same input."""
+    from ..sources.batch import load_table_stream
+    from ..streaming.pipeline import drain_stream_to_df
+
+    stream = _enrich_docs_relation(
+        load_table_stream(spark, sf_dir, "documents"))
+    summary = (
+        stream.groupBy("final_sentiment")
+        .agg(
+            F.count(F.lit(1)).alias("tweet_count"),
+            F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
+            F.sum("like_count").alias("total_likes"),
+            F.sum("retweet_count").alias("total_retweets"),
+        )
+    )
+    return drain_stream_to_df(summary, "stream_summary") \
+        .orderBy(F.desc("tweet_count"), F.asc("final_sentiment"))

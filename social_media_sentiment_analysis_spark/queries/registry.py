@@ -673,6 +673,13 @@ _ALL: list[Query] = [
           shaping.ORACLE_PII_REDACT,
           "PII scrub audit: global regex masking of props payload + "
           "per-type removal accounting"),
+    Query("streaming_sentiment_summary",
+          reference.q_streaming_sentiment_summary,
+          reference.ORACLE_SENTIMENT_SUMMARY,
+          "the flagship A1 summary computed by Structured Streaming "
+          "(identical Column pipeline on a file stream, complete-mode "
+          "aggregate, availableNow drain) and verified by the SAME batch "
+          "SQL oracle"),
     Query("streaming_hourly_rollup", temporal.q_streaming_hourly_rollup,
           temporal.ORACLE_STREAMING_HOURLY_ROLLUP,
           "hour×type rollup computed by Structured Streaming (file-stream "

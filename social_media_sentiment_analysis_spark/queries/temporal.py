@@ -943,9 +943,8 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming/pipeline.py::hourly_rollup_stream`` (state evicted, late
     data bounded), exercised by the streaming tests.
     """
-    import uuid
-
     from ..sources.batch import load_events_stream
+    from ..streaming.pipeline import drain_stream_to_df
 
     stream = load_events_stream(spark, sf_dir)
     rolled = (
@@ -955,19 +954,8 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 4).alias("total_value"))
     )
-    sink = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (rolled.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    # detach the result from the memory sink before dropping it, so
-    # repeated invocations (bench runs this every round) don't accumulate
-    # one driver-resident temp view per call; the rollup is bounded
-    # (|hours|×|types|), so the driver round-trip is small by construction
-    table = spark.table(sink)
-    rows = table.collect()
-    spark.catalog.dropTempView(sink)
-    return (spark.createDataFrame(rows, table.schema)
-            .orderBy("hour", "event_type"))
+    return drain_stream_to_df(rolled, "stream_rollup") \
+        .orderBy("hour", "event_type")
 
 
 ORACLE_STREAMING_HOURLY_ROLLUP = """

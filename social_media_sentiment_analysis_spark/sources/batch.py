@@ -108,21 +108,23 @@ def read_evolving(spark: SparkSession, path: str,
     return df.select(*cols)
 
 
-def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``events`` table as a FILE STREAM (micro-batched parquet source)
-    — the batch/stream parity entry point: identical schema and NTZ
-    timestamp rebuild as ``load_table``, so every batch transform composes
-    unchanged onto the stream. Used by the oracle-checked streaming-rollup
-    query (the driver verifies the streaming path's OUTPUT against plain
-    SQL over the same parquet).
+def load_table_stream(spark: SparkSession, sf_dir: str,
+                      name: str) -> DataFrame:
+    """A testdata table as a FILE STREAM (micro-batched parquet source) —
+    the batch/stream parity entry point: identical schema (and, for
+    ``events``, the same NTZ timestamp rebuild) as ``load_table``, so every
+    batch transform composes unchanged onto the stream. Used by the
+    oracle-checked streaming queries (the driver verifies the streaming
+    path's OUTPUT against plain SQL over the same parquet).
     """
     import shutil
     import tempfile
 
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = table_path(sf_dir, "events")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, name)
     # the file-stream source monitors a DIRECTORY; the testdata table is a
     # single file, so expose it through a per-path staging dir (symlink
     # where the filesystem allows, copy otherwise) — at production scale
@@ -130,8 +132,8 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disappears
     stage = os.path.join(
         tempfile.gettempdir(),
-        "spark_events_stream_" + sf_dir.strip("/").replace("/", "_"))
-    link = os.path.join(stage, "events.parquet")
+        "spark_stream_" + sf_dir.strip("/").replace("/", "_") + "_" + name)
+    link = os.path.join(stage, f"{name}.parquet")
     os.makedirs(stage, exist_ok=True)
     # a symlink always reflects the current source; a fallback COPY must be
     # refreshed when the source file changes, or the stream would silently
@@ -150,8 +152,13 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copyfile(path, link)
     raw_schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(raw_schema).format("parquet").load(stage)
-    if isinstance(raw_schema["ts"].dataType, LongType):
+    if name == "events" and isinstance(raw_schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr(
             "timestampadd(MICROSECOND, ts div 1000, "
             "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     return df
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Back-compat alias: the ``events`` table as a file stream."""
+    return load_table_stream(spark, sf_dir, "events")

@@ -292,3 +292,25 @@ def session_rollup_stream(events: DataFrame, *,
                 F.col("s.end").alias("session_end"),
                 "n_events")
     )
+
+
+def drain_stream_to_df(streaming_df: DataFrame,
+                       name_prefix: str = "drain") -> DataFrame:
+    """Run a (complete-mode) streaming aggregation to exhaustion with an
+    availableNow trigger into a memory sink and return the FINAL table as
+    a plain batch DataFrame — the harness that lets the DuckDB oracle
+    verify a streaming computation's output. The memory-sink temp view is
+    dropped before returning (the result is detached via collect —
+    complete-mode outputs are bounded by construction), so repeated
+    invocations leave no driver-resident state behind."""
+    import uuid
+
+    spark = streaming_df.sparkSession
+    sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (streaming_df.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    table = spark.table(sink)
+    rows = table.collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, table.schema)
