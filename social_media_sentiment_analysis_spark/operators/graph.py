@@ -187,3 +187,56 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if it % 3 == 2 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      max_iter: int = 5) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list: every node adopts the most frequent label among
+    its neighbors each round (ties broken by the smaller label — fully
+    deterministic, unlike the randomized original). Communities = label
+    groups after ``max_iter`` rounds.
+
+    Where connected components answer "which docs are transitively
+    near-duplicates" (hard connectivity), LPA answers "which docs cluster
+    densely" (soft communities): on a similarity graph it separates
+    topical groups even when stray edges connect them — the corpus-mixing
+    / topic-balance view of the same pair table.
+
+    Plan per round: symmetrized edges join the |nodes|-row label table on
+    the neighbor key (label table broadcasts while it fits; at larger
+    |nodes| AQE plans the shuffled join), per-(node,label) counts, top-1
+    per node via max_by struct ordering — 2 exchanges per round, lineage
+    cut by localCheckpoint (same hygiene as pagerank/components above).
+    Synchronous + deterministic ⇒ reproducible across runs/cluster sizes;
+    the classic bipartite oscillation is bounded by the fixed round count
+    (callers needing convergence detection reuse the checksum idiom of
+    connected_components).
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint())
+    labels = (und.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr_labels = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label"))
+        counts = (nbr_labels.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        # top-1 label per node: max over (n, -label) — most frequent,
+        # smallest label on ties; one aggregate, no window sort
+        new = (counts.groupBy("node")
+               .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("nl")))
+                    .alias("best"))
+               .select("node", (-F.col("best.nl")).alias("label")))
+        labels = new.localCheckpoint()
+    return labels.select("node", "label")

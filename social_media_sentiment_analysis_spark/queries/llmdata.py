@@ -2163,3 +2163,24 @@ FROM per_doc CROSS JOIN th
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def q_doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup similarity graph: deterministic
+    synchronous label propagation (operators/graph.py::label_propagation)
+    on the jaccard pair edges, rolled up to community sizes. Complements
+    dedup_clusters (hard connectivity → keep-one-per-cluster) with the
+    soft-community view used for corpus mixing / topic balance. Rows-only
+    (iterative); clique-separation and determinism are pinned in
+    tests/test_graph.py::TestLabelPropagation."""
+    from ..operators.graph import label_propagation
+
+    labels = label_propagation(
+        _jaccard_pairs(spark, sf_dir), "a_id", "b_id", max_iter=5)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("community_size"))
+        .groupBy("community_size")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy("community_size")
+    )

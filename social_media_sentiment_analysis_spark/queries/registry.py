@@ -609,6 +609,9 @@ _ALL: list[Query] = [
     Query("media_video_neardup", multimodal.q_media_video_neardup, None,
           "frame-level video near-dup (per-frame dHash + banded join + "
           "frame-majority verify; rows-only — decode crossing)"),
+    Query("doc_communities", llmdata.q_doc_communities, None,
+          "label-propagation communities over the near-dup graph "
+          "(deterministic sync LPA; rows-only — iterative)"),
     Query("knn_pq", mlqueries.q_knn_pq, None,
           "product-quantization ANN: per-subspace codebooks, codes table, "
           "asymmetric-distance top-k (rows-only — fitted codebooks)"),

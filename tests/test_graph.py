@@ -98,3 +98,35 @@ class TestPageRank:
             [(i, (i + 1) % 4) for i in range(4)], "src long, dst long")
         ranks = [r.rank for r in pagerank(edges, iterations=15).collect()]
         assert all(abs(r - 1.0) < 1e-9 for r in ranks)
+
+
+class TestLabelPropagation:
+    def test_two_cliques_weakly_joined_separate(self, spark):
+        from social_media_sentiment_analysis_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # clique A: 0-4 complete; clique B: 10-14 complete; one bridge 4-10
+        edges = []
+        for grp in (range(0, 5), range(10, 15)):
+            g = list(grp)
+            edges += [(a, b) for i, a in enumerate(g) for b in g[i + 1:]]
+        edges.append((4, 10))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        labels = {r.node: r.label
+                  for r in label_propagation(df, max_iter=5).collect()}
+        a_labels = {labels[n] for n in range(0, 5)}
+        b_labels = {labels[n] for n in range(10, 15)}
+        assert len(a_labels) == 1 and len(b_labels) == 1
+        assert a_labels != b_labels  # the bridge does not merge communities
+
+    def test_deterministic_across_runs(self, spark):
+        from social_media_sentiment_analysis_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        one = sorted(map(tuple, label_propagation(df, max_iter=4).collect()))
+        two = sorted(map(tuple, label_propagation(df, max_iter=4).collect()))
+        assert one == two
