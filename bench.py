@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "streaming_hourly_rollup",
     "streaming_sentiment_summary",
+    "dedup_clusters",
+    "knn_ivf",
 ]
 
 
