@@ -1888,6 +1888,12 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe of the model back onto the exploded corpus — the fact moves once.
     """
     w = tokens(F.col("cleaned_text"))
+    # localCheckpoint the exploded (doc, bigram) table: BOTH the model build
+    # and the scoring probe read it, so the barrier makes the corpus
+    # tokenize/explode exactly once (without it each consumer replays the
+    # scan). At 100 TB this is the tokenized-corpus pass a pipeline stages
+    # anyway; checkpoint (not persist) so the blocks free on GC — no cache
+    # accumulation across queries in one session.
     pairs = (
         _docs(spark, sf_dir)
         .filter(F.trim(F.col("cleaned_text")) != "")
@@ -1902,16 +1908,10 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bigram"),
         )
-    )
-    # localCheckpoint the model core (distinct-bigram counts — the
-    # vocabulary-sized LM artifact): the |V| collect, the context aggregate,
-    # and the scoring probe all read it, and without the barrier each would
-    # re-explode the corpus. At 100 TB this is the table a pipeline persists
-    # to parquet. Checkpoint (not persist) so the blocks are released by GC
-    # once the query result is materialized — no cache accumulation across
-    # queries in one session.
-    bc = (pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
-          .localCheckpoint())
+    ).localCheckpoint()
+    # the distinct-bigram count table (vocabulary-sized — the persisted LM
+    # artifact at 100 TB); reads the checkpointed pairs, not the raw corpus
+    bc = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
     model = bc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
     ctx = model.groupBy("w1").agg(F.sum("bc").alias("ctx"))
     model = model.join(F.broadcast(ctx), "w1")
