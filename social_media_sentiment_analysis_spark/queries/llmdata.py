@@ -279,18 +279,22 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = quality_enrich(_docs(spark, sf_dir))
+    # per-row doubles round with the engine-exact floor idiom: Spark's
+    # decimal HALF_UP and DuckDB's numeric round disagree on doubles a few
+    # ulps under a …5 boundary (observed at sf0.1, functions/rounding.py)
+    from ..functions.rounding import round_half_up
     from ..functions.text import bpe_ish_token_count
 
+    docs = quality_enrich(_docs(spark, sf_dir))
     return docs.select(
         "doc_id",
         "n_chars",
         "n_tokens",
         bpe_ish_token_count(F.col("cleaned_text")).cast("bigint")
         .alias("bpe_tokens"),
-        F.round(F.col("stopword_ratio"), 4).alias("stopword_ratio"),
-        F.round(F.col("avg_token_len"), 4).alias("avg_token_len"),
-        F.round(F.col("quality_score"), 4).alias("quality_score"),
+        round_half_up(F.col("stopword_ratio"), 4).alias("stopword_ratio"),
+        round_half_up(F.col("avg_token_len"), 4).alias("avg_token_len"),
+        round_half_up(F.col("quality_score"), 4).alias("quality_score"),
     )  # no orderBy: per-row output, driver hash is order-insensitive —
        # a global sort is pure shuffle cost at scale
 
@@ -312,12 +316,14 @@ SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_tok AS BIGINT) AS n_tokens,
        CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
-       round(stop_hits / (n_tok + 1.0), 4) AS stopword_ratio,
-       round((n_chars - (n_tok - 1)) / (n_tok + 1.0), 4) AS avg_token_len,
-       round(0.4 * least(n_tok / 100.0, 1.0)
-             + 0.3 * (1.0 - stop_hits / (n_tok + 1.0))
-             + 0.3 * least(((n_chars - (n_tok - 1)) / (n_tok + 1.0)) / 6.0, 1.0),
-             4) AS quality_score
+       floor((stop_hits / (n_tok + 1.0)) * 10000 + 0.5) / 10000
+           AS stopword_ratio,
+       floor(((n_chars - (n_tok - 1)) / (n_tok + 1.0)) * 10000 + 0.5) / 10000
+           AS avg_token_len,
+       floor((0.4 * least(n_tok / 100.0, 1.0)
+              + 0.3 * (1.0 - stop_hits / (n_tok + 1.0))
+              + 0.3 * least(((n_chars - (n_tok - 1)) / (n_tok + 1.0)) / 6.0,
+                            1.0)) * 10000 + 0.5) / 10000 AS quality_score
 FROM feats
 ORDER BY doc_id
 """
@@ -1042,18 +1048,33 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries |dims| × partitions tiny rows. 64 groups no matter the corpus
     size.
     """
+    from ..functions.rounding import round_half_up
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # mean/std from ORDER-INDEPENDENT decimal sums (Σv, Σv² exact, so both
+    # engines compute identical doubles before the engine-exact rounding);
+    # plain avg/stddev_pop differed in the last digit at sf0.1
+    # decimal(12,8): product stays within precision 38 so Spark's decimal
+    # multiply remains EXACT (a (20,8) cast would push the product past 38
+    # and silently re-round)
+    dv = F.col("v").cast("decimal(12,8)")
+    n = F.count(F.lit(1))
+    sum_v = F.sum(dv).cast("double")
+    sum_v2 = F.sum((dv * dv)).cast("double")
+    mean = sum_v / n
+    var = sum_v2 / n - mean * mean
     return (
         emb.select(F.posexplode("embedding").alias("dim", "v"))
         .select(F.col("dim").cast("long").alias("dim"),
                 F.col("v").cast("double").alias("v"))
         .groupBy("dim")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("v"), 4).alias("mean"),
-            F.round(F.stddev_pop("v"), 4).alias("std"),
-            F.round(F.min("v"), 4).alias("min_v"),
-            F.round(F.max("v"), 4).alias("max_v"),
+            n.alias("n"),
+            round_half_up(mean, 4).alias("mean"),
+            round_half_up(F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+            .alias("std"),
+            round_half_up(F.min("v"), 4).alias("min_v"),
+            round_half_up(F.max("v"), 4).alias("max_v"),
         )
         .orderBy("dim")
     )
@@ -1063,12 +1084,21 @@ ORACLE_EMBEDDING_DIM_PROFILE = """
 WITH flat AS (
     SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), agg AS (
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(12,8))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(v AS DECIMAL(12,8)) * CAST(v AS DECIMAL(12,8)))
+                AS DOUBLE) AS sum_v2,
+           MIN(v) AS min_raw, MAX(v) AS max_raw
+    FROM flat GROUP BY dim
 )
-SELECT dim, COUNT(*) AS n, round(AVG(v), 4) AS mean,
-       round(stddev_pop(v), 4) AS std,
-       round(MIN(v), 4) AS min_v, round(MAX(v), 4) AS max_v
-FROM flat
-GROUP BY dim
+SELECT dim, n,
+       floor((sum_v / n) * 10000 + 0.5) / 10000 AS mean,
+       floor(sqrt(greatest(sum_v2 / n - (sum_v / n) * (sum_v / n), 0.0))
+             * 10000 + 0.5) / 10000 AS std,
+       floor(min_raw * 10000 + 0.5) / 10000 AS min_v,
+       floor(max_raw * 10000 + 0.5) / 10000 AS max_v
+FROM agg
 ORDER BY dim
 """
 

@@ -18,9 +18,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import sql_decimal_sum, sql_round_half_up
 from ..functions.sentiment import sentiment_enrich
 from ..sources.batch import load_table
 from .sqlgen import ENRICHED_DOCS_CTE
+
+
+def _sql_exact_avg(col: str, digits: int = 4) -> str:
+    """Order-independent mean of a double column, engine-exact rounding."""
+    return sql_round_half_up(f"{sql_decimal_sum(col)} / COUNT(*)", digits)
 
 
 def _enrich_docs_relation(docs: DataFrame) -> DataFrame:
@@ -210,6 +216,13 @@ ORDER BY event_count DESC, event_type ASC
 # ---------------------------------------------------------------------------
 
 def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg over doubles is accumulation-order-dependent, so the mean is
+    # derived from an ORDER-INDEPENDENT decimal sum and rounded with the
+    # engine-exact floor idiom (functions/rounding.py) — round(avg(),4)
+    # was observed to differ in the last digit at sf0.1
+    from ..functions.rounding import decimal_sum, round_half_up
+
+    n = F.count(F.lit(1))
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(
@@ -217,18 +230,19 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
         )
         .agg(
-            F.count(F.lit(1)).alias("event_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            n.alias("event_count"),
+            round_half_up(decimal_sum(F.col("value")) / n, 4)
+            .alias("avg_value"),
         )
         .orderBy("date_hour", "event_type")
     )
 
 
-ORACLE_HOURLY_ROLLUP = """
+ORACLE_HOURLY_ROLLUP = f"""
 SELECT date_trunc('hour', ts) AS date_hour,
        event_type,
        COUNT(*) AS event_count,
-       round(AVG(value), 4) AS avg_value
+       {_sql_exact_avg('value')} AS avg_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY date_hour, event_type

@@ -943,16 +943,21 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming/pipeline.py::hourly_rollup_stream`` (state evicted, late
     data bounded), exercised by the streaming tests.
     """
+    from ..functions.rounding import decimal_sum, round_half_up
     from ..sources.batch import load_events_stream
     from ..streaming.pipeline import drain_stream_to_df
 
     stream = load_events_stream(spark, sf_dir)
+    # decimal-exact sum + engine-exact rounding (functions/rounding.py):
+    # double accumulation across micro-batches would otherwise differ from
+    # the oracle's sequential sum at rounding boundaries
     rolled = (
         stream
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                  F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("total_value"))
+             round_half_up(decimal_sum(F.col("value")), 4)
+             .alias("total_value"))
     )
     return drain_stream_to_df(rolled, "stream_rollup") \
         .orderBy("hour", "event_type")
@@ -960,7 +965,9 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAMING_HOURLY_ROLLUP = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       COUNT(*) AS n_events, round(SUM(value), 4) AS total_value
+       COUNT(*) AS n_events,
+       floor(CAST(SUM(CAST(value AS DECIMAL(26,6))) AS DOUBLE) * 10000
+             + 0.5) / 10000 AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
