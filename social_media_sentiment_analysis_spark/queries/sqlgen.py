@@ -8,8 +8,15 @@ same arithmetic in double precision.
 
 Determinism policy for oracle-checked queries:
 - per-row doubles: identical IEEE-754 op order on both sides → bitwise equal.
+  When displayed rounded, use ``functions/rounding.py::round_half_up`` /
+  ``sql_round_half_up`` (identical floor-based op sequence) — Spark's
+  ``round`` (exact-decimal HALF_UP) and DuckDB's (numeric) disagree on
+  doubles a few ulps under a …5 boundary.
 - aggregated doubles (SUM/AVG over many rows): accumulation order is engine-
-  dependent, so both sides wrap them in round(·, 4).
+  dependent, so both sides wrap them in round(·, 4); where a boundary hit
+  was ever observed (hourly_rollup, embedding_dim_profile at sf0.1) the
+  aggregate itself is made order-independent via exact DECIMAL summation
+  (``rounding.decimal_sum``) before the engine-exact rounding.
 - integer aggregates: exact; DuckDB SUM(BIGINT) returns HUGEINT, so oracles
   cast back to BIGINT to match Spark's long.
 """
