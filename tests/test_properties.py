@@ -264,3 +264,49 @@ def test_duplicated_spans_match_reference(spark, docs):
     got = {(r.doc_id, r.start_pos, r.end_pos, r.span_tokens)
            for r in duplicated_spans(df, "text", "doc_id", k=3).collect()}
     assert got == naive_duplicated_spans(texts, 3)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_round_half_up_matches_duckdb_bitwise(spark, duck, vals):
+    """functions/rounding.py: the floor-based rounding must produce the
+    IDENTICAL double on Spark and DuckDB for arbitrary inputs — including
+    the …5-boundary doubles where the engines' native round() disagree."""
+    import duckdb as _duckdb  # noqa: F401
+
+    from social_media_sentiment_analysis_spark.functions.rounding import (
+        round_half_up, sql_round_half_up,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, v double")
+    got = {r.i: r.r for r in
+           df.select("i", round_half_up(F.col("v"), 4).alias("r")).collect()}
+    expr = sql_round_half_up("v", 4)
+    want = {i: r for i, r in duck.execute(
+        "SELECT i, " + expr + " AS r FROM (SELECT "
+        "unnest(range(1,  " + str(len(vals) + 1) + ")) - 1 AS i, "
+        "unnest(?) AS v)", [vals]).fetchall()}
+    assert got == want  # bitwise-equal doubles, no tolerance
+
+
+def test_native_round_divergence_is_real(spark, duck):
+    """The motivating case: a double a few ulps under .00005 rounds DOWN
+    under Spark's exact-decimal HALF_UP and UP under DuckDB's numeric
+    round — while the shared floor idiom agrees with itself."""
+    from social_media_sentiment_analysis_spark.functions.rounding import (
+        round_half_up, sql_round_half_up,
+    )
+
+    v = 0.59825  # stored double is 0.59824999999999994849…
+    spark_native = spark.createDataFrame([(v,)], "v double").select(
+        F.round("v", 4).alias("r")).first().r
+    duck_native = duck.execute("SELECT round(?, 4)", [v]).fetchone()[0]
+    assert spark_native != duck_native  # the documented divergence
+    spark_floor = spark.createDataFrame([(v,)], "v double").select(
+        round_half_up(F.col("v"), 4).alias("r")).first().r
+    duck_floor = duck.execute(
+        "SELECT " + sql_round_half_up("?", 4), [v]).fetchone()[0]
+    assert spark_floor == duck_floor
