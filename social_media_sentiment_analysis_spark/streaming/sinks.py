@@ -96,14 +96,19 @@ def upsert_parquet_sink(df: DataFrame, path: str, checkpoint: str,
     it carries and appends the rest, so the table always holds the latest
     value per key.
 
-    Plain-parquet realization: rewrite = (existing ∖ batch-keys) ∪ batch.
-    With a transactional format this is MERGE WHEN MATCHED UPDATE / NOT
-    MATCHED INSERT, and only touched partitions rewrite; plain parquet
-    rewrites the table, which is fine for aggregate outputs (they are
-    keys × small, not fact-sized). Idempotent under batch replay: replaying
-    batch N rewrites the same rows with the same values."""
+    Plain-parquet realization: rewrite = (existing ∖ batch-keys) ∪ batch,
+    staged into a sibling directory and swapped in via the filesystem (no
+    driver-side collect — the rewrite is a distributed job however large
+    the aggregate grows). With a transactional format this is MERGE WHEN
+    MATCHED UPDATE / NOT MATCHED INSERT and only touched partitions
+    rewrite; the swap here is delete+rename, so a concurrent reader can
+    glitch in the tiny window between them — the contract table formats
+    close properly. Idempotent under batch replay: replaying batch N
+    rewrites the same rows with the same values."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        import uuid
+
         spark = batch.sparkSession
         batch = batch.dropDuplicates(keys)
         if _target_exists(spark, path):
@@ -113,11 +118,16 @@ def upsert_parquet_sink(df: DataFrame, path: str, checkpoint: str,
             out = keep.unionByName(batch)
         else:
             out = batch   # first batch: no target yet
-        # write to a temp dir then swap would be the production move; the
-        # local sink collects (aggregate outputs are small by construction)
-        rows = out.collect()
-        spark.createDataFrame(rows, out.schema) \
-            .write.mode("overwrite").parquet(path)
+        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").parquet(staging)  # reads old, writes new
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(path)
+        src = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"failed to swap {staging} into {path}")
 
     return (
         df.writeStream.foreachBatch(upsert)
