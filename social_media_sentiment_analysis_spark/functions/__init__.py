@@ -22,3 +22,9 @@ from .sentiment import (  # noqa: F401
     vader_textblob_udfs,
 )
 from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401
+from .rounding import (  # noqa: F401
+    decimal_sum,
+    round_half_up,
+    sql_decimal_sum,
+    sql_round_half_up,
+)
