@@ -180,3 +180,44 @@ class TestGeomeanUDAF:
         assert set(twin) == set(udaf)
         for k in twin:
             assert abs(twin[k] - udaf[k]) < 1e-6, k
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """AQE skew-join splitting is load-bearing in SCALE.md §3 — prove it
+    actually fires: a sort-merge join with one hot key, thresholds tuned so
+    the hot partition qualifies, must show a skew=true shuffle read in the
+    final adaptive plan (and still produce exact results)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 40000).select(
+            (F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")))
+            .alias("k"),
+            F.col("id").alias("row_id"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"))
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("dim-"), F.col("id")).alias("label"))
+        joined = left.join(right, "k")
+        # collect() executes THIS QueryExecution, so the adaptive plan we
+        # inspect afterwards is the finalized one (count() would build a
+        # separate execution and leave this plan unfinalized)
+        rows = joined.collect()
+        assert len(rows) == 40000  # every left row matches one right row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
