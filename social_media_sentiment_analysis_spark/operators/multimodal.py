@@ -293,8 +293,24 @@ def _fake_decode_phash(payload: bytes) -> int:
     import numpy as np
 
     arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float64)
-    buckets = np.array_split(arr, _PHASH_CELLS + 1)
-    means = np.array([b.mean() if b.size else 0.0 for b in buckets])
+    k = _PHASH_CELLS + 1
+    n = arr.size
+    if n < k:
+        # tiny payload: some buckets are empty (mean 0.0) — keep the exact
+        # array_split semantics on the rare path
+        buckets = np.array_split(arr, k)
+        means = np.array([b.mean() if b.size else 0.0 for b in buckets])
+    else:
+        # vectorized equivalent of np.array_split + per-bucket mean: the
+        # first n%k buckets get n//k+1 elements (identical boundaries), and
+        # add.reduceat sums each bucket in ONE ufunc call instead of 65
+        # python-level slices per row — ~4x on the decode-bound hot path
+        div, mod = divmod(n, k)
+        sizes = np.full(k, div, dtype=np.int64)
+        sizes[:mod] += 1
+        edges = np.zeros(k, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=edges[1:])
+        means = np.add.reduceat(arr, edges) / sizes
     bits = means[:-1] > means[1:]
     h = 0
     for b in bits:
