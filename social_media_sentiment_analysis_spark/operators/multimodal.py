@@ -497,13 +497,36 @@ def video_near_duplicates(media: DataFrame, band_bits: int = 16,
     (frame_idx, band, band_val); skew concentrates exactly on duplicated
     content, which is the mass being removed.
     """
-    fh = frame_hashes(media, every_n=every_n).localCheckpoint()
+    fh = frame_hashes(media, every_n=every_n)
+    out = _positional_near_duplicates(
+        fh, pos_col="frame_idx", hash_col="fhash",
+        band_bits=band_bits, max_hamming=max_hamming,
+        min_match=min_frame_match)
+    return out.select("a_id", "b_id", "n_matched",
+                      F.col("a_units").alias("a_frames"),
+                      F.col("b_units").alias("b_frames"),
+                      "match_frac")
+
+
+def _positional_near_duplicates(hashes_df: DataFrame, pos_col: str,
+                                hash_col: str, band_bits: int,
+                                max_hamming: int,
+                                min_match: float) -> DataFrame:
+    """Shared core of video/audio near-dup: pairs of media whose per-unit
+    (frame/segment) 64-bit hashes collide at the same position on a
+    ``band_bits`` band and verify at hamming ≤ ``max_hamming`` for at
+    least ``min_match`` of the shorter side's units.
+
+    ``hashes_df``: (media_id, <pos_col>, <hash_col>) — localCheckpointed
+    here (two consumers: the banded self-join and the per-media counts).
+    """
+    fh = hashes_df.localCheckpoint()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = fh.select(
-        "media_id", "frame_idx", "fhash",
+        "media_id", pos_col, hash_col,
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("fhash"), b * band_bits)
+            F.shiftrightunsigned(F.col(hash_col), b * band_bits)
             .bitwiseAND(F.lit(mask))
             for b in range(n_bands)
         ])).alias("band", "band_val"),
@@ -512,7 +535,7 @@ def video_near_duplicates(media: DataFrame, band_bits: int = 16,
     cand = (
         left.join(
             right,
-            (F.col("l.frame_idx") == F.col("r.frame_idx"))
+            (F.col(f"l.{pos_col}") == F.col(f"r.{pos_col}"))
             & (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l.media_id") < F.col("r.media_id")),
@@ -520,9 +543,9 @@ def video_near_duplicates(media: DataFrame, band_bits: int = 16,
         .select(
             F.col("l.media_id").alias("a_id"),
             F.col("r.media_id").alias("b_id"),
-            F.col("l.frame_idx").alias("frame_idx"),
-            F.col("l.fhash").alias("a_hash"),
-            F.col("r.fhash").alias("b_hash"),
+            F.col(f"l.{pos_col}").alias("pos"),
+            F.col(f"l.{hash_col}").alias("a_hash"),
+            F.col(f"r.{hash_col}").alias("b_hash"),
         )
         .distinct()
     )
@@ -530,21 +553,67 @@ def video_near_duplicates(media: DataFrame, band_bits: int = 16,
     matches = (
         cand.filter(hamming <= max_hamming)
         .groupBy("a_id", "b_id")
-        .agg(F.count_distinct("frame_idx").alias("n_matched"))
+        .agg(F.count_distinct("pos").alias("n_matched"))
     )
     counts = fh.groupBy("media_id").agg(
-        F.count_distinct("frame_idx").alias("n_frames"))
+        F.count_distinct(pos_col).alias("n_units"))
     return (
         matches
         .join(F.broadcast(counts.withColumnRenamed("media_id", "a_id")
-                          .withColumnRenamed("n_frames", "a_frames")), "a_id")
+                          .withColumnRenamed("n_units", "a_units")), "a_id")
         .join(F.broadcast(counts.withColumnRenamed("media_id", "b_id")
-                          .withColumnRenamed("n_frames", "b_frames")), "b_id")
+                          .withColumnRenamed("n_units", "b_units")), "b_id")
         .withColumn(
             "match_frac",
             F.round(F.col("n_matched")
-                    / F.least("a_frames", "b_frames"), 4))
-        .filter(F.col("match_frac") >= min_frame_match)
-        .select("a_id", "b_id", "n_matched", "a_frames", "b_frames",
+                    / F.least("a_units", "b_units"), 4))
+        .filter(F.col("match_frac") >= min_match)
+        .select("a_id", "b_id", "n_matched", "a_units", "b_units",
                 "match_frac")
     )
+
+
+SEGMENT_HASH_SCHEMA = "media_id string, segment_idx int, shash long"
+
+
+def segment_hashes(media: DataFrame, segment_ms: int = 1000) -> DataFrame:
+    """Per-segment perceptual hash table for audio rows (``segment_audio``
+    windows, non-overlapping by default) — the audio fingerprint artifact,
+    one Arrow crossing per batch."""
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "segment_idx": pdf["segment_idx"],
+                "shash": [_fake_decode_phash(b)
+                          for b in pdf["segment_bytes"]],
+            })
+
+    return (
+        segment_audio(media, segment_ms=segment_ms)
+        .select("media_id", "segment_idx", "segment_bytes")
+        .mapInPandas(hashes, schema=SEGMENT_HASH_SCHEMA)
+    )
+
+
+def audio_near_duplicates(media: DataFrame, band_bits: int = 16,
+                          max_hamming: int = 6,
+                          min_segment_match: float = 0.6,
+                          segment_ms: int = 1000) -> DataFrame:
+    """Audio near-duplicate pairs by segment-majority perceptual match —
+    the audio twin of ``video_near_duplicates`` over ``segment_audio``
+    windows (a Chromaprint-style fingerprint pipeline has the same shape:
+    per-window spectral hash → positional collision blocking → majority
+    verify; the fake byte-level hash swaps for the real one without
+    touching the join)."""
+    sh = segment_hashes(media, segment_ms=segment_ms)
+    out = _positional_near_duplicates(
+        sh, pos_col="segment_idx", hash_col="shash",
+        band_bits=band_bits, max_hamming=max_hamming,
+        min_match=min_segment_match)
+    return out.select("a_id", "b_id", "n_matched",
+                      F.col("a_units").alias("a_segments"),
+                      F.col("b_units").alias("b_segments"),
+                      "match_frac")

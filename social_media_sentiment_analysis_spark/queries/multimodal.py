@@ -262,3 +262,20 @@ def q_media_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("match_frac"), 4).alias("avg_match_frac"),
         F.round(F.avg("n_matched"), 4).alias("avg_matched_frames"),
     )
+
+
+def q_media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level audio near-duplicate audit: pair count and mean
+    matched-segment fraction from
+    ``operators/multimodal.py::audio_near_duplicates`` (per-window dHash,
+    positional banded join, segment-majority verify — the Chromaprint-
+    shaped pipeline). Rows-only (decode crossing); recall behavior is
+    pinned in tests/test_multimodal.py::TestAudioNearDup."""
+    from ..operators.multimodal import audio_near_duplicates
+
+    pairs = audio_near_duplicates(_media(spark, sf_dir))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("dup_pairs"),
+        F.round(F.avg("match_frac"), 4).alias("avg_match_frac"),
+        F.round(F.avg("n_matched"), 4).alias("avg_matched_segments"),
+    )

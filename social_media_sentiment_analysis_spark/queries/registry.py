@@ -618,6 +618,9 @@ _ALL: list[Query] = [
     Query("word_embeddings", mlqueries.q_word_embeddings, None,
           "Word2Vec skip-gram fit + top-5 neighbors of the most frequent "
           "word (rows-only — learned weights)"),
+    Query("media_audio_neardup", multimodal.q_media_audio_neardup, None,
+          "segment-level audio near-dup (per-window dHash + positional "
+          "banded join + segment-majority verify; rows-only)"),
     Query("media_phash", multimodal.q_media_phash, None,
           "perceptual-hash (dHash) near-dup pairs via banded LSH join "
           "(rows-only; recall pinned in tests)"),

@@ -312,3 +312,37 @@ class TestVideoNearDup:
         # the documents testdata carries exact duplicate texts, so some
         # video payload pairs must match
         assert row.dup_pairs > 0
+
+
+class TestAudioNearDup:
+    def test_copy_perturbed_distinct(self, spark):
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            audio_near_duplicates,
+        )
+
+        rng = np.random.default_rng(23)
+        base = rng.integers(0, 256, size=8000, dtype=np.uint8).tobytes()
+        near = bytearray(base)
+        near[500] = (near[500] + 3) % 256
+        other = rng.integers(0, 256, size=8000, dtype=np.uint8).tobytes()
+        media = spark.createDataFrame(
+            [("a1", "audio", base, 4000),
+             ("a2", "audio", bytes(near), 4000),
+             ("a3", "audio", other, 4000)],
+            "media_id string, modality string, payload binary, "
+            "duration_ms long")
+        rows = {(r.a_id, r.b_id): r
+                for r in audio_near_duplicates(media).collect()}
+        assert ("a1", "a2") in rows
+        assert rows[("a1", "a2")].match_frac >= 0.6
+        assert all("a3" not in p for p in rows)
+
+    def test_registry_rollup_runs(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.multimodal import (
+            q_media_audio_neardup,
+        )
+
+        row = q_media_audio_neardup(spark, sf_dir).first()
+        # aggregate row always exists; pair count is data-dependent (the
+        # synthetic-payload test above pins the recall semantics)
+        assert row is not None and row.dup_pairs >= 0
