@@ -700,6 +700,10 @@ _ALL: list[Query] = [
           selection.ORACLE_DSIR_SELECT,
           "DSIR-style importance resampling: hashed-word bucket "
           "distributions, broadcast log-ratio model, sign-based selection"),
+    Query("contamination_spans", selection.q_contamination_spans,
+          selection.ORACLE_CONTAMINATION_SPANS,
+          "span-level benchmark decontamination (positional shingles vs "
+          "broadcast benchmark set, island merge — redactable offsets)"),
     Query("dedup_spans", selection.q_dedup_spans,
           selection.ORACLE_DEDUP_SPANS,
           "cross-doc duplicated-span detection (positional shingle table "

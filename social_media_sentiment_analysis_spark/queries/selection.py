@@ -341,3 +341,84 @@ ORDER BY source
 
 
 ORACLE_TOKENIZER_FERTILITY = _oracle_tokenizer_fertility()
+
+
+# ---------------------------------------------------------------------------
+# Span-level benchmark contamination
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 3  # tokens per shingle (matches the doc-level check)
+
+
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: for every candidate document,
+    the maximal token spans whose {_CONTAM_K}-gram shingles appear in the
+    held-out benchmark slice (doc_id % 100 == 0) — the surgical variant of
+    the doc-level ``contamination`` check: pipelines that REDACT the
+    leaked span instead of dropping the whole document (PaLM/GPT-3-style
+    decontamination) need exactly these offsets.
+
+    Same islands idiom as ``dedup_spans`` with the duplicated-hash set
+    replaced by the broadcast benchmark shingle set: positional shingles
+    are one map-side posexplode, the probe is a broadcast semi-join (the
+    benchmark is eval-suite-sized by construction), the island merge
+    windows within doc_id. Reported per contaminated doc: span count,
+    contaminated token estimate, longest span.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT),
+                   lambda t: t != F.lit(""))
+    toked = docs.select("doc_id", arr.alias("arr")) \
+        .filter(F.size("arr") >= _CONTAM_K)
+    n_sh = F.size("arr") - F.lit(_CONTAM_K - 1)
+    sh = toked.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, _CONTAM_K)))
+        )).alias("pos", "h"))
+    bench = (sh.filter(F.col("doc_id") % 100 == 0)
+             .select("h").distinct())
+    hits = (sh.filter(F.col("doc_id") % 100 != 0)
+            .join(F.broadcast(bench), "h", "left_semi"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    spans = (islands.groupBy("doc_id", "isl")
+             .agg((F.max("pos") - F.min("pos") + F.lit(_CONTAM_K))
+                  .alias("span_tokens")))
+    return (spans.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("span_tokens").alias("contaminated_tokens"),
+                 F.max("span_tokens").alias("longest_span"))
+            .orderBy("doc_id"))
+
+
+ORACLE_CONTAMINATION_SPANS = f"""
+WITH toked AS (
+    SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+        t -> t <> '') AS arr
+    FROM documents
+), eligible AS (
+    SELECT doc_id, arr FROM toked WHERE len(arr) >= {_CONTAM_K}
+), sh AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(arr[i:i+{_CONTAM_K - 1}], ' ')) AS h
+    FROM eligible, unnest(range(1, len(arr) - {_CONTAM_K} + 2)) AS t(i)
+), bench AS (
+    SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0
+), hits AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+    FROM sh WHERE doc_id % 100 <> 0 AND h IN (SELECT h FROM bench)
+), spans AS (
+    SELECT doc_id, isl,
+           MAX(pos) - MIN(pos) + {_CONTAM_K} AS span_tokens
+    FROM hits GROUP BY doc_id, isl
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS contaminated_tokens,
+       CAST(MAX(span_tokens) AS BIGINT) AS longest_span
+FROM spans GROUP BY doc_id
+ORDER BY doc_id
+"""
