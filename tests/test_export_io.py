@@ -362,3 +362,30 @@ class TestShardSink:
          .option("path", out).option("rows_per_shard", "64")
          .mode("overwrite").save())
         assert read_shard_manifest(out)["n_rows"] == first.count()
+
+    def test_abort_never_deletes_committed_shards(self, tmp_path):
+        """abort() must not delete files a committed manifest references —
+        identical content across jobs shares a filename, so a failed
+        re-run's cleanup would otherwise destroy committed data."""
+        import json as _json
+        import os as _os
+
+        from social_media_sentiment_analysis_spark.sources.shards import (
+            ShardCommitMessage, ShardWriter,
+        )
+
+        path = str(tmp_path / "shards")
+        _os.makedirs(path)
+        committed = "c" * 32 + ".jsonl"
+        orphan = "d" * 32 + ".jsonl"
+        for name in (committed, orphan):
+            open(_os.path.join(path, name), "w").write("{}\n")
+        with open(_os.path.join(path, "manifest.json"), "w") as f:
+            _json.dump({"n_shards": 1, "n_rows": 1, "n_bytes": 3,
+                        "shards": [[committed, 1, 3]]}, f)
+        w = ShardWriter({"path": path})
+        # a failed job's tasks reported both names; only the orphan goes
+        w.abort([ShardCommitMessage(shards=[(committed, 1, 3),
+                                            (orphan, 1, 3)]), None])
+        assert _os.path.exists(_os.path.join(path, committed))
+        assert not _os.path.exists(_os.path.join(path, orphan))
