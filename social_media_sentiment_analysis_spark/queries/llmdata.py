@@ -2214,3 +2214,103 @@ def q_doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (corpus mixing weights)
+# ---------------------------------------------------------------------------
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights with a UniMax-style epoch
+    cap: w_s proportional to share_s^(1/T) at T=2 (up-weights small sources the
+    way multilingual/multi-domain pretraining mixes do), allocated against a
+    one-corpus token budget, with per-source repetition capped at 4 epochs.
+
+    Complements q_source_mix (which DOWN-samples everything to the smallest
+    source): here the budget is redistributed by temperature, and the report
+    shows which sources hit the repetition cap (their overflow is what an
+    iterative UniMax would hand to the uncapped sources).
+
+    Scale: one column-pruned corpus scan for per-source token totals; all
+    mixture math runs on the #sources-row aggregate via unpartitioned windows
+    (20 rows here, a few thousand at worst in production). The normalizer
+    sums doubles with decimal accumulation so Spark's partial-agg tree and
+    the oracle's sequential loop produce identical bits; ratios derived from
+    integer token counts are exact on both engines.
+    """
+    from ..functions.rounding import round_half_up
+
+    toked = _docs(spark, sf_dir).select(
+        "source",
+        F.when(F.col("cleaned_text") == "", F.lit(0))
+         .otherwise(F.size(tokens(F.col("cleaned_text"))))
+         .cast("long").alias("n_tok"))
+    totals = toked.groupBy("source").agg(
+        F.sum("n_tok").alias("source_tokens"))
+
+    w_all = Window.partitionBy()
+    total_tokens = F.sum("source_tokens").over(w_all)  # long: exact
+    share = F.col("source_tokens").cast("double") / total_tokens
+    w_raw = F.sqrt(share)  # share^(1/T), T=2
+    # decimal accumulation => order-independent normalizer (see rounding.py)
+    z = (F.sum(w_raw.cast("decimal(26,12)")).over(w_all)).cast("double")
+    enriched = totals.select(
+        "source", "source_tokens",
+        total_tokens.alias("total_tokens"),
+        share.alias("share"), w_raw.alias("w_raw"), z.alias("z"))
+
+    alloc = F.floor(F.col("w_raw") / F.col("z")
+                    * F.col("total_tokens")).cast("long")
+    epochs_raw = alloc.cast("double") / F.col("source_tokens")
+    return (
+        enriched.select(
+            "source",
+            "source_tokens",
+            round_half_up(F.col("share"), 6).alias("share"),
+            round_half_up(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+            alloc.alias("alloc_tokens"),
+            round_half_up(F.least(epochs_raw, F.lit(4.0)), 6).alias("epochs"),
+            (epochs_raw > 4.0).alias("capped"),
+            F.least(alloc, F.col("source_tokens") * 4).alias("capped_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = _SQL_DOCS + """
+, toked AS (
+    SELECT source,
+           CASE WHEN cleaned_text = '' THEN 0
+                ELSE len(string_split(cleaned_text, ' ')) END AS n_tok
+    FROM docs
+), totals AS (
+    SELECT source, SUM(n_tok) AS source_tokens FROM toked GROUP BY source
+), enriched AS (
+    SELECT source, source_tokens,
+           SUM(source_tokens) OVER () AS total_tokens,
+           CAST(source_tokens AS DOUBLE)
+               / CAST(SUM(source_tokens) OVER () AS DOUBLE) AS share,
+           sqrt(CAST(source_tokens AS DOUBLE)
+               / CAST(SUM(source_tokens) OVER () AS DOUBLE)) AS w_raw
+    FROM totals
+), normed AS (
+    SELECT *,
+           CAST(SUM(CAST(w_raw AS DECIMAL(26,12))) OVER () AS DOUBLE) AS z,
+           CAST(floor(w_raw
+               / CAST(SUM(CAST(w_raw AS DECIMAL(26,12))) OVER () AS DOUBLE)
+               * CAST(total_tokens AS DOUBLE)) AS BIGINT) AS alloc_tokens
+    FROM enriched
+)
+SELECT source,
+       CAST(source_tokens AS BIGINT) AS source_tokens,
+       floor(share * 1000000 + 0.5) / 1000000 AS share,
+       floor(w_raw / z * 1000000 + 0.5) / 1000000 AS weight,
+       alloc_tokens,
+       floor(least(CAST(alloc_tokens AS DOUBLE) / source_tokens, 4.0)
+             * 1000000 + 0.5) / 1000000 AS epochs,
+       (CAST(alloc_tokens AS DOUBLE) / source_tokens > 4.0) AS capped,
+       least(alloc_tokens, CAST(source_tokens AS BIGINT) * 4)
+           AS capped_tokens
+FROM normed
+ORDER BY source
+"""

@@ -469,6 +469,10 @@ _ALL: list[Query] = [
           llmdata.ORACLE_SOURCE_MIX,
           "token-budget source mixing: computed rates, md5-gated, "
           "engine-exact membership"),
+    Query("mixture_weights", llmdata.q_mixture_weights,
+          llmdata.ORACLE_MIXTURE_WEIGHTS,
+          "temperature-scaled source mixture (T=2) with UniMax-style "
+          "4-epoch cap; decimal-summed normalizer"),
     Query("chunk_documents", llmdata.q_chunk_documents,
           llmdata.ORACLE_CHUNK_DOCUMENTS,
           "sequence chunking: 50-token windows, one row per chunk, "
