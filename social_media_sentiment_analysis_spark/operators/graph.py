@@ -59,12 +59,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
     )
+    # No distinct here: different u can emit the same (v, m) edge, but
+    # _small_star's terminal distinct bounds the round's output and its
+    # min-aggregate is duplicate-insensitive, so deduping twice per round
+    # just adds an exchange. Output stays canonically oriented (m < u < v).
     return (
         und.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -107,13 +110,18 @@ def connected_components(
     edge list, so callers wanting singletons left-join this result and
     coalesce to the node's own id.
     """
-    cur = _canonical(edges, src, dst).localCheckpoint(eager=True)
-    if cur.isEmpty():
+    # Lazy localCheckpoint + checksum = ONE action per round: the checksum
+    # aggregate is the job that materializes the checkpoint, instead of an
+    # eager checkpoint job followed by a separate collect. On tiny edge
+    # sets (near-dup graphs are pairs-sparse) per-round latency is pure
+    # job/stage overhead, so halving the action count halves the round.
+    cur = _canonical(edges, src, dst).localCheckpoint(eager=False)
+    prev_sig = _checksum(cur)
+    if prev_sig[0] == 0:
         return cur.select(
             F.col("u").alias("node"), F.col("v").alias("component"))
-    prev_sig = _checksum(cur)
     for _ in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev_sig:
             break
