@@ -269,3 +269,19 @@ def test_new_retrieval_and_q20_plan_contracts(spark, sf_dir):
     hs = q("hybrid_search", spark, sf_dir)
     assert not has_sort_merge_join(hs)
     assert is_top_k(hs) or "TakeOrdered" in physical_plan(hs)
+
+
+def test_jaccard_self_join_never_broadcasts_corpus(spark, sf_dir):
+    """The shingled-corpus self-join must plan as a ShuffledHashJoin on the
+    block key: broadcasting either side ships the ENTIRE corpus through
+    the driver, which is slower at test SFs and impossible at 100 TB.
+    Guards the shuffle_hash hints in llmdata._jaccard_pairs."""
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    # dedup_clusters shares this pair path but its returned plan starts at
+    # the checkpointed component RDD, so the join is only visible here.
+    plan = physical_plan(q("dedup_ngram_jaccard", spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
