@@ -78,14 +78,20 @@ def run() -> dict:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    # warm each query once (JVM, file listing, per-plan codegen compile) so
-    # timings measure steady-state execution, not first-run compilation
-    for name in names:
-        QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Two passes per query; report the per-query minimum. Pass 1 absorbs
+    # first-run cost (JVM, file listing, per-plan codegen compile), so the
+    # min is normally pass 2's steady state — but timing both passes also
+    # rejects transient host contention (observed 3-5x uniform inflation
+    # from hypervisor steal), which a single timed pass cannot.
     for name in names:
         start = time.perf_counter()
         QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+    for name in names:
+        start = time.perf_counter()
+        QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = min(timings[name],
+                            round(time.perf_counter() - start, 3))
     total = round(sum(timings.values()), 3)
     spark.stop()
     return {
