@@ -1453,11 +1453,17 @@ def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # add-one smoothing: p(w) = (tc + 1) / (N + |V|)
     neglogp = -F.log((F.col("tc") + F.lit(1.0))
                      / F.lit(float(n_tok + v_size)))
+    # decimal-summed mean, not F.avg: ccnet_buckets COMPARES the rounded
+    # score against tertile thresholds, so the per-doc average must be
+    # order-independent across engines (functions/rounding.py)
+    from ..functions.rounding import decimal_sum
+
     return (
         toked.join(F.broadcast(vocab), "word")
         .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n_words"),
-             F.avg(neglogp).alias("avg_neglogp"))
+             (decimal_sum(neglogp, 26, 12) / F.count(F.lit(1)))
+             .alias("avg_neglogp"))
     )
 
 
@@ -1475,13 +1481,16 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only shared state — at 100 TB it's the word-count table a real
     pipeline would persist once and reuse across scoring runs.
     """
+    from ..functions.rounding import decimal_sum, round_half_up
+
     per_doc = _unigram_doc_scores(spark, sf_dir)
     return (
         per_doc.groupBy("source")
         .agg(F.count(F.lit(1)).alias("docs"),
-             F.round(F.avg("avg_neglogp"), 4).alias("mean_score"),
-             F.round(F.min("avg_neglogp"), 4).alias("best_score"),
-             F.round(F.max("avg_neglogp"), 4).alias("worst_score"))
+             round_half_up(decimal_sum(F.col("avg_neglogp"), 26, 12)
+                           / F.count(F.lit(1)), 4).alias("mean_score"),
+             round_half_up(F.min("avg_neglogp"), 4).alias("best_score"),
+             round_half_up(F.max("avg_neglogp"), 4).alias("worst_score"))
         .orderBy("source")
     )
 
@@ -1498,16 +1507,18 @@ ORACLE_UNIGRAM_LOGPROB = _SQL_DOCS + """
     FROM toked
 ), per_doc AS (
     SELECT t.doc_id, t.source,
-           AVG(-ln((v.tc + 1.0) / (tt.n_tokens + tt.v_size)))
+           CAST(SUM(CAST(-ln((v.tc + 1.0) / (tt.n_tokens + tt.v_size))
+                         AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*)
                AS avg_neglogp
     FROM toked t JOIN vocab v ON t.word = v.word CROSS JOIN totals tt
     GROUP BY t.doc_id, t.source
 )
 SELECT source,
        COUNT(*) AS docs,
-       round(AVG(avg_neglogp), 4) AS mean_score,
-       round(MIN(avg_neglogp), 4) AS best_score,
-       round(MAX(avg_neglogp), 4) AS worst_score
+       floor((CAST(SUM(CAST(avg_neglogp AS DECIMAL(26,12))) AS DOUBLE)
+              / COUNT(*)) * 10000 + 0.5) / 10000 AS mean_score,
+       floor(MIN(avg_neglogp) * 10000 + 0.5) / 10000 AS best_score,
+       floor(MAX(avg_neglogp) * 10000 + 0.5) / 10000 AS worst_score
 FROM per_doc
 GROUP BY source
 ORDER BY source
@@ -2151,13 +2162,16 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaying the corpus explode. Thresholds and scores are rounded before
     comparison so the bucket boundaries are engine-exact.
     """
+    from ..functions.rounding import decimal_sum, round_half_up
+
     per_doc = (_unigram_doc_scores(spark, sf_dir)
-               .withColumn("score_r", F.round("avg_neglogp", 6))
+               .withColumn("score_r",
+                           round_half_up(F.col("avg_neglogp"), 6))
                .localCheckpoint())
     th = (per_doc
           .agg(F.expr("percentile(score_r, array(0.33D, 0.67D))").alias("t"))
-          .select(F.round(F.col("t")[0], 6).alias("t1"),
-                  F.round(F.col("t")[1], 6).alias("t2")))
+          .select(round_half_up(F.col("t")[0], 6).alias("t1"),
+                  round_half_up(F.col("t")[1], 6).alias("t2")))
     bucket = (F.when(F.col("score_r") <= F.col("t1"), "head")
               .when(F.col("score_r") <= F.col("t2"), "middle")
               .otherwise("tail"))
@@ -2166,7 +2180,8 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_words").alias("total_words"),
-                 F.round(F.avg("score_r"), 4).alias("mean_score"))
+                 round_half_up(decimal_sum(F.col("score_r"), 26, 6)
+                               / F.count(F.lit(1)), 4).alias("mean_score"))
             .orderBy("bucket"))
 
 
@@ -2180,13 +2195,17 @@ ORACLE_CCNET_BUCKETS = _SQL_DOCS + """
     SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS v_size FROM toked
 ), per_doc AS (
     SELECT t.doc_id, COUNT(*) AS n_words,
-           round(AVG(-ln((v.tc + 1.0) / (tt.n_tokens + tt.v_size))), 6)
-               AS score_r
+           floor((CAST(SUM(CAST(-ln((v.tc + 1.0)
+                                     / (tt.n_tokens + tt.v_size))
+                                AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*))
+                 * 1000000 + 0.5) / 1000000 AS score_r
     FROM toked t JOIN vocab v ON t.word = v.word CROSS JOIN totals tt
     GROUP BY t.doc_id
 ), th AS (
-    SELECT round(quantile_cont(score_r, 0.33), 6) AS t1,
-           round(quantile_cont(score_r, 0.67), 6) AS t2
+    SELECT floor(quantile_cont(score_r, 0.33) * 1000000 + 0.5) / 1000000
+               AS t1,
+           floor(quantile_cont(score_r, 0.67) * 1000000 + 0.5) / 1000000
+               AS t2
     FROM per_doc
 )
 SELECT CASE WHEN score_r <= t1 THEN 'head'
@@ -2194,7 +2213,8 @@ SELECT CASE WHEN score_r <= t1 THEN 'head'
             ELSE 'tail' END AS bucket,
        COUNT(*) AS n_docs,
        CAST(SUM(n_words) AS BIGINT) AS total_words,
-       round(AVG(score_r), 4) AS mean_score
+       floor((CAST(SUM(CAST(score_r AS DECIMAL(26,6))) AS DOUBLE)
+              / COUNT(*)) * 10000 + 0.5) / 10000 AS mean_score
 FROM per_doc CROSS JOIN th
 GROUP BY bucket
 ORDER BY bucket

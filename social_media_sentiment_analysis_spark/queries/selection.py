@@ -89,11 +89,19 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (F.col("r_tot") + F.lit(_N_BUCKETS))))
                       .alias("log_ratio")))
 
+    # The rounded weight feeds a MEMBERSHIP test (> 0), so it must be
+    # engine-exact: decimal-summed mean (order-independent) + the shared
+    # floor-half-up rounding, not native AVG/round whose ulp divergence
+    # flips rows in and out of the result (functions/rounding.py).
+    from ..functions.rounding import decimal_sum, round_half_up
+
     scored = (words.filter(~is_target)
               .join(F.broadcast(ratios), "b")
               .groupBy("doc_id", "source")
               .agg(F.count(F.lit(1)).alias("n_words"),
-                   F.round(F.avg("log_ratio"), 6).alias("weight")))
+                   round_half_up(
+                       decimal_sum(F.col("log_ratio"), 26, 12)
+                       / F.count(F.lit(1)), 6).alias("weight")))
     return (scored.filter(F.col("weight") > 0)
             .select("doc_id", "source", "n_words", "weight")
             .orderBy("doc_id"))
@@ -118,7 +126,8 @@ ORACLE_DSIR_SELECT = _SQL_WORDS + f"""
     FROM counts CROSS JOIN totals
 ), scored AS (
     SELECT doc_id, source, COUNT(*) AS n_words,
-           round(AVG(log_ratio), 6) AS weight
+           floor((CAST(SUM(CAST(log_ratio AS DECIMAL(26,12))) AS DOUBLE)
+                  / COUNT(*)) * 1000000 + 0.5) / 1000000 AS weight
     FROM bucketed JOIN ratios USING (b)
     WHERE source <> '{_DSIR_TARGET_SOURCE}'
     GROUP BY doc_id, source
@@ -162,6 +171,42 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _positional_shingles(docs: DataFrame, text_col: str, id_col: str,
+                         k: int) -> DataFrame:
+    """(id, pos, h): every k-token shingle of every eligible document with
+    its 0-based start position — the positional dedup-index artifact shared
+    by the span queries. localCheckpoint: the table feeds two consumers
+    (the hash profile/benchmark set AND the position probe) — without the
+    barrier the corpus re-tokenizes and re-hashes once per consumer."""
+    arr = F.filter(F.split(F.lower(text_col), _TOKEN_SPLIT),
+                   lambda t: t != F.lit(""))
+    toked = docs.select(F.col(id_col), arr.alias("arr")) \
+        .filter(F.size("arr") >= k)
+    n_sh = F.size("arr") - F.lit(k - 1)
+    return toked.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, k)))
+        )).alias("pos", "h")).localCheckpoint()
+
+
+def _island_spans(marked: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge marked shingle start positions into maximal spans: runs of
+    consecutive positions collapse via the pos − row_number island key.
+    Positions are 1-based in the output; a span covers start_pos ..
+    end_pos+k-1 tokens."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w))
+    return (islands.groupBy(id_col, "isl")
+            .agg((F.min("pos") + F.lit(1)).alias("start_pos"),
+                 (F.max("pos") + F.lit(1)).alias("end_pos"),
+                 (F.max("pos") - F.min("pos") + F.lit(k))
+                 .alias("span_tokens"))
+            .drop("isl"))
+
+
 def duplicated_spans(docs: DataFrame, text_col: str, id_col: str,
                      k: int = _SPAN_K) -> DataFrame:
     """(id, start_pos, end_pos, span_tokens) per maximal duplicated span:
@@ -170,35 +215,13 @@ def duplicated_spans(docs: DataFrame, text_col: str, id_col: str,
     token array; a span covers start_pos .. end_pos+k-1 tokens. Core of
     ``q_dedup_spans`` — see its docstring for the plan-shape story; the
     cross-engine property pin is tests/test_properties.py."""
-    arr = F.filter(F.split(F.lower(text_col), _TOKEN_SPLIT),
-                   lambda t: t != F.lit(""))
-    toked = docs.select(F.col(id_col), arr.alias("arr")) \
-        .filter(F.size("arr") >= k)
-    n_sh = F.size("arr") - F.lit(k - 1)
-    # localCheckpoint: the positional shingle table feeds both the
-    # duplicated-hash profile and the position probe — without the barrier
-    # the corpus re-tokenizes and re-hashes once per consumer. This is the
-    # persisted dedup-index artifact, materialized.
-    sh = toked.select(
-        id_col,
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, k)))
-        )).alias("pos", "h")).localCheckpoint()
+    sh = _positional_shingles(docs, text_col, id_col, k)
     dup_hashes = (sh.groupBy("h")
                   .agg(F.count_distinct(id_col).alias("nd"))
                   .filter(F.col("nd") >= 2)
                   .select("h"))
     dup_pos = sh.join(dup_hashes, "h", "left_semi")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    islands = dup_pos.withColumn(
-        "isl", F.col("pos") - F.row_number().over(w))
-    return (islands.groupBy(id_col, "isl")
-            .agg((F.min("pos") + F.lit(1)).alias("start_pos"),
-                 (F.max("pos") + F.lit(1)).alias("end_pos"),
-                 (F.max("pos") - F.min("pos") + F.lit(k))
-                 .alias("span_tokens"))
-            .drop("isl"))
+    return _island_spans(dup_pos, id_col, k)
 
 
 ORACLE_DEDUP_SPANS = f"""
@@ -303,9 +326,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bytes").alias("total_bytes"),
                  F.sum("n_words").alias("total_words"),
                  F.sum("n_pieces").alias("total_pieces"),
-                 F.round(F.sum("n_pieces") / F.sum("n_words"), 4)
+                 # NULLIF: a source whose docs all clean to '' has zero
+                 # words/pieces — ANSI mode would throw on the division,
+                 # and the oracle must agree on NULL (not NaN)
+                 F.round(F.sum("n_pieces")
+                         / F.nullif(F.sum("n_words"), F.lit(0)), 4)
                   .alias("fertility"),
-                 F.round(F.sum("n_bytes") / F.sum("n_pieces"), 4)
+                 F.round(F.sum("n_bytes")
+                         / F.nullif(F.sum("n_pieces"), F.lit(0)), 4)
                   .alias("bytes_per_piece"))
             .orderBy("source"))
 
@@ -332,8 +360,9 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        CAST(SUM(n_words) AS BIGINT) AS total_words,
        CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
-       round(SUM(n_pieces) / CAST(SUM(n_words) AS DOUBLE), 4) AS fertility,
-       round(SUM(n_bytes) / CAST(SUM(n_pieces) AS DOUBLE), 4)
+       round(SUM(n_pieces) / CAST(NULLIF(SUM(n_words), 0) AS DOUBLE), 4)
+           AS fertility,
+       round(SUM(n_bytes) / CAST(NULLIF(SUM(n_pieces), 0) AS DOUBLE), 4)
            AS bytes_per_piece
 FROM feats GROUP BY source
 ORDER BY source
@@ -366,26 +395,12 @@ def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated token estimate, longest span.
     """
     docs = load_table(spark, sf_dir, "documents")
-    arr = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT),
-                   lambda t: t != F.lit(""))
-    toked = docs.select("doc_id", arr.alias("arr")) \
-        .filter(F.size("arr") >= _CONTAM_K)
-    n_sh = F.size("arr") - F.lit(_CONTAM_K - 1)
-    sh = toked.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, _CONTAM_K)))
-        )).alias("pos", "h"))
+    sh = _positional_shingles(docs, "text", "doc_id", _CONTAM_K)
     bench = (sh.filter(F.col("doc_id") % 100 == 0)
              .select("h").distinct())
     hits = (sh.filter(F.col("doc_id") % 100 != 0)
             .join(F.broadcast(bench), "h", "left_semi"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
-    spans = (islands.groupBy("doc_id", "isl")
-             .agg((F.max("pos") - F.min("pos") + F.lit(_CONTAM_K))
-                  .alias("span_tokens")))
+    spans = _island_spans(hits, "doc_id", _CONTAM_K)
     return (spans.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_spans"),
                  F.sum("span_tokens").alias("contaminated_tokens"),

@@ -28,6 +28,12 @@ What it does, and why this shape survives 100 TB:
   rebuilt in ~40 lines of Python where a custom format needs it.
 - ``abort()`` removes the shards named by the completed tasks' messages,
   leaving the directory as it was.
+- All IO goes through **pyarrow.fs** (``_fs_for``): Python DataSource
+  writers run in plain Python workers with no JVM access, so the Hadoop
+  FileSystem API is out of reach — pyarrow's scheme-aware layer
+  (local paths, ``s3://``, ``gs://``, ``hdfs://`` where the native libs
+  exist) is its executor-side equivalent. Tests exercise the local
+  scheme; remote schemes run the same code path modulo URI parsing.
 
 The companion ``read_shard_manifest`` / ``load_shards`` read the committed
 corpus back (manifest-driven, so partial jobs are never visible).
@@ -41,7 +47,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +59,33 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def _fs_for(path: str):
+    """(pyarrow FileSystem, in-fs path) for a plain local path or any URI
+    scheme pyarrow supports. Imported lazily so executor pickling ships no
+    filesystem handles — each task re-resolves from the path string."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _exists(fs, p: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def _write_json_atomic(fs, root: str, name: str, payload: dict) -> None:
+    """Stage-then-move manifest write: readers see the old manifest or the
+    new one, never a torn file. (On object stores move is copy+delete of
+    a single small object; the visible switch is still one PUT.)"""
+    tmp = f"{root}/.{name}.tmp"
+    with fs.open_output_stream(tmp) as f:
+        f.write(json.dumps(payload, indent=1, sort_keys=True).encode())
+    fs.move(tmp, f"{root}/{name}")
+
+
 @dataclass
 class ShardCommitMessage(WriterCommitMessage):
     shards: list = field(default_factory=list)  # [(name, n_rows, n_bytes)]
@@ -64,17 +96,22 @@ def _committed_shard_names(path: str) -> set:
     per-epoch) at ``path`` — files an abort must never delete, because
     content addressing maps identical payloads from different jobs onto
     the same filename."""
+    from pyarrow import fs as pafs
+
     names: set[str] = set()
+    fs, root = _fs_for(path)
     try:
-        listing = os.listdir(path)
-    except OSError:
+        infos = fs.get_file_info(pafs.FileSelector(root))
+    except (OSError, FileNotFoundError):
         return names
-    for fname in listing:
+    for info in infos:
+        fname = info.base_name
         if fname == "manifest.json" or (
                 fname.startswith("manifest-") and fname.endswith(".json")):
             try:
-                with open(os.path.join(path, fname)) as f:
-                    names.update(s[0] for s in json.load(f)["shards"])
+                with fs.open_input_stream(f"{root}/{fname}") as f:
+                    names.update(
+                        s[0] for s in json.loads(f.read())["shards"])
             except (OSError, ValueError, KeyError):
                 continue
     return names
@@ -87,7 +124,8 @@ class ShardWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> ShardCommitMessage:
-        os.makedirs(self.path, exist_ok=True)
+        fs, root = _fs_for(self.path)
+        fs.create_dir(root, recursive=True)
         out: list[tuple[str, int, int]] = []
         buf: list[str] = []
 
@@ -99,7 +137,7 @@ class ShardWriter(DataSourceWriter):
             name = f"{digest}.jsonl"
             # content-addressed: identical payload => identical name, so a
             # task retry overwrites its own bytes (idempotent)
-            with open(os.path.join(self.path, name), "wb") as f:
+            with fs.open_output_stream(f"{root}/{name}") as f:
                 f.write(payload)
             out.append((name, len(buf), len(payload)))
             buf.clear()
@@ -112,32 +150,30 @@ class ShardWriter(DataSourceWriter):
         return ShardCommitMessage(shards=out)
 
     def commit(self, messages) -> None:
+        fs, root = _fs_for(self.path)
         new = {tuple(s)[0]: list(s)
                for m in messages if m is not None for s in m.shards}
         # append mode MERGES with the committed manifest (dedup by
         # content-addressed name — re-appending identical data is a
         # no-op); overwrite replaces the view with this job's shards only
         merged = dict(new)
-        manifest_path = os.path.join(self.path, "manifest.json")
-        if not self.overwrite and os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                for s in json.load(f)["shards"]:
+        manifest_path = f"{root}/manifest.json"
+        if not self.overwrite and _exists(fs, manifest_path):
+            with fs.open_input_stream(manifest_path) as f:
+                for s in json.loads(f.read())["shards"]:
                     merged.setdefault(s[0], list(s))
         shards = [merged[k] for k in sorted(merged)]
-        manifest = {
+        _write_json_atomic(fs, root, "manifest.json", {
             "n_shards": len(shards),
             "n_rows": sum(s[1] for s in shards),
             "n_bytes": sum(s[2] for s in shards),
             "shards": shards,
-        }
-        tmp = os.path.join(self.path, ".manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, manifest_path)
+        })
 
     def abort(self, messages) -> None:
         # never delete a file some committed manifest references: identical
         # content from an earlier successful job shares the filename
+        fs, root = _fs_for(self.path)
         keep = _committed_shard_names(self.path)
         for m in messages:
             if m is None:
@@ -146,10 +182,9 @@ class ShardWriter(DataSourceWriter):
                 if name in keep:
                     continue
                 try:
-                    os.remove(os.path.join(self.path, name))
-                except OSError:
+                    fs.delete_file(f"{root}/{name}")
+                except (OSError, FileNotFoundError):
                     pass
-
 
 class ShardStreamWriter(DataSourceStreamWriter):
     """Streaming twin: every micro-batch commits its own
@@ -167,23 +202,21 @@ class ShardStreamWriter(DataSourceStreamWriter):
         return self._w.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        fs, root = _fs_for(self.path)
         shards = sorted(
             (list(s) for m in messages if m is not None for s in m.shards))
-        manifest = {
+        _write_json_atomic(fs, root, f"manifest-{batchId}.json", {
             "batch_id": batchId,
             "n_shards": len(shards),
             "n_rows": sum(s[1] for s in shards),
             "n_bytes": sum(s[2] for s in shards),
             "shards": shards,
-        }
-        tmp = os.path.join(self.path, f".manifest-{batchId}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(self.path, f"manifest-{batchId}.json"))
+        })
 
     def abort(self, messages, batchId: int) -> None:
         # as in the batch writer: files referenced by any committed
         # manifest (including this batch's own earlier attempt) survive
+        fs, root = _fs_for(self.path)
         keep = _committed_shard_names(self.path)
         for m in messages:
             if m is None:
@@ -192,8 +225,8 @@ class ShardStreamWriter(DataSourceStreamWriter):
                 if name in keep:
                     continue
                 try:
-                    os.remove(os.path.join(self.path, name))
-                except OSError:
+                    fs.delete_file(f"{root}/{name}")
+                except (OSError, FileNotFoundError):
                     pass
 
 
@@ -211,8 +244,9 @@ class ShardDataSource(DataSource):
 
 
 def read_shard_manifest(path: str) -> dict:
-    with open(os.path.join(path, "manifest.json")) as f:
-        return json.load(f)
+    fs, root = _fs_for(path)
+    with fs.open_input_stream(f"{root}/manifest.json") as f:
+        return json.loads(f.read())
 
 
 def read_stream_manifests(path: str) -> dict:
@@ -220,11 +254,17 @@ def read_stream_manifests(path: str) -> dict:
     dataloader-facing view of the corpus. Duplicate shard names across
     epochs (a replayed batch) collapse — content addressing makes the
     union idempotent."""
+    from pyarrow import fs as pafs
+
+    fs, root = _fs_for(path)
     shards: dict[str, list] = {}
-    for fname in sorted(os.listdir(path)):
+    infos = sorted(fs.get_file_info(pafs.FileSelector(root)),
+                   key=lambda i: i.base_name)
+    for info in infos:
+        fname = info.base_name
         if fname.startswith("manifest-") and fname.endswith(".json"):
-            with open(os.path.join(path, fname)) as f:
-                for s in json.load(f)["shards"]:
+            with fs.open_input_stream(f"{root}/{fname}") as f:
+                for s in json.loads(f.read())["shards"]:
                     shards[s[0]] = s
     ordered = [shards[k] for k in sorted(shards)]
     return {
@@ -237,9 +277,10 @@ def read_stream_manifests(path: str) -> dict:
 
 def load_shards(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Read back exactly the committed corpus: the manifest's shard list,
-    never a directory listing."""
+    never a directory listing. Paths keep their scheme, so Spark's own
+    connectors handle remote reads."""
     manifest = read_shard_manifest(path)
-    files = [os.path.join(path, s[0]) for s in manifest["shards"]]
+    files = [f"{path.rstrip('/')}/{s[0]}" for s in manifest["shards"]]
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -18,6 +18,26 @@ from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 from ..sources.batch import target_exists as _target_exists  # noqa: E402
 
 
+def _restore_displaced(spark, path: str) -> bool:
+    """If a rename-aside swap crashed after displacing ``path`` to a
+    ``{path}.old-*`` sibling but before renaming the staging dir in, the
+    committed table still exists — displaced. Adopt the newest such
+    snapshot back into place. Returns True if a restore happened."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    cands = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{path}.old-*"))
+    if not cands:
+        return False
+    newest = max(cands, key=lambda st: st.getModificationTime())
+    if not fs.rename(newest.getPath(), dst):
+        raise IOError(
+            f"found displaced state {newest.getPath()} but could not "
+            f"restore it to {path}")
+    return True
+
+
 def jsonl_sink(df: DataFrame, path: str, checkpoint: str,
                partition_granularity: str = "yyyyMMdd_HH") -> DataStreamWriter:
     """S5 with the evident intent (hourly partitions — the reference's
@@ -111,6 +131,12 @@ def upsert_parquet_sink(df: DataFrame, path: str, checkpoint: str,
 
         spark = batch.sparkSession
         batch = batch.dropDuplicates(keys)
+        if not _target_exists(spark, path):
+            # a previous swap may have crashed between the two renames —
+            # the committed table would then sit in a displaced .old dir;
+            # adopt it instead of silently treating the replay as a first
+            # build (which would discard all accumulated state)
+            _restore_displaced(spark, path)
         if _target_exists(spark, path):
             existing = spark.read.parquet(path)
             keep = existing.join(batch.select(*keys), on=keys,
@@ -118,16 +144,31 @@ def upsert_parquet_sink(df: DataFrame, path: str, checkpoint: str,
             out = keep.unionByName(batch)
         else:
             out = batch   # first batch: no target yet
-        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+        tag = uuid.uuid4().hex[:8]
+        staging = f"{path}.staging-{tag}"
         out.write.mode("overwrite").parquet(staging)  # reads old, writes new
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         dst = jvm.org.apache.hadoop.fs.Path(path)
         src = jvm.org.apache.hadoop.fs.Path(staging)
+        old = jvm.org.apache.hadoop.fs.Path(f"{path}.old-{tag}")
         fs = dst.getFileSystem(conf)
-        fs.delete(dst, True)
+        # rename-aside, never delete-then-rename: at every instant either
+        # the target or a displaced .old snapshot holds the full prior
+        # state, so a crash mid-swap is recoverable (see probe above)
+        if fs.exists(dst) and not fs.rename(dst, old):
+            raise IOError(f"failed to displace {path} for swap")
         if not fs.rename(src, dst):
+            if fs.exists(old):
+                fs.rename(old, dst)   # restore before failing loudly
             raise IOError(f"failed to swap {staging} into {path}")
+        fs.delete(old, True)
+        # the swap committed, so any leftover .staging-*/.old-* dirs are
+        # orphans from earlier crashed swaps: GC them
+        for pat in (f"{path}.staging-*", f"{path}.old-*"):
+            for st in fs.globStatus(
+                    jvm.org.apache.hadoop.fs.Path(pat)) or []:
+                fs.delete(st.getPath(), True)
 
     return (
         df.writeStream.foreachBatch(upsert)

@@ -375,6 +375,45 @@ def test_upsert_sink_update_mode_rollup(spark, tmp_path_factory):
     assert rows == {"a": 4, "b": 5}   # a revised to 1+3, one row per key
 
 
+def test_upsert_sink_recovers_displaced_state_after_crashed_swap(
+        spark, tmp_path_factory):
+    """A swap that crashed between displacing the target and renaming the
+    staging dir in leaves the committed table at {path}.old-*; the next
+    upsert must adopt it instead of treating the replay as a first build
+    (which would silently drop every previously accumulated key)."""
+    import os as _os
+    import shutil as _shutil
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        upsert_parquet_sink,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("ups2_out") / "t")
+    # committed prior state — but displaced, as a crashed swap leaves it
+    spark.createDataFrame([("old", 7)], "k string, total long") \
+        .write.parquet(f"{out}.old-deadbeef")
+    assert not _os.path.exists(out)
+
+    d = tmp_path_factory.mktemp("ups2_in")
+    with open(d / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"k": "new", "v": 2,
+                            "ts": "2024-01-15T10:00:00"}) + "\n")
+    stream = (spark.readStream.schema("k string, v long, ts timestamp")
+              .json(str(d)))
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    ckpt = str(tmp_path_factory.mktemp("ups2_ck") / "c")
+    q = (upsert_parquet_sink(agg, out, ckpt, keys=["k"])
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {r.k: r.total for r in spark.read.parquet(out).collect()}
+    assert rows == {"old": 7, "new": 2}   # displaced state survived
+    # the completed swap also GC'd the orphan
+    assert not _os.path.exists(f"{out}.old-deadbeef")
+    _shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_checkpoint_restart_processes_only_new_files(spark, tmp_path_factory):
     """Stopping and restarting a query on the same checkpoint resumes from
     recorded offsets: already-ingested files are NOT re-emitted, even into
