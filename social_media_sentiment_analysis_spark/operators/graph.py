@@ -240,11 +240,14 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select(F.col("a").alias("node"), "label"))
         counts = (nbr_labels.groupBy("node", "label")
                   .agg(F.count(F.lit(1)).alias("n")))
-        # top-1 label per node: max over (n, -label) — most frequent,
-        # smallest label on ties; one aggregate, no window sort
+        # top-1 label per node: min over (-n, label) — most frequent,
+        # smallest label on ties; one aggregate, no window sort. Negating
+        # the COUNT (always numeric) instead of the label keeps this
+        # correct for string node ids too (negating a string label casts
+        # to double => NULL/ANSI error, silently corrupting every round).
         new = (counts.groupBy("node")
-               .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("nl")))
-                    .alias("best"))
-               .select("node", (-F.col("best.nl")).alias("label")))
+               .agg(F.min(F.struct((-F.col("n")).alias("nn"),
+                                   F.col("label"))).alias("best"))
+               .select("node", F.col("best.label").alias("label")))
         labels = new.localCheckpoint()
     return labels.select("node", "label")

@@ -164,7 +164,9 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                     pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 raw = payload or b""
                 n_frames = max(1, -(-len(raw) // _FRAME_BYTES))
-                step_ms = (dur or 0) / n_frames
+                # NULL duration arrives as NaN (truthy!) through Arrow;
+                # `or 0` alone would propagate it into int() and crash
+                step_ms = (0 if pd.isna(dur) else dur or 0) / n_frames
                 for i in range(0, n_frames, every_n):
                     out.append((mid, i, int(i * step_ms),
                                 raw[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES]))
@@ -248,7 +250,8 @@ def segment_audio(media: DataFrame, segment_ms: int = 1000,
             for mid, payload, dur in zip(
                     pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 raw = payload or b""
-                dur = int(dur or 0)
+                # NaN (null duration) is truthy — pd.isna first, then int
+                dur = 0 if pd.isna(dur) else int(dur or 0)
                 if dur <= 0 or not raw:
                     continue
                 bytes_per_ms = len(raw) / dur

@@ -116,7 +116,8 @@ def ann_topk(df: DataFrame, query_vec: list[float], vec_col: str, id_col: str,
 
 def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
                        left_id: str, right_id: str, k: int = 5,
-                       bits: int = 6, probe_hamming: int = 2) -> DataFrame:
+                       bits: int = 6, probe_hamming: int = 2,
+                       dim: int | None = None) -> DataFrame:
     """For each left row, its k nearest right rows — multi-probe LSH join
     then windowed rank. The all-pairs fallback of vector search engines,
     kept bucket-local so the join is Σ|bucket|² not |corpus|².
@@ -126,6 +127,10 @@ def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
     the same recall/cost dial as ``ann_topk``, expressed as an equi-join
     key). Right rows stay single-bucket, so only the small/query side
     fans out (by Σ_{i≤h} C(bits,i) rows).
+
+    Pass ``dim`` (the embedding dimension, as ``ann_topk`` takes it) to
+    keep construction fully lazy; when omitted it is inferred with one
+    small eager probe of ``right``, which fails loudly on an empty input.
     """
     from itertools import combinations
 
@@ -138,8 +143,14 @@ def pairwise_topk_join(left: DataFrame, right: DataFrame, vec_col: str,
             for i in flips:
                 m |= 1 << i
             masks.append(m)
-    dim_probe = right.select(F.size(F.col(vec_col))).first()[0]
-    base = hyperplane_bucket(F.col(vec_col), dim_probe, bits)
+    if dim is None:
+        probe = right.select(F.size(F.col(vec_col))).first()
+        if probe is None:
+            raise ValueError(
+                "pairwise_topk_join: cannot infer the vector dimension "
+                "from an empty right DataFrame — pass dim= explicitly")
+        dim = probe[0]
+    base = hyperplane_bucket(F.col(vec_col), dim, bits)
     lb = left.withColumn(
         "bucket",
         F.explode(F.array(*[base.bitwiseXOR(F.lit(m)) for m in masks])))

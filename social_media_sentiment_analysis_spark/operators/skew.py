@@ -30,7 +30,18 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     is a deterministic hash of it, so replays/retries produce identical
     partitioning (no rand()). The small side is exploded ``num_salts``× —
     keep it the dimension side.
+
+    Only big-side-preserving join types are valid: an unmatched SMALL-side
+    row exists ``num_salts`` times after the explode, so right/full outer
+    would emit it ``num_salts`` times where the plain join emits once.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the exploded small "
+            f"side would duplicate its unmatched rows {num_salts}x; use a "
+            f"big-side-preserving join type {sorted(allowed)}")
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(num_salts)))
     salted_small = small.withColumn(

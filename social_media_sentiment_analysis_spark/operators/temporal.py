@@ -46,6 +46,12 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     rpayload = [c for c in right.columns if c not in (on, right_ts)]
+    clash = sorted(set(rpayload) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"as_of_join: right payload columns {clash} collide with left "
+            f"columns — the result would have ambiguous duplicate names; "
+            f"rename the right-side columns before joining")
     left_struct = F.struct(*[F.col(c) for c in left.columns])
     l2 = left.select(
         F.col(on).alias("__k"),

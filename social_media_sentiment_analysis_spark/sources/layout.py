@@ -199,12 +199,28 @@ def apply_changes(spark: SparkSession, target_path: str, changes: DataFrame,
     own partition pruning. Caveat vs real table formats: no snapshot
     isolation across partitions mid-write (the staged-swap trick in
     ``compact_parquet`` covers single-directory atomicity).
+
+    **Precondition: ``partition_col`` is immutable per key** (the standard
+    contract for partition-pruned merges — e.g. partition by creation
+    date). An update that MOVED a key to a new partition value would leave
+    the old partition's copy in place, since only touched partitions are
+    read. Within one change batch this is enforced (a key carrying two
+    partition values raises); across batches it cannot be detected without
+    a global key index, which is exactly what real table formats add.
     """
     latest = changes
     if seq_col is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
         latest = (changes.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1).drop("__rn"))
+    moved = (latest.groupBy(*keys)
+             .agg(F.count_distinct(partition_col).alias("__np"))
+             .filter(F.col("__np") > 1))
+    if not moved.isEmpty():
+        raise ValueError(
+            f"apply_changes: change batch carries multiple {partition_col} "
+            f"values for the same key — the partition column must be "
+            f"immutable per key (see docstring)")
     touched = [r[0] for r in
                latest.select(partition_col).distinct().collect()]
     if not touched:

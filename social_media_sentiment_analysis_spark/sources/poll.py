@@ -88,10 +88,9 @@ class TweetPollStreamReader(SimpleDataSourceStreamReader):
 
         return int(time.time() * 1000)
 
-    def _rows(self, lines: list[str]) -> list[tuple]:
+    def _rows(self, lines: list[str], ts: int) -> list[tuple]:
         # materialized (not a generator): the simple-reader prefetcher
         # pickles the batch for replay between read() and commit
-        ts = self._stamp()
         out = []
         for ln in lines:
             obj = json.loads(ln)
@@ -105,12 +104,20 @@ class TweetPollStreamReader(SimpleDataSourceStreamReader):
         lines = self._lines()
         lo = start["pos"]
         hi = min(lo + self.max_results, len(lines))  # per-poll cap (S1/S2)
-        return iter(self._rows(lines[lo:hi])), {"pos": hi}
+        # the poll stamp rides in the OFFSET: offsets are checkpointed, so
+        # a crash-recovery replay of this batch re-reads the ORIGINAL
+        # stamp instead of re-stamping with a new wall clock — without
+        # this, replayed rows hash differently and every content-addressed
+        # downstream (shard sink) would see them as new data
+        ts = self._stamp()
+        return iter(self._rows(lines[lo:hi], ts)), {"pos": hi, "ts": ts}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # deterministic replay for recovery — the reference could not replay
+        # deterministic replay for recovery — the reference could not
+        # replay; the stamp comes from the committed end offset (see read)
         lines = self._lines()
-        return self._rows(lines[start["pos"]:end["pos"]])
+        ts = int(end.get("ts") or self._stamp())
+        return self._rows(lines[start["pos"]:end["pos"]], ts)
 
 
 class TweetPollDataSource(DataSource):

@@ -86,6 +86,17 @@ def _write_json_atomic(fs, root: str, name: str, payload: dict) -> None:
     fs.move(tmp, f"{root}/{name}")
 
 
+def _json_default(v):
+    """JSONL value encoder: binary payloads as base64 text (round-trippable
+    and compact, vs the silent ``b'\\x..'`` repr ``default=str`` would
+    emit); timestamps/decimals/dates via str as before."""
+    import base64
+
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return str(v)
+
+
 @dataclass
 class ShardCommitMessage(WriterCommitMessage):
     shards: list = field(default_factory=list)  # [(name, n_rows, n_bytes)]
@@ -143,7 +154,11 @@ class ShardWriter(DataSourceWriter):
             buf.clear()
 
         for row in iterator:
-            buf.append(json.dumps(row.asDict(), default=str, sort_keys=True))
+            # recursive=True: Row.asDict() is shallow, so nested structs
+            # would otherwise serialize as Row(...) reprs; bytes go out as
+            # base64 (JSONL has no binary type), everything else via str
+            buf.append(json.dumps(row.asDict(recursive=True),
+                                  default=_json_default, sort_keys=True))
             if len(buf) >= self.rows_per_shard:
                 flush()
         flush()
@@ -214,20 +229,10 @@ class ShardStreamWriter(DataSourceStreamWriter):
         })
 
     def abort(self, messages, batchId: int) -> None:
-        # as in the batch writer: files referenced by any committed
-        # manifest (including this batch's own earlier attempt) survive
-        fs, root = _fs_for(self.path)
-        keep = _committed_shard_names(self.path)
-        for m in messages:
-            if m is None:
-                continue
-            for name, _, _ in m.shards:
-                if name in keep:
-                    continue
-                try:
-                    fs.delete_file(f"{root}/{name}")
-                except (OSError, FileNotFoundError):
-                    pass
+        # same semantics as the batch writer (files referenced by any
+        # committed manifest survive — including this batch's own earlier
+        # attempt): delegate so the keep-set logic lives once
+        self._w.abort(messages)
 
 
 class ShardDataSource(DataSource):

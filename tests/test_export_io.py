@@ -273,6 +273,31 @@ class TestShardSink:
         assert ({r.doc_id for r in back.select("doc_id").collect()}
                 == {r.doc_id for r in docs.select("doc_id").collect()})
 
+    def test_binary_and_nested_columns_roundtrip(self, spark, tmp_path):
+        """Binary payloads go out as base64 and nested structs as real JSON
+        objects — not the Python reprs a shallow asDict + default=str
+        emits (which read back as irrecoverable garbage)."""
+        import base64
+        import json
+
+        from social_media_sentiment_analysis_spark.sources.shards import (
+            ShardDataSource, read_shard_manifest,
+        )
+
+        spark.dataSource.register(ShardDataSource)
+        df = spark.createDataFrame(
+            [("m1", b"\x89PNG\x00rawbytes", ("cap1", 7))],
+            "media_id string, payload binary, "
+            "meta struct<caption:string, n:long>")
+        out = str(tmp_path / "bin_shards")
+        (df.write.format("shards").option("path", out)
+         .mode("append").save())
+
+        name = read_shard_manifest(out)["shards"][0][0]
+        rec = json.loads(open(f"{out}/{name}").read())
+        assert base64.b64decode(rec["payload"]) == b"\x89PNG\x00rawbytes"
+        assert rec["meta"] == {"caption": "cap1", "n": 7}   # real object
+
     def test_rewrite_is_idempotent_by_content(self, spark, sf_dir, tmp_path):
         from social_media_sentiment_analysis_spark.sources.batch import (
             load_table,

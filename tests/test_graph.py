@@ -130,3 +130,19 @@ class TestLabelPropagation:
         one = sorted(map(tuple, label_propagation(df, max_iter=4).collect()))
         two = sorted(map(tuple, label_propagation(df, max_iter=4).collect()))
         assert one == two
+
+    def test_string_node_ids_keep_valid_labels(self, spark):
+        """The tie-break must not negate the LABEL (string → double cast →
+        NULL/ANSI error): media near-dup ids like 'm12' are strings, and a
+        clique of them must still resolve to one non-null label."""
+        from social_media_sentiment_analysis_spark.operators.graph import (
+            label_propagation,
+        )
+
+        clique = ["m1", "m2", "m3", "m4"]
+        edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        labels = {r.node: r.label
+                  for r in label_propagation(df, max_iter=5).collect()}
+        assert None not in labels.values()
+        assert {labels[n] for n in clique} == {"m1"}

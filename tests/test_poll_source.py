@@ -54,7 +54,7 @@ def test_poll_cap_and_offsets(fixture_path):
         rows, off = r.read(off)
         polls.append(list(rows))
     assert [len(p) for p in polls] == [3, 3, 1, 0]   # capped, then drained
-    assert off == {"pos": 7}
+    assert off["pos"] == 7     # ts also rides in the offset (replay stamp)
     ids = [row[0][0] for poll in polls for row in poll]
     assert ids == [t["id"] for t in TWEETS]
 
@@ -62,6 +62,19 @@ def test_poll_cap_and_offsets(fixture_path):
 def test_api_result_cap(fixture_path):
     r = _reader(fixture_path, max_results=500)
     assert r.max_results == API_MAX_RESULTS  # min(max_results, 100)
+
+
+def test_replay_reuses_the_offsets_stamp(fixture_path):
+    """Live mode (no fixed kafka_timestamp_ms): the poll stamp is recorded
+    in the committed offset, so a crash-recovery readBetweenOffsets
+    replays the ORIGINAL stamp — not a fresh wall clock that would make
+    replayed rows hash as new data downstream."""
+    r = TweetPollStreamReader({"path": fixture_path, "max_results": "3"})
+    rows, off = r.read(r.initialOffset())
+    first = list(rows)
+    assert "ts" in off and off["ts"] == first[0][2]  # stamped from offset ts
+    replay = list(r.readBetweenOffsets({"pos": 0}, off))
+    assert replay == first  # byte-identical replay, stamp included
 
 
 def test_replay_is_deterministic(fixture_path):
