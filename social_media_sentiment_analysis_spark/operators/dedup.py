@@ -318,6 +318,60 @@ def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
     return out
 
 
+def banded_hamming_pairs(hashed: DataFrame, id_col: str, hash_col: str,
+                         band_bits: int, max_hamming: int,
+                         block_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Banded LSH self-join over 64-bit hashes, shared by every hamming
+    near-dup in the engine (text SimHash, media dHash, positional
+    frame/segment hashes): candidates collide on any ``band_bits``-wide
+    band (and every ``block_cols`` value — modality, frame index, ...),
+    then verify by exact ``bit_count(xor)`` hamming ≤ ``max_hamming``.
+
+    Returns (a_id, b_id, *block_cols, hamming) with a_id < b_id, distinct.
+    ``64 % band_bits`` must be 0 — otherwise the top bits would silently
+    never participate in banding and recall would quietly drop. Callers
+    should materialize (localCheckpoint) ``hashed`` when the hash column
+    is expensive to compute: the self-join reads it twice.
+    """
+    if band_bits <= 0 or 64 % band_bits:
+        raise ValueError(
+            f"band_bits must divide 64 (got {band_bits}): a remainder "
+            f"would leave the top bits out of every band")
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = hashed.select(
+        id_col, *block_cols, hash_col,
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ])).alias("band", "band_val"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cond = ((F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pairs = (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+            *[F.col(f"l.{c}").alias(c) for c in block_cols],
+            F.col(f"l.{hash_col}").alias("a_hash"),
+            F.col(f"r.{hash_col}").alias("b_hash"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", *block_cols, "hamming")
+    )
+
+
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             band_bits: int = 8,
                             max_hamming: int = 14,
@@ -325,7 +379,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     """Near-dups by simhash: candidates collide on any band_bits-wide band of
     the 64-bit fingerprint (8 bands of 8 bits guarantee recall up to hamming
     7 and catch hamming ≲ 16 with high probability); verify by exact hamming
-    distance ≤ max_hamming."""
+    distance ≤ max_hamming. Banding/verify via ``banded_hamming_pairs``."""
     fp = df.select(
         F.col(id_col),
         simhash_features(F.col(text_col), shingle_k).alias("__h"),
@@ -335,38 +389,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     ).select(
         F.col(id_col),
         simhash_from_votes(F.col("__votes")).alias("simhash"))
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = fp.select(
-        F.col(id_col), F.col("simhash"),
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ])).alias("band", "band_val"),
-    )
-    left, right = banded.alias("l"), banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("a_id"),
-            F.col(f"r.{id_col}").alias("b_id"),
-            F.col("l.simhash").alias("a_sim"),
-            F.col("r.simhash").alias("b_sim"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
-    )
+    return banded_hamming_pairs(
+        fp, id_col, "simhash", band_bits, max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -359,45 +359,16 @@ def phash_near_duplicates(media: DataFrame,
     group sizes are the bucket occupancies — skew shows up only if many
     payloads share a hash band, which is the duplicate mass itself.
     """
-    # localCheckpoint the (tiny) hash table: the banded self-join below reads
-    # it twice, and without a materialization barrier each side would re-run
+    from .dedup import banded_hamming_pairs
+
+    # localCheckpoint the (tiny) hash table: the banded self-join reads it
+    # twice, and without a materialization barrier each side would re-run
     # the Python decode stage over the full payload column. Checkpoint (not
     # persist) so the blocks free themselves when the result is GC'd.
     fp = phash_media(media).localCheckpoint()
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = fp.select(
-        "media_id", "modality", "phash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("phash"), b * band_bits)
-            .bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ])).alias("band", "band_val"),
-    )
-    left, right = banded.alias("l"), banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.modality") == F.col("r.modality"))
-            & (F.col("l.media_id") < F.col("r.media_id")),
-        )
-        .select(
-            F.col("l.media_id").alias("a_id"),
-            F.col("r.media_id").alias("b_id"),
-            F.col("l.modality").alias("modality"),
-            F.col("l.phash").alias("a_hash"),
-            F.col("r.phash").alias("b_hash"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "modality", "hamming")
-    )
+    return banded_hamming_pairs(
+        fp, "media_id", "phash", band_bits, max_hamming,
+        block_cols=("modality",))
 
 
 # ---------------------------------------------------------------------------
@@ -523,40 +494,16 @@ def _positional_near_duplicates(hashes_df: DataFrame, pos_col: str,
     ``hashes_df``: (media_id, <pos_col>, <hash_col>) — localCheckpointed
     here (two consumers: the banded self-join and the per-media counts).
     """
+    from .dedup import banded_hamming_pairs
+
     fh = hashes_df.localCheckpoint()
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = fh.select(
-        "media_id", pos_col, hash_col,
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col(hash_col), b * band_bits)
-            .bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ])).alias("band", "band_val"),
-    )
-    left, right = banded.alias("l"), banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col(f"l.{pos_col}") == F.col(f"r.{pos_col}"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.media_id") < F.col("r.media_id")),
-        )
-        .select(
-            F.col("l.media_id").alias("a_id"),
-            F.col("r.media_id").alias("b_id"),
-            F.col(f"l.{pos_col}").alias("pos"),
-            F.col(f"l.{hash_col}").alias("a_hash"),
-            F.col(f"r.{hash_col}").alias("b_hash"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    verified = banded_hamming_pairs(
+        fh, "media_id", hash_col, band_bits, max_hamming,
+        block_cols=(pos_col,))
     matches = (
-        cand.filter(hamming <= max_hamming)
+        verified
         .groupBy("a_id", "b_id")
-        .agg(F.count_distinct("pos").alias("n_matched"))
+        .agg(F.count_distinct(pos_col).alias("n_matched"))
     )
     counts = fh.groupBy("media_id").agg(
         F.count_distinct(pos_col).alias("n_units"))
