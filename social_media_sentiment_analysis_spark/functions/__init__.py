@@ -13,12 +13,19 @@ from .text import (  # noqa: F401
     bag_fingerprint,
     shingles,
 )
+from .lexicon_data import (  # noqa: F401
+    BOOSTERS,
+    LEXICON,
+    NEGATORS,
+    normalize_token,
+    score_tokens,
+)
 from .sentiment import (  # noqa: F401
-    POSITIVE_WORDS,
-    NEGATIVE_WORDS,
-    lexicon_scores,
     ensemble_columns,
+    lexicon_sums_udf,
+    lexicon_table,
     sentiment_enrich,
+    sentiment_enrich_relational,
     vader_textblob_udfs,
 )
 from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401

@@ -1,4 +1,4 @@
-"""Sentiment scoring: deterministic lexicon models + the ensemble combiner.
+"""Sentiment scoring: real valence-lexicon models + the ensemble combiner.
 
 The reference scores with two third-party models — VADER
 (sentiment_analysis.py:218-247) and TextBlob (:249-272) — then combines them
@@ -7,33 +7,46 @@ here, with the reference's exact constants: label map {pos:+1, neu:0, neg:-1},
 weights 0.6/0.4, final thresholds ±0.1, confidence = |combined| ×1.2 on
 agreement, clamped to 1.0.
 
-For the *model* scores we provide two paths:
+The model scores come from the engine's own ~4.7k-entry integer valence
+lexicon (functions/lexicon_data.py — AFINN-style public data with VADER-style
+negation and booster handling), through three interchangeable paths that are
+pinned equal by tests and by the shared DuckDB oracle:
 
-1. ``lexicon_scores`` (default): a deterministic lexicon model computed as
-   Column expressions. It has VADER's interface (compound/pos/neg/neu with
-   ±0.05 label thresholds) and TextBlob's (polarity/subjectivity, ±0.1), so
-   the whole pipeline — including the ensemble — is verifiable by the DuckDB
-   oracle, and at 100 TB it runs entirely inside whole-stage codegen with no
-   Python boundary at all.
+1. ``sentiment_enrich`` (default): an Arrow-vectorized ``pandas_udf``
+   computes the per-document INTEGER sums (s, pos_n, neg_n); everything
+   downstream is Column algebra. This is the zero-shuffle scale path — at
+   100 TB the corpus is scanned once and never exchanged. The alternative
+   relational formulation below must shuffle the corpus on doc_id to
+   re-associate scores, which is the actual bottleneck at scale (the
+   lexicon lookup itself is cheap either way). Integer sums keep the result
+   order-independent and bit-identical to the SQL oracle.
 
-2. ``vader_textblob_udfs`` (optional): the real third-party models as
-   Arrow-vectorized pandas UDFs, gated behind import — the idiomatic way to
-   run a real model at scale (per-executor lazy init, batch scoring). Not
-   used in oracle-checked paths because model outputs aren't SQL-reproducible.
+2. ``sentiment_enrich_relational``: the same scores as a pure-JVM plan —
+   normalize tokens, zip with the previous token, posexplode, broadcast-join
+   the 4.7k-row lexicon table, re-aggregate, join back. Fully
+   whole-stage-codegen'd and oracle-checked; kept as the no-Python variant
+   and as a cross-check of the UDF path (test_sentiment pins equality).
+
+3. ``vader_textblob_udfs``: the real third-party models as import-gated
+   Arrow UDFs (not installed in this sandbox; scores aren't
+   SQL-reproducible, so never on oracle-checked paths).
+
+Score model (deterministic, integer-exact; mirrored in queries/sqlgen.py):
+- s = Σ effective valence over lexicon hits; negation flips, boosters
+  intensify one step (lexicon_data.score_tokens is the ground truth).
+- vader_compound = s / sqrt(s² + 15)      (VADER's published normalization)
+- vader_positive/negative = pos_n/(n_tok+1), neg_n/(n_tok+1); neutral = rest
+- textblob_polarity = s / (5·(hits+1)) — valence rescaled to [-1,1] and
+  damped by hit count; subjectivity = hits/(n_tok+1).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .text import array_word_hits, clean_text, multi_word_hits, token_count, tokens
-
-# Deterministic lexicon over the testdata vocabulary. A production lexicon
-# (VADER's is ~7.5k entries) would be a broadcast map; two words keep the
-# oracle SQL readable while exercising the identical plan shape.
-POSITIVE_WORDS = ("fast", "big")
-NEGATIVE_WORDS = ("slow", "small")
+from .lexicon_data import BOOSTERS, LEXICON, NEGATORS, score_tokens
+from .text import clean_text, token_count, tokens
 
 # Reference constants (sentiment_analysis.py).
 VADER_POS_THRESHOLD = 0.05     # :224-229
@@ -43,6 +56,10 @@ ENSEMBLE_TEXTBLOB_WEIGHT = 0.4  # :281
 FINAL_THRESHOLD = 0.1          # :295-300
 AGREEMENT_BOOST = 1.2          # :304
 CONFIDENCE_CAP = 1.0           # :305
+
+# Engine lexicon constants.
+COMPOUND_ALPHA = 15.0          # VADER's compound normalization constant
+VALENCE_SCALE = 5              # lexicon valences live in [-5, 5]
 
 
 def _label_from(score: Column, threshold: float, strict: bool) -> Column:
@@ -55,40 +72,6 @@ def _label_from(score: Column, threshold: float, strict: bool) -> Column:
         .when(neg, F.lit("negative"))
         .otherwise(F.lit("neutral"))
     )
-
-
-def lexicon_scores(cleaned: Column) -> dict[str, Column]:
-    """Deterministic model scores over cleaned text.
-
-    vader-like:    compound = (pos−neg)/(pos+neg+1);  pos/neg/neu shares of
-                   tokens; label at >= ±0.05 (reference thresholds).
-    textblob-like: polarity = (pos−neg)/(tokens+1); subjectivity =
-                   (pos+neg)/(tokens+1); label at > ±0.1.
-
-    Empty text yields the canonical neutral record (compound 0, neu 1.0) —
-    the reference's U5 fallback (twitter_streamer.py:102-136).
-    """
-    pos_n = multi_word_hits(cleaned, POSITIVE_WORDS)
-    neg_n = multi_word_hits(cleaned, NEGATIVE_WORDS)
-    n_tok = token_count(cleaned)
-
-    compound = (pos_n - neg_n) / (pos_n + neg_n + F.lit(1.0))
-    vader_positive = pos_n / (n_tok + F.lit(1.0))
-    vader_negative = neg_n / (n_tok + F.lit(1.0))
-    vader_neutral = F.lit(1.0) - vader_positive - vader_negative
-    polarity = (pos_n - neg_n) / (n_tok + F.lit(1.0))
-    subjectivity = (pos_n + neg_n) / (n_tok + F.lit(1.0))
-
-    return {
-        "vader_compound": compound,
-        "vader_positive": vader_positive,
-        "vader_negative": vader_negative,
-        "vader_neutral": vader_neutral,
-        "vader_sentiment": _label_from(compound, VADER_POS_THRESHOLD, strict=False),
-        "textblob_polarity": polarity,
-        "textblob_subjectivity": subjectivity,
-        "textblob_sentiment": _label_from(polarity, TEXTBLOB_POS_THRESHOLD, strict=True),
-    }
 
 
 def _label_to_num(label: Column) -> Column:
@@ -125,35 +108,39 @@ def ensemble_columns(vader_label: Column, textblob_label: Column) -> dict[str, C
     }
 
 
-def sentiment_enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """U4 composite as one declarative pipeline: clean → model scores →
-    ensemble. Adds cleaned_text, all per-model score/label columns, and
-    final_sentiment/confidence_score.
+def lexicon_sums_udf():
+    """Arrow pandas UDF: cleaned text -> struct<s int, pos_n int, neg_n int>
+    of integer lexicon sums (lexicon_data.score_tokens per document).
 
-    Staged through intermediate columns (token hits, then scores, then
-    labels, then ensemble) so each expensive subexpression — especially the
-    token split — is computed ONCE per row. Inlining everything instead
-    repeats split() ~20× in the projection: lambda variables get unique IDs
-    per occurrence, which defeats codegen subexpression elimination, and at
-    100 TB that is a >10× CPU difference in the hot scan. Catalyst's
-    CollapseProject keeps multiply-referenced non-cheap aliases staged, and
-    whole-stage codegen still fuses all stages into one pass over the scan.
-    Numeric results are bit-identical to the inline form (same op order).
+    The ~4.7k-entry dict ships in the UDF closure (~100 KB — task-broadcast
+    once per executor, same mechanism Spark uses for any closure constant).
+    Deterministic by construction, so Catalyst may still push filters around
+    it; integer outputs keep it oracle-verifiable.
     """
-    df = df.withColumn("cleaned_text", clean_text(F.col(text_col)))
-    df = df.withColumn("__toks", tokens(F.col("cleaned_text")))
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(texts):
+        rows = [score_tokens(t.split(" ")) if t else (0, 0, 0)
+                for t in texts]
+        return pd.DataFrame(rows, columns=["s", "pos_n", "neg_n"])
+
+    _score.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_score, "s int, pos_n int, neg_n int")
+
+
+def _score_columns_from_sums(df: DataFrame) -> DataFrame:
+    """Shared tail of every scoring path: model-score/label/ensemble columns
+    from the integer columns (s, pos_n, neg_n, __n_tok). Single-expression
+    double arithmetic — identical op order to the DuckDB oracle
+    (queries/sqlgen.py ENRICHED_DOCS_CTE `scored` stage)."""
+    s, p, n = F.col("s"), F.col("pos_n"), F.col("neg_n")
+    t = F.col("__n_tok")
     df = df.withColumns({
-        "__pos_n": array_word_hits(F.col("__toks"), POSITIVE_WORDS),
-        "__neg_n": array_word_hits(F.col("__toks"), NEGATIVE_WORDS),
-        "__n_tok": F.when(F.col("cleaned_text") == "", F.lit(0))
-                    .otherwise(F.size(F.col("__toks"))),
-    })
-    p, n, t = F.col("__pos_n"), F.col("__neg_n"), F.col("__n_tok")
-    df = df.withColumns({
-        "vader_compound": (p - n) / (p + n + F.lit(1.0)),
+        "vader_compound": s / F.sqrt(s * s + F.lit(COMPOUND_ALPHA)),
         "vader_positive": p / (t + F.lit(1.0)),
         "vader_negative": n / (t + F.lit(1.0)),
-        "textblob_polarity": (p - n) / (t + F.lit(1.0)),
+        "textblob_polarity": s / (F.lit(float(VALENCE_SCALE)) * (p + n + F.lit(1.0))),
         "textblob_subjectivity": (p + n) / (t + F.lit(1.0)),
     })
     df = df.withColumns({
@@ -177,7 +164,105 @@ def sentiment_enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.least(base_conf * F.lit(AGREEMENT_BOOST), F.lit(CONFIDENCE_CAP)),
         ).otherwise(base_conf),
     })
-    return df.drop("__toks", "__pos_n", "__neg_n", "__n_tok")
+    return df.drop("s", "pos_n", "neg_n", "__n_tok")
+
+
+def sentiment_enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """U4 composite, default path: clean → lexicon integer sums (one Arrow
+    UDF call per row batch) → Column-algebra scores/labels/ensemble.
+
+    Adds cleaned_text, all per-model score/label columns, and
+    final_sentiment/confidence_score. Zero shuffles: the plan is scan →
+    ArrowEvalPython → codegen'd projection, so at 100 TB the corpus is
+    read once and never exchanged (see module docstring for the trade
+    against the relational variant). Stateless — identical on a batch scan
+    and a file stream (the streaming twin reuses this verbatim).
+    """
+    df = df.withColumn("cleaned_text", clean_text(F.col(text_col)))
+    df = df.withColumn("__sums", lexicon_sums_udf()(F.col("cleaned_text")))
+    df = df.withColumns({
+        "s": F.col("__sums.s"),
+        "pos_n": F.col("__sums.pos_n"),
+        "neg_n": F.col("__sums.neg_n"),
+        "__n_tok": token_count(F.col("cleaned_text")),
+    }).drop("__sums")
+    return _score_columns_from_sums(df)
+
+
+# ---------------------------------------------------------------------------
+# Relational (pure-JVM) scoring path: broadcast lexicon join.
+# ---------------------------------------------------------------------------
+
+def normalize_token_col(tok: Column) -> Column:
+    """Column twin of lexicon_data.normalize_token (and sqlgen.sql_norm)."""
+    dequoted = F.replace(F.replace(F.lower(tok), F.lit("'"), F.lit("")),
+                         F.lit("’"), F.lit(""))
+    return F.regexp_replace(
+        F.regexp_replace(dequoted, "^[^a-z0-9]+", ""), "[^a-z0-9]+$", "")
+
+
+def lexicon_table(spark: SparkSession) -> DataFrame:
+    """The valence lexicon as a (word, valence) DataFrame — the broadcast
+    dimension for the relational scoring path (4.7k rows)."""
+    return spark.createDataFrame(
+        sorted(LEXICON.items()), schema="word string, valence int")
+
+
+def effective_valence(valence: Column, prev: Column) -> Column:
+    """Context-adjusted valence: negation flips sign, a booster intensifies
+    one step toward the ±5 cap; negation wins (lexicon_data.score_tokens)."""
+    boosted = F.when(
+        valence > 0, F.least(valence + 1, F.lit(VALENCE_SCALE))
+    ).otherwise(F.greatest(valence - 1, F.lit(-VALENCE_SCALE)))
+    return (
+        F.when(prev.isin(*NEGATORS), -valence)
+        .when(prev.isin(*BOOSTERS), boosted)
+        .otherwise(valence)
+    )
+
+
+def sentiment_enrich_relational(
+    df: DataFrame, spark: SparkSession, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """U4 composite as a pure-JVM relational plan, result-identical to
+    ``sentiment_enrich`` (pinned by tests and by sharing one oracle).
+
+    Plan: normalize the token array in-place (codegen), zip each token with
+    its predecessor, posexplode, broadcast-hash-join the lexicon (the
+    idiomatic small-dim join — O(1) lookups, no skew), partial-agg the
+    integer sums per document (map-side combine collapses to ≤1 row per doc
+    per partition before the exchange), then join the small sums table back
+    on ``id_col``. Two exchanges total; the join-back shuffles the corpus on
+    doc_id, which is why the zero-shuffle UDF path is the default at scale.
+    """
+    df = df.withColumn("cleaned_text", clean_text(F.col(text_col)))
+    toks = F.transform(tokens(F.col("cleaned_text")), normalize_token_col)
+    prevs = F.concat(F.array(F.lit("")), F.slice(toks, 1, F.size(toks) - 1))
+    pairs = (
+        df.select(F.col(id_col), F.arrays_zip(toks, prevs).alias("__zip"))
+        .select(F.col(id_col), F.explode("__zip").alias("pr"))
+        .select(F.col(id_col), F.col("pr.0").alias("tok"),
+                F.col("pr.1").alias("prev"))
+    )
+    hits = pairs.join(
+        F.broadcast(lexicon_table(df.sparkSession)), pairs.tok == F.col("word"))
+    v = effective_valence(F.col("valence"), F.col("prev"))
+    sums = hits.groupBy(id_col).agg(
+        F.sum(v).cast("int").alias("s"),
+        F.sum(F.when(v > 0, 1).otherwise(0)).cast("int").alias("pos_n"),
+        F.sum(F.when(v < 0, 1).otherwise(0)).cast("int").alias("neg_n"),
+    )
+    df = (
+        df.join(sums, on=id_col, how="left")
+        .withColumns({
+            "s": F.coalesce(F.col("s"), F.lit(0)),
+            "pos_n": F.coalesce(F.col("pos_n"), F.lit(0)),
+            "neg_n": F.coalesce(F.col("neg_n"), F.lit(0)),
+            "__n_tok": token_count(F.col("cleaned_text")),
+        })
+    )
+    return _score_columns_from_sums(df)
 
 
 # ---------------------------------------------------------------------------

@@ -399,12 +399,27 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
 
 def embedding_near_duplicates(df: DataFrame, vec_col: str, id_col: str,
                               block_col: str | None = None,
-                              threshold: float = 0.95) -> DataFrame:
+                              threshold: float = 0.95,
+                              allow_full_cartesian: bool = False) -> DataFrame:
     """Cosine-similarity near-dups over an embedding column. Pairs are
     blocked (same ``block_col``; at scale use an LSH bucket column from
-    operators.similarity.hyperplane_bucket) so the join is not all-pairs."""
+    operators.similarity.hyperplane_bucket) so the join is not all-pairs.
+
+    This is the deliberately-EXACT oracle-checkable form: cost is
+    Σ|block|², which is fine for label-blocked corpora but quadratic on an
+    unblocked one — so calling it with ``block_col=None`` requires an
+    explicit ``allow_full_cartesian=True`` opt-in. For unblocked corpora at
+    scale use ``ml.lsh.brp_embedding_pairs`` or ``ml.semdedup`` instead.
+    """
     from ..functions.vectors import cosine_similarity
 
+    if block_col is None and not allow_full_cartesian:
+        raise ValueError(
+            "embedding_near_duplicates without block_col is an all-pairs "
+            "cartesian product (O(n²)); pass block_col (e.g. an LSH bucket "
+            "from operators.similarity.hyperplane_bucket), or opt in "
+            "explicitly with allow_full_cartesian=True, or use the scale "
+            "paths ml.lsh.brp_embedding_pairs / ml.semdedup.")
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col:
         cols.append(F.col(block_col))

@@ -507,12 +507,16 @@ def _positional_near_duplicates(hashes_df: DataFrame, pos_col: str,
     )
     counts = fh.groupBy("media_id").agg(
         F.count_distinct(pos_col).alias("n_units"))
+    # no broadcast hints on the counts table: it has one row per media,
+    # which grows with the corpus — a forced broadcast is driver-memory-
+    # bounded at scale. AQE broadcasts it while it fits and falls back to
+    # a shuffled join beyond that.
     return (
         matches
-        .join(F.broadcast(counts.withColumnRenamed("media_id", "a_id")
-                          .withColumnRenamed("n_units", "a_units")), "a_id")
-        .join(F.broadcast(counts.withColumnRenamed("media_id", "b_id")
-                          .withColumnRenamed("n_units", "b_units")), "b_id")
+        .join(counts.withColumnRenamed("media_id", "a_id")
+                    .withColumnRenamed("n_units", "a_units"), "a_id")
+        .join(counts.withColumnRenamed("media_id", "b_id")
+                    .withColumnRenamed("n_units", "b_units"), "b_id")
         .withColumn(
             "match_frac",
             F.round(F.col("n_matched")

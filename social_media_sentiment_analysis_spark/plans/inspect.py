@@ -59,3 +59,55 @@ def scan_schemas(df: DataFrame) -> list[str]:
 def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
                               physical_plan(df))))
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split '[..], [..], [..]' into top-level groups (nested [] handled)."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def partitionless_windows(df: DataFrame) -> list[str]:
+    """Window / WindowGroupLimit nodes with an EMPTY partition spec — every
+    row of their input flows through ONE task. Returns the offending plan
+    lines (empty list = clean). Fine over bounded inputs (per-type/per-day
+    aggregates, P-row offset tables); a scale killer over unbounded ones —
+    tests keep an explicit allowlist of the justified-bounded cases.
+
+    Node formats: ``Window [exprs], [partSpec], [orderSpec]`` when both are
+    present; with only 2 groups the second is EITHER a bare partition spec
+    (``partitionBy`` without ``orderBy`` — fine) or a bare order spec
+    (``orderBy`` without ``partitionBy`` — global); order specs are the
+    ones carrying ASC/DESC. ``WindowGroupLimit [partSpec], [orderSpec],
+    rank, k`` prints the partition spec first — empty = global.
+    """
+    def _is_order_spec(group: str) -> bool:
+        return " ASC" in group or " DESC" in group
+
+    out = []
+    for line in physical_plan(df).splitlines():
+        stripped = line.lstrip(" +-:*")
+        if stripped.startswith("Window "):
+            groups = _top_level_bracket_groups(stripped)
+            if len(groups) < 3 and (
+                    len(groups) < 2 or not groups[1].strip()
+                    or _is_order_spec(groups[1])):
+                out.append(stripped)
+        elif stripped.startswith("WindowGroupLimit"):
+            groups = _top_level_bracket_groups(stripped)
+            if groups and not groups[0].strip():
+                out.append(stripped)
+    return out

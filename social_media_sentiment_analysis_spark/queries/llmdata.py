@@ -2159,8 +2159,11 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists (one row per document); it takes a materialization barrier
     (localCheckpoint) so the tertile thresholds (1-row exact-percentile
     aggregate, broadcast back) and the bucket rollup both read it without
-    replaying the corpus explode. Thresholds and scores are rounded before
-    comparison so the bucket boundaries are engine-exact.
+    replaying the corpus explode. Thresholds use DISCRETE percentiles
+    (percentile_disc ≡ DuckDB quantile_disc: an order statistic, no
+    interpolation), so a document sitting exactly on a tertile boundary
+    lands in the same bucket in both engines — continuous percentile()
+    vs quantile_cont() can differ by ulps in the interpolation op order.
     """
     from ..functions.rounding import decimal_sum, round_half_up
 
@@ -2168,10 +2171,11 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withColumn("score_r",
                            round_half_up(F.col("avg_neglogp"), 6))
                .localCheckpoint())
-    th = (per_doc
-          .agg(F.expr("percentile(score_r, array(0.33D, 0.67D))").alias("t"))
-          .select(round_half_up(F.col("t")[0], 6).alias("t1"),
-                  round_half_up(F.col("t")[1], 6).alias("t2")))
+    th = per_doc.agg(
+        F.expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY score_r)")
+        .alias("t1"),
+        F.expr("percentile_disc(0.67) WITHIN GROUP (ORDER BY score_r)")
+        .alias("t2"))
     bucket = (F.when(F.col("score_r") <= F.col("t1"), "head")
               .when(F.col("score_r") <= F.col("t2"), "middle")
               .otherwise("tail"))
@@ -2202,10 +2206,8 @@ ORACLE_CCNET_BUCKETS = _SQL_DOCS + """
     FROM toked t JOIN vocab v ON t.word = v.word CROSS JOIN totals tt
     GROUP BY t.doc_id
 ), th AS (
-    SELECT floor(quantile_cont(score_r, 0.33) * 1000000 + 0.5) / 1000000
-               AS t1,
-           floor(quantile_cont(score_r, 0.67) * 1000000 + 0.5) / 1000000
-               AS t2
+    SELECT quantile_disc(score_r, 0.33) AS t1,
+           quantile_disc(score_r, 0.67) AS t2
     FROM per_doc
 )
 SELECT CASE WHEN score_r <= t1 THEN 'head'

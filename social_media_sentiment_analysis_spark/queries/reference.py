@@ -53,24 +53,37 @@ def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A1+A2: sentiment summary (GET /summary, sentiment_analysis.py:450-519)
 # ---------------------------------------------------------------------------
 
+def _summary_aggs() -> list:
+    """Shared batch/streaming aggregate list for the sentiment summary.
+    avg_confidence is decimal_sum/count + engine-exact rounding rather than
+    round(avg(),4): double accumulation order differs between batch partials
+    and micro-batch partials, and an order-INDEPENDENT exact sum is the only
+    form one DuckDB oracle can pin for both."""
+    from ..functions.rounding import decimal_sum, round_half_up
+
+    n = F.count(F.lit(1))
+    return [
+        n.alias("tweet_count"),
+        round_half_up(decimal_sum(F.col("confidence_score")) / n, 4)
+        .alias("avg_confidence"),
+        F.sum("like_count").alias("total_likes"),
+        F.sum("retweet_count").alias("total_retweets"),
+    ]
+
+
 def q_sentiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         enriched_documents(spark, sf_dir)
         .groupBy("final_sentiment")
-        .agg(
-            F.count(F.lit(1)).alias("tweet_count"),
-            F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
-            F.sum("like_count").alias("total_likes"),
-            F.sum("retweet_count").alias("total_retweets"),
-        )
+        .agg(*_summary_aggs())
         .orderBy(F.desc("tweet_count"), F.asc("final_sentiment"))
     )
 
 
-ORACLE_SENTIMENT_SUMMARY = ENRICHED_DOCS_CTE + """
+ORACLE_SENTIMENT_SUMMARY = ENRICHED_DOCS_CTE + f"""
 SELECT final_sentiment,
        COUNT(*) AS tweet_count,
-       round(AVG(confidence_score), 4) AS avg_confidence,
+       {_sql_exact_avg('confidence_score')} AS avg_confidence,
        CAST(SUM(like_count) AS BIGINT) AS total_likes,
        CAST(SUM(retweet_count) AS BIGINT) AS total_retweets
 FROM enriched
@@ -82,15 +95,19 @@ ORDER BY tweet_count DESC, final_sentiment ASC
 def q_sentiment_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 grand total — in the reference this is an app-side sum over the
     summary (sentiment_analysis.py:628); here a global aggregate."""
+    from ..functions.rounding import decimal_sum, round_half_up
+
+    n = F.count(F.lit(1))
     return enriched_documents(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("total_tweets"),
-        F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
+        n.alias("total_tweets"),
+        round_half_up(decimal_sum(F.col("confidence_score")) / n, 4)
+        .alias("avg_confidence"),
     )
 
 
-ORACLE_SENTIMENT_TOTAL = ENRICHED_DOCS_CTE + """
+ORACLE_SENTIMENT_TOTAL = ENRICHED_DOCS_CTE + f"""
 SELECT COUNT(*) AS total_tweets,
-       round(AVG(confidence_score), 4) AS avg_confidence
+       {_sql_exact_avg('confidence_score')} AS avg_confidence
 FROM enriched
 """
 
@@ -289,14 +306,25 @@ def q_streaming_sentiment_summary(spark: SparkSession,
 
     stream = _enrich_docs_relation(
         load_table_stream(spark, sf_dir, "documents"))
-    summary = (
-        stream.groupBy("final_sentiment")
-        .agg(
-            F.count(F.lit(1)).alias("tweet_count"),
-            F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
-            F.sum("like_count").alias("total_likes"),
-            F.sum("retweet_count").alias("total_retweets"),
-        )
-    )
+    summary = stream.groupBy("final_sentiment").agg(*_summary_aggs())
     return drain_stream_to_df(summary, "stream_summary") \
         .orderBy(F.desc("tweet_count"), F.asc("final_sentiment"))
+
+
+def q_sentiment_enrich_relational(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The enrichment projection computed by the PURE-JVM relational plan
+    (explode → broadcast lexicon join → re-aggregate → join back) instead
+    of the default Arrow-UDF path. Shares ORACLE_SENTIMENT_ENRICH with
+    q_sentiment_enrich — one oracle pinning two independent Spark plans."""
+    from ..functions.sentiment import sentiment_enrich_relational
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumnRenamed("text", "tweet_text")
+        .withColumnRenamed("lang", "language")
+        .withColumn("like_count", F.col("doc_id") % 100)
+        .withColumn("retweet_count", (F.col("doc_id") * 7) % 50)
+    )
+    return sentiment_enrich_relational(
+        docs, spark, text_col="tweet_text").select(*_ENRICHED_COLS)

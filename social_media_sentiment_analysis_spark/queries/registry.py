@@ -45,6 +45,11 @@ _ALL: list[Query] = [
     Query("sentiment_enrich", reference.q_sentiment_enrich,
           reference.ORACLE_SENTIMENT_ENRICH,
           "U4/U6: full clean→score→ensemble enrichment projection"),
+    Query("sentiment_enrich_relational",
+          reference.q_sentiment_enrich_relational,
+          reference.ORACLE_SENTIMENT_ENRICH,
+          "U4 via pure-JVM broadcast-lexicon-join plan (same oracle as the "
+          "Arrow-UDF default — one oracle pins two independent plans)"),
     Query("recent_tweets", reference.q_recent_tweets,
           reference.ORACLE_RECENT_TWEETS,
           "O1: top-k by recency (TakeOrderedAndProject)"),
@@ -721,37 +726,44 @@ _ALL: list[Query] = [
 ]
 
 # The driver's correctness gate verifies the first 50 entries in registry
-# order. Front-load a representative cross-section — the reference surface,
-# the oracle-verified STREAMING pair, the data-selection/LM-quality family,
-# and one of each major join/agg shape — so the recorded gate covers every
-# capability class, not just whatever happened to be defined first. (Local
-# harnesses still verify the full registry at 3 scale factors.)
+# order. The front-50 ROTATES each round so successive driver gates
+# cumulatively cover the registry (r1 ∪ r2 gated 79 distinct queries;
+# local harnesses still verify the full registry at 3 scale factors).
+# Always kept: the reference surface + the oracle-verified streaming pair.
+# Round 3 adds everything whose implementation changed this round (the
+# real-lexicon sentiment family rides the always-on core; the relational
+# lexicon plan, the distributed-ntile rewrites, and the discrete-percentile
+# ccnet form are gated explicitly) and fills the rest with oracle-bearing
+# queries no driver gate has recorded yet.
 _FRONT = [
-    # reference surface (flagship first — also the smoke entry)
+    # reference surface (flagship first — also the smoke entry); scores now
+    # come from the real valence lexicon, so this re-gates the new model
     "sentiment_summary", "sentiment_total", "sentiment_enrich",
     "recent_tweets", "recent_negative", "lang_filter", "trailing_window",
     "hourly_rollup", "export",
     # streaming ≡ batch, verified by the same oracles
     "streaming_sentiment_summary", "streaming_hourly_rollup",
-    # data-selection / LM-quality family (round 2)
-    "ccnet_buckets", "dsir_select", "dedup_spans", "contamination_spans",
-    "group_sample", "tokenizer_fertility",
-    # dedup families
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
-    "dedup_clusters", "dedup_canonical",
-    # similarity search
-    "knn_bruteforce", "knn_join",
-    # star/TPC-H representatives
-    "author_enrichment", "revenue_by_region", "pricing_summary",
-    "priority_lineitem_revenue", "shipping_priority", "important_stock",
-    "customer_order_distribution", "nation_trade_flows", "promo_revenue",
-    "big_orders", "cheapest_parts", "sole_late_supplier",
-    # windows / temporal / shaping
-    "running_total", "type_share", "sessionization", "asof_latest_order",
-    "error_impact", "gapfill_hourly", "type_hour_cube", "feature_drift",
-    "value_percentiles", "conversion_attribution",
-    # text / tokenization
-    "text_stats", "word_frequency", "tfidf_keywords", "gopher_quality",
+    # changed this round — gate the new plans
+    "sentiment_enrich_relational", "customer_spend_quartiles",
+    "rfm_segments", "ccnet_buckets",
+    # named by the r2 verdict for rotation
+    "mixture_weights", "hybrid_search", "scd2_history",
+    "event_pattern_match", "negative_samples",
+    # never-gated: text / LM quality
+    "bigram_logprob", "unigram_logprob", "bm25_search", "inverted_index",
+    "oov_rate", "zipf_exponent", "pmi_collocations", "vocab_growth",
+    # never-gated: dedup / multimodal
+    "incremental_dedup", "dedup_levenshtein", "cross_doc_overlap",
+    "media_dedup", "media_metadata", "fingerprints",
+    # never-gated: pipeline shaping / privacy
+    "pack_sequences", "chunk_documents", "dataset_split",
+    "stratified_sample", "source_mix", "corpus_datacard", "pii_redact",
+    "k_anonymity",
+    # never-gated: temporal / behavioral
+    "asof_next_order", "moving_average", "retention_cohorts",
+    "session_funnel", "hourly_anomalies",
+    # never-gated: embeddings
+    "quantize_embeddings", "label_centroids", "hard_negatives",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _ALL.sort(key=lambda q: _FRONT_ORDER.get(q.name, len(_FRONT_ORDER)))

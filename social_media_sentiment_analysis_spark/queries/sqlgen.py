@@ -23,17 +23,26 @@ Determinism policy for oracle-checked queries:
 
 from __future__ import annotations
 
+from pathlib import Path
+
+from ..functions.lexicon_data import BOOSTERS, NEGATORS
 from ..functions.sentiment import (
     AGREEMENT_BOOST,
+    COMPOUND_ALPHA,
     ENSEMBLE_TEXTBLOB_WEIGHT,
     ENSEMBLE_VADER_WEIGHT,
     FINAL_THRESHOLD,
-    NEGATIVE_WORDS,
-    POSITIVE_WORDS,
     TEXTBLOB_POS_THRESHOLD,
     VADER_POS_THRESHOLD,
+    VALENCE_SCALE,
 )
 from ..functions.text import STOPWORDS
+
+# The checked-in lexicon artifact (tools/build_lexicon_csv.py regenerates it
+# from functions/lexicon_data.py; a test pins file == dict). Resolved to an
+# absolute path at import time so the oracle SQL works from any cwd.
+LEXICON_CSV = str(
+    Path(__file__).resolve().parent.parent / "data" / "sentiment_lexicon.csv")
 
 
 def sql_clean(col: str) -> str:
@@ -72,29 +81,86 @@ def sql_label_to_num(label: str) -> str:
     )
 
 
+def sql_norm(tok: str) -> str:
+    """DuckDB twin of lexicon_data.normalize_token: lowercase, drop
+    apostrophes, strip non-[a-z0-9] runs from both ends."""
+    dequoted = f"replace(replace(lower({tok}), '''', ''), '’', '')"
+    return (
+        f"regexp_replace(regexp_replace({dequoted}, "
+        f"'^[^a-z0-9]+', ''), '[^a-z0-9]+$', '')"
+    )
+
+
+def _sql_str_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# Effective (context-adjusted) valence of one lexicon hit, given the
+# normalized PREVIOUS token: negation flips sign, a booster intensifies one
+# step toward the ±VALENCE_SCALE cap; negation wins. Twin of
+# lexicon_data.score_tokens and of the Spark relational/UDF paths.
+SQL_EFFECTIVE_VALENCE = f"""CASE
+    WHEN prev IN ({_sql_str_list(NEGATORS)}) THEN -valence
+    WHEN prev IN ({_sql_str_list(BOOSTERS)}) THEN
+        CASE WHEN valence > 0 THEN least(valence + 1, {VALENCE_SCALE})
+             ELSE greatest(valence - 1, -{VALENCE_SCALE}) END
+    ELSE valence END"""
+
+
 # Enriched-documents relation: the oracle twin of
 # queries.reference.enriched_documents(). Synthetic engagement counts are
 # deterministic functions of doc_id (the testdata has no engagement columns).
+# Sentiment model: integer valence sums over the broadcast lexicon (see
+# functions/lexicon_data.py) — tokens normalized, zipped with their previous
+# token for negation/boosting, joined to the lexicon, summed per doc.
+# Integer s/pos_n/neg_n make every aggregate order-independent; doubles only
+# appear in the final single-expression normalizations, evaluated with the
+# same op sequence in Spark.
 ENRICHED_DOCS_CTE = f"""
-WITH cleaned AS (
+WITH lex AS (
+    SELECT word, valence
+    FROM read_csv('{LEXICON_CSV}', header=true,
+                  columns={{'word': 'VARCHAR', 'valence': 'INTEGER'}})
+), cleaned AS (
     SELECT doc_id, text AS tweet_text, lang AS language, source, n_chars,
            {sql_clean('text')} AS cleaned_text,
            doc_id % 100 AS like_count,
            (doc_id * 7) % 50 AS retweet_count
     FROM documents
-), counted AS (
+), tokd AS (
     SELECT *,
-           {sql_multi_hits('cleaned_text', POSITIVE_WORDS)} AS pos_n,
-           {sql_multi_hits('cleaned_text', NEGATIVE_WORDS)} AS neg_n,
-           {sql_token_count('cleaned_text')} AS n_tok
+           CASE WHEN cleaned_text = '' THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(string_split(cleaned_text, ' '),
+                                    t -> {sql_norm('t')}) END AS __toks
     FROM cleaned
+), tokrow AS (
+    SELECT doc_id,
+           unnest(list_zip(__toks, list_prepend('', __toks[:-1]))) AS pr
+    FROM tokd
+), tokval AS (
+    SELECT doc_id, {SQL_EFFECTIVE_VALENCE} AS v
+    FROM (SELECT doc_id, pr[1] AS tok, pr[2] AS prev FROM tokrow) t
+    JOIN lex ON t.tok = lex.word
+), perdoc AS (
+    SELECT doc_id,
+           CAST(SUM(v) AS INT) AS s,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS INT) AS pos_n,
+           CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS INT) AS neg_n
+    FROM tokval GROUP BY doc_id
+), counted AS (
+    SELECT tokd.* EXCLUDE (__toks),
+           coalesce(perdoc.s, 0) AS s,
+           coalesce(perdoc.pos_n, 0) AS pos_n,
+           coalesce(perdoc.neg_n, 0) AS neg_n,
+           {sql_token_count('cleaned_text')} AS n_tok
+    FROM tokd LEFT JOIN perdoc USING (doc_id)
 ), scored AS (
     SELECT *,
-           (pos_n - neg_n) / (pos_n + neg_n + 1.0) AS vader_compound,
+           s / sqrt(s * s + {COMPOUND_ALPHA}) AS vader_compound,
            pos_n / (n_tok + 1.0) AS vader_positive,
            neg_n / (n_tok + 1.0) AS vader_negative,
            1.0 - pos_n / (n_tok + 1.0) - neg_n / (n_tok + 1.0) AS vader_neutral,
-           (pos_n - neg_n) / (n_tok + 1.0) AS textblob_polarity,
+           s / ({VALENCE_SCALE}.0 * (pos_n + neg_n + 1.0)) AS textblob_polarity,
            (pos_n + neg_n) / (n_tok + 1.0) AS textblob_subjectivity
     FROM counted
 ), labeled AS (

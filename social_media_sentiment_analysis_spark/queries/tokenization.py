@@ -703,14 +703,21 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(bucket)
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_tokens"))
     )
-    w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    return (
+    # running sums via the distributed prefix-sum operator: the bucket
+    # rollup grows with the corpus (|docs|/bucket_size rows), so a
+    # partition-less window here would be a single-task scan at scale;
+    # both cumulative series share one range exchange
+    from ..operators.ranking import with_running_sums
+
+    joined = (
         tokens_per_bucket.join(first_seen, "bucket", "left")
         .na.fill({"new_words": 0})
-        .select("bucket",
-                F.sum("bucket_tokens").over(w).alias("cum_tokens"),
-                F.sum("new_words").over(w).alias("cum_vocab"))
+    )
+    return (
+        with_running_sums(joined, [F.asc("bucket")],
+                          {"cum_tokens": "bucket_tokens",
+                           "cum_vocab": "new_words"})
+        .select("bucket", "cum_tokens", "cum_vocab")
         .orderBy("bucket")
     )
 

@@ -158,22 +158,32 @@ ORDER BY day
 # ---------------------------------------------------------------------------
 
 def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers bucketed into spend quartiles (ntile over the agg result).
+    """Customers bucketed into spend quartiles with exact percent ranks.
 
-    The window input is one row per customer — already reduced — and the
-    ORDER BY carries c_custkey as tiebreak so bucket assignment is total.
+    The input is |customers| rows — UNBOUNDED cardinality — so a plain
+    ``ntile().over(Window.orderBy(...))`` would drag every customer through
+    one partition-less WindowExec task. Instead the distributed ranking
+    operator (operators/ranking.py) range-partitions on the sort key,
+    ranks locally per partition, and broadcasts the P-row cumulative
+    offsets; ntile/percent_rank are closed-form expressions of (rank, n)
+    and EXACTLY reproduce the window functions (the o_custkey tiebreak
+    makes the ordering total, so ranks are engine-exact).
     """
+    from ..operators.ranking import with_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     spend = (
         orders.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    bucketed = with_ntile(
+        spend, [F.desc("total_spend"), F.asc("o_custkey")], 4,
+        out_col="spend_quartile", pct_col="__pct")
     return (
-        spend.select(
+        bucketed.select(
             "o_custkey", "total_spend",
-            F.ntile(4).over(w).cast("long").alias("spend_quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+            F.col("spend_quartile").cast("long").alias("spend_quartile"),
+            F.round(F.col("__pct"), 6).alias("spend_pct_rank"),
         )
         .orderBy("spend_quartile", F.desc("total_spend"), "o_custkey")
     )
@@ -575,12 +585,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile windows, label the 'champion' (5-5-5 … 4-4-4 band) and
     'at-risk' (high F/M, low R) segments, and roll up segment sizes.
 
-    One orders aggregate (the only fact-sized stage), then three ntile
-    windows over the |customers| rollup and a |segments| rollup. Recency
-    anchors on max(o_orderdate) (broadcast 1-row scalar) so the query is
+    One orders aggregate (the only fact-sized stage), then three EXACT
+    distributed quintile assignments over the |customers| rollup
+    (operators/ranking.py — range-partitioned global rank + closed-form
+    ntile; a partition-less ntile window here would funnel every customer
+    through one task) and a |segments| rollup. Recency anchors on
+    max(o_orderdate) (broadcast 1-row scalar) so the query is
     deterministic for a fixed dataset, not wall-clock dependent. ntile
     ties break on the customer key so quintile membership is engine-exact.
     """
+    from ..operators.ranking import with_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("now"))
     per_cust = (
@@ -591,15 +606,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .withColumn("recency_days",
                     F.date_diff(F.col("now"), F.col("last_order")))
+        # the three rank passes below re-traverse their input lineage for
+        # range-boundary sampling; pin the (small) per-customer rollup so
+        # the orders scan+agg runs once, not 3×
+        .localCheckpoint(eager=False)
     )
-    r_w = Window.orderBy(F.desc("recency_days"), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency"), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary"), F.col("o_custkey"))
+    scored = per_cust
+    for out_col, order in [
+        ("r_score", [F.desc("recency_days"), F.asc("o_custkey")]),
+        ("f_score", [F.asc("frequency"), F.asc("o_custkey")]),
+        ("m_score", [F.asc("monetary"), F.asc("o_custkey")]),
+    ]:
+        scored = with_ntile(scored, order, 5, out_col=out_col)
     scored = (
-        per_cust
-        .withColumn("r_score", F.ntile(5).over(r_w))
-        .withColumn("f_score", F.ntile(5).over(f_w))
-        .withColumn("m_score", F.ntile(5).over(m_w))
+        scored
         .withColumn(
             "segment",
             F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)

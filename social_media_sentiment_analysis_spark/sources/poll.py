@@ -11,16 +11,21 @@ Here the poll loop becomes a ``SimpleDataSourceStreamReader``:
 
 - one ``read(start)`` call per micro-batch = one poll; each poll returns at
   most ``max_results`` envelopes (the reference's per-poll cap — the
-  ``maxOffsetsPerTrigger`` analog, and the principled form of S2's
-  rate-limit sleep);
-- offsets are replayable cursors ({"pos": N}), so restart/replay semantics
-  come from the checkpoint — the reference instead relied on Kafka group
-  auto-commit and could double-poll after a crash;
-- the transport is pluggable: tests point ``path`` at a JSONL fixture of
-  raw tweet objects (the shape Twitter's API returns in ``data``); a live
-  deployment would swap the line-reader for the HTTP GET. The poll source is
-  inherently non-partitioned (one REST endpoint), which is exactly what the
-  simple-reader API models; Spark repartitions downstream as needed.
+  ``maxOffsetsPerTrigger`` analog);
+- offsets are replayable cursors, so restart/replay semantics come from the
+  checkpoint — the reference instead relied on Kafka group auto-commit and
+  could double-poll after a crash;
+- the TRANSPORT is pluggable behind ``PollTransport``:
+  * ``FilePollTransport`` (default, option path=...): reads a JSONL fixture
+    of raw tweet objects — deterministic, replayable by line position.
+  * ``HttpPollTransport`` (option transport=http): the live HTTP GET with
+    the reference's 429 handling (twitter_producer.py:94-111 — read
+    ``x-rate-limit-reset``, sleep until reset + 60 s, retry once).
+    Import-gated on ``requests``; cursor is the max seen tweet id
+    (``since_id`` incremental polling).
+  The poll source is inherently non-partitioned (one REST endpoint), which
+  is exactly what the simple-reader API models; Spark repartitions
+  downstream as needed.
 
 Register with ``spark.dataSource.register(TweetPollDataSource)`` then
 ``spark.readStream.format("tweet-poll").option("path", fixture).load()``.
@@ -37,6 +42,8 @@ from pyspark.sql.types import StructType
 from ..schemas import TWEET_ENVELOPE_SCHEMA
 
 API_MAX_RESULTS = 100  # twitter_producer.py:67: min(max_results, 100)
+SEARCH_URL = "https://api.twitter.com/2/tweets/search/recent"
+RATE_LIMIT_SLACK_S = 60  # twitter_producer.py:100: wait until reset + 60
 
 
 def _user_tuple(u: dict) -> tuple:
@@ -62,24 +69,162 @@ def _envelope_tuple(tweet: dict, users: list[dict], polled_at_ms: int) -> tuple:
     return (data, includes, polled_at_ms)
 
 
-class TweetPollStreamReader(SimpleDataSourceStreamReader):
-    """One read() = one poll, capped at max_results rows (≤100)."""
+class PollTransport:
+    """One poll per micro-batch: cursor -> (raw envelope/tweet dicts, cursor).
 
-    def __init__(self, options: dict) -> None:
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("tweet-poll source requires option 'path'")
-        self.max_results = min(int(options.get("max_results", 10)),
-                               API_MAX_RESULTS)
-        # fixed stamp option keeps tests deterministic; live mode stamps now()
-        self.fixed_ts = options.get("kafka_timestamp_ms")
+    Cursors must be JSON-serializable (they ride in checkpointed offsets).
+    ``poll`` MUST return an unchanged cursor when there is nothing new — the
+    reader turns that into an unchanged offset so idle triggers don't grow
+    the offset log.
+    """
 
-    def initialOffset(self) -> dict:
-        return {"pos": 0}
+    def initial_cursor(self):
+        raise NotImplementedError
+
+    def poll(self, cursor, max_results: int) -> tuple[list[dict], object]:
+        raise NotImplementedError
+
+    def replay(self, start_cursor, end_cursor) -> list[dict]:
+        """Deterministic re-read of a committed range, used only for
+        crash-recovery replay of a batch that was read but never committed
+        (normal operation replays from the simple-reader's prefetch cache).
+        """
+        raise NotImplementedError
+
+
+class FilePollTransport(PollTransport):
+    """Fixture transport: a JSONL file of raw tweet objects (the shape
+    Twitter's API returns in ``data``), cursor = line position."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
 
     def _lines(self) -> list[str]:
         with open(self.path) as f:
             return [ln for ln in f if ln.strip()]
+
+    def initial_cursor(self) -> int:
+        return 0
+
+    def poll(self, cursor: int, max_results: int):
+        lines = self._lines()
+        hi = min(cursor + max_results, len(lines))
+        return [json.loads(ln) for ln in lines[cursor:hi]], hi
+
+    def replay(self, start_cursor: int, end_cursor: int) -> list[dict]:
+        lines = self._lines()
+        return [json.loads(ln) for ln in lines[start_cursor:end_cursor]]
+
+
+class HttpPollTransport(PollTransport):
+    """Live transport: GET /2/tweets/search/recent with incremental
+    ``since_id`` polling and the reference's 429 backoff
+    (twitter_producer.py:51-128).
+
+    ``get`` / ``sleep`` / ``now`` are injectable for tests (and because a
+    live deployment may route through its own session); ``get`` defaults to
+    ``requests.get`` resolved lazily so the module imports without the
+    package installed.
+    """
+
+    def __init__(self, bearer_token: str, query: str,
+                 get=None, sleep=None, now=None) -> None:
+        if get is None:
+            import requests  # import-gated: not installed in all sandboxes
+
+            get = requests.get
+        if sleep is None:
+            import time
+
+            sleep = time.sleep
+        if now is None:
+            import time as _t
+
+            now = _t.time
+        self._get, self._sleep, self._now = get, sleep, now
+        self.bearer_token = bearer_token
+        self.query = query
+
+    def _headers(self) -> dict:
+        return {
+            "Authorization": f"Bearer {self.bearer_token}",
+            "Content-Type": "application/json",
+        }
+
+    def _request(self, params: dict):
+        """GET with one 429 backoff-retry, mirroring
+        twitter_producer.py:94-111: wait until x-rate-limit-reset + 60 s."""
+        resp = self._get(SEARCH_URL, headers=self._headers(), params=params)
+        if resp.status_code == 429:
+            reset = resp.headers.get("x-rate-limit-reset")
+            if reset:
+                wait = int(reset) - int(self._now()) + RATE_LIMIT_SLACK_S
+                if wait > 0:
+                    self._sleep(wait)
+            resp = self._get(SEARCH_URL, headers=self._headers(),
+                             params=params)
+        resp.raise_for_status()
+        return resp.json()
+
+    def _params(self, max_results: int) -> dict:
+        return {
+            "query": self.query,
+            "max_results": min(max_results, API_MAX_RESULTS),
+            "tweet.fields": "id,text,created_at,author_id,public_metrics,lang",
+            "expansions": "author_id",
+            "user.fields": "id,name,username,public_metrics",
+        }
+
+    def initial_cursor(self):
+        return None  # no since_id: first poll returns the most recent page
+
+    def poll(self, cursor, max_results: int):
+        params = self._params(max_results)
+        if cursor:
+            params["since_id"] = cursor
+        body = self._request(params) or {}
+        tweets = body.get("data") or []
+        users = (body.get("includes") or {}).get("users") or []
+        objs = [{"data": t, "includes": {"users": users}} for t in tweets]
+        if not tweets:
+            return [], cursor  # unchanged cursor => unchanged offset
+        new_cursor = max(int(t["id"]) for t in tweets)
+        return objs, str(new_cursor)
+
+    def replay(self, start_cursor, end_cursor) -> list[dict]:
+        # Best-effort deterministic range re-poll: (start, end] by id.
+        # until_id is exclusive, so request until end+1.
+        params = self._params(API_MAX_RESULTS)
+        if start_cursor:
+            params["since_id"] = start_cursor
+        if end_cursor:
+            params["until_id"] = str(int(end_cursor) + 1)
+        body = self._request(params) or {}
+        tweets = body.get("data") or []
+        users = (body.get("includes") or {}).get("users") or []
+        return [{"data": t, "includes": {"users": users}} for t in tweets]
+
+
+class TweetPollStreamReader(SimpleDataSourceStreamReader):
+    """One read() = one poll, capped at max_results rows (≤100)."""
+
+    def __init__(self, options: dict) -> None:
+        self.max_results = min(int(options.get("max_results", 10)),
+                               API_MAX_RESULTS)
+        # fixed stamp option keeps tests deterministic; live mode stamps now()
+        self.fixed_ts = options.get("kafka_timestamp_ms")
+        if options.get("transport", "file") == "http":
+            self.transport: PollTransport = HttpPollTransport(
+                bearer_token=options.get("bearer_token", ""),
+                query=options.get("query", ""))
+        else:
+            path = options.get("path")
+            if not path:
+                raise ValueError("tweet-poll file transport requires 'path'")
+            self.transport = FilePollTransport(path)
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.transport.initial_cursor()}
 
     def _stamp(self) -> int:
         if self.fixed_ts is not None:
@@ -88,12 +233,11 @@ class TweetPollStreamReader(SimpleDataSourceStreamReader):
 
         return int(time.time() * 1000)
 
-    def _rows(self, lines: list[str], ts: int) -> list[tuple]:
+    def _rows(self, objs: list[dict], ts: int) -> list[tuple]:
         # materialized (not a generator): the simple-reader prefetcher
         # pickles the batch for replay between read() and commit
         out = []
-        for ln in lines:
-            obj = json.loads(ln)
+        for obj in objs:
             users = (obj.get("includes") or {}).get("users") or []
             tweet = obj.get("data") or obj  # fixture may be raw or enveloped
             out.append(_envelope_tuple(tweet, users,
@@ -101,23 +245,27 @@ class TweetPollStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        lines = self._lines()
-        lo = start["pos"]
-        hi = min(lo + self.max_results, len(lines))  # per-poll cap (S1/S2)
+        objs, cursor = self.transport.poll(start["cursor"], self.max_results)
+        if not objs and cursor == start["cursor"]:
+            # idle poll: return the START offset UNCHANGED (same ts) — a
+            # re-stamped offset would make every idle trigger look like new
+            # data, growing the offset log (and emitting empty downstream
+            # artifacts) forever on a quiet source
+            return iter([]), start
         # the poll stamp rides in the OFFSET: offsets are checkpointed, so
         # a crash-recovery replay of this batch re-reads the ORIGINAL
         # stamp instead of re-stamping with a new wall clock — without
         # this, replayed rows hash differently and every content-addressed
         # downstream (shard sink) would see them as new data
         ts = self._stamp()
-        return iter(self._rows(lines[lo:hi], ts)), {"pos": hi, "ts": ts}
+        return iter(self._rows(objs, ts)), {"cursor": cursor, "ts": ts}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # deterministic replay for recovery — the reference could not
         # replay; the stamp comes from the committed end offset (see read)
-        lines = self._lines()
         ts = int(end.get("ts") or self._stamp())
-        return self._rows(lines[start["pos"]:end["pos"]], ts)
+        return self._rows(self.transport.replay(start["cursor"],
+                                                end["cursor"]), ts)
 
 
 class TweetPollDataSource(DataSource):

@@ -38,6 +38,16 @@ What it does, and why this shape survives 100 TB:
 The companion ``read_shard_manifest`` / ``load_shards`` read the committed
 corpus back (manifest-driven, so partial jobs are never visible).
 
+Concurrency contract: ONE writer job per shard path at a time. Append-mode
+``commit()`` is a read-modify-write of ``manifest.json`` with no lock — two
+jobs appending to the same path concurrently would race and the later
+committer's manifest would silently drop the earlier job's shards (the
+shard FILES survive, content-addressed, but become unreferenced). Batch
+jobs must serialize appends per path; concurrent producers should either
+write to distinct paths and union at read time, or use the STREAMING shard
+sink (streaming/sinks.py), whose per-batch ``manifest-<batchId>.json``
+files are disjoint by construction and need no coordination.
+
 Reference parity note: the reference's only file sink is an append-only
 JSONL writer (twitter_streamer.py:194-213) with no atomicity story; this
 is that sink rebuilt with exactly-once output semantics.

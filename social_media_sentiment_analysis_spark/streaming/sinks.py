@@ -82,16 +82,26 @@ def idempotent_parquet_sink(df: DataFrame, path: str, checkpoint: str,
     )
 
 
+def kafka_wire_columns(df: DataFrame, key_col: str | None = None) -> list:
+    """The Kafka wire projection: all columns JSON-serialized into `value`
+    (+ optional string `key`). Split out of ``kafka_sink`` so the wire
+    FORMAT is testable without a broker — tests/test_kafka_wire.py pins a
+    byte round-trip through ``parse_envelopes`` and the reference producer's
+    message shape (twitter_producer.py:130-158, kafka_diagnostic.py:66-93).
+    """
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return cols
+
+
 def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,
                checkpoint: str, key_col: str | None = None) -> DataStreamWriter:
     """S3 (twitter_producer.py:130-158): JSON-serialize all columns into
     `value`, durable produce (acks=all ≈ the reference's sync-confirm,
     amortized over the batch instead of per message)."""
-    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
-    if key_col:
-        cols.insert(0, F.col(key_col).cast("string").alias("key"))
     return (
-        df.select(*cols)
+        df.select(*kafka_wire_columns(df, key_col))
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

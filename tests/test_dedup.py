@@ -123,6 +123,16 @@ class TestEmbeddingDedup:
             df, "vec", "id", block_col="label", threshold=0.5).collect()
         assert out == []  # identical vectors but different blocks
 
+    def test_unblocked_requires_explicit_opt_in(self, spark):
+        """No block_col => all-pairs cartesian; must hard-fail unless the
+        caller opts in (scale guard — steer to brp/semdedup instead)."""
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "id: long, vec: array<float>")
+        with pytest.raises(ValueError, match="all-pairs"):
+            dd.embedding_near_duplicates(df, "vec", "id")
+        assert dd.embedding_near_duplicates(
+            df, "vec", "id", allow_full_cartesian=True).collect() == []
+
 
 def test_simhash_vote_staging_matches_inline_form(spark, sf_dir):
     """The staged (single-traversal) simhash must be bit-identical to the

@@ -139,7 +139,7 @@ class TestLSHJoins:
         threshold = 0.6
         exact = embedding_near_duplicates(
             emb, "embedding", "vec_id", block_col=None,
-            threshold=threshold).collect()
+            threshold=threshold, allow_full_cartesian=True).collect()
         got = brp_embedding_pairs(
             emb, "embedding", "vec_id", cosine_threshold=threshold,
             bucket_length=2.0, num_hash_tables=6).collect()
@@ -242,7 +242,8 @@ class TestSemDeDup:
                                     k=1, threshold=0.97).collect()
         }
         pairs = embedding_near_duplicates(emb, "embedding", "vec_id",
-                                          threshold=0.97)
+                                          threshold=0.97,
+                                          allow_full_cartesian=True)
         comps = connected_components(pairs)
         drops = {r.node for r in comps.collect() if r.node != r.component}
         kept_brute = {r.vec_id for r in emb.collect()} - drops
@@ -264,7 +265,8 @@ class TestSemDeDup:
                    emb, "embedding", "vec_id", k=8, threshold=0.97).collect()}
         brute = {(r.a_id, r.b_id)
                  for r in embedding_near_duplicates(
-                     emb, "embedding", "vec_id", threshold=0.97).collect()}
+                     emb, "embedding", "vec_id", threshold=0.97,
+                     allow_full_cartesian=True).collect()}
         assert sem <= brute
         if brute:
             assert len(sem) / len(brute) >= 0.5

@@ -117,6 +117,43 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "recommend_parts"), name
 
 
+# Queries allowed to keep a partition-less Window/WindowGroupLimit because
+# its input is BOUNDED (does not grow with the corpus) or bounded by a
+# rank-filter pushdown. Everything else in the registry must be clean —
+# an unbounded single-task window is the canonical 100 TB scale killer.
+_GLOBAL_WINDOW_BOUNDED = {
+    # share-of-total / lag over low-cardinality rollups (per-day, per-type,
+    # per-source, per-region, 3-row split table, #sources mixture table)
+    "type_share", "source_mix", "dataset_split", "regional_revenue_share",
+    "mixture_weights", "moving_average", "daily_value_delta",
+    "cumulative_unique_users",
+    # rank<=k filters: Spark pushes WindowGroupLimit below the exchange,
+    # so the single-partition side sees at most k rows per input partition
+    "zipf_exponent", "hybrid_search",
+    # distributed-ranking offsets table: P rows (one per shuffle partition)
+    "customer_spend_quartiles", "rfm_segments", "vocab_growth",
+}
+
+
+def test_no_unbounded_partitionless_window_anywhere(spark, sf_dir):
+    """Registry-wide scale invariant (round-3 verdict item): no query may
+    plan a partition-less window over an input that grows with the corpus.
+    The allowlist above enumerates the justified-bounded cases; a NEW name
+    appearing here means a new single-task window snuck in — fix the query
+    (operators/ranking.py has the distributed rank/ntile/prefix-sum
+    replacements) or justify it in the allowlist."""
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        partitionless_windows,
+    )
+
+    offenders = {}
+    for name, query in QUERIES.items():
+        got = partitionless_windows(query.builder(spark, sf_dir))
+        if got and name not in _GLOBAL_WINDOW_BOUNDED:
+            offenders[name] = got
+    assert not offenders, offenders
+
+
 def test_knn_join_broadcasts_query_set(spark, sf_dir):
     # deliberate cross join: the k-row query set broadcasts, never shuffles
     from social_media_sentiment_analysis_spark.plans.inspect import (

@@ -54,7 +54,7 @@ def test_poll_cap_and_offsets(fixture_path):
         rows, off = r.read(off)
         polls.append(list(rows))
     assert [len(p) for p in polls] == [3, 3, 1, 0]   # capped, then drained
-    assert off["pos"] == 7     # ts also rides in the offset (replay stamp)
+    assert off["cursor"] == 7     # ts also rides in the offset (replay stamp)
     ids = [row[0][0] for poll in polls for row in poll]
     assert ids == [t["id"] for t in TWEETS]
 
@@ -73,7 +73,7 @@ def test_replay_reuses_the_offsets_stamp(fixture_path):
     rows, off = r.read(r.initialOffset())
     first = list(rows)
     assert "ts" in off and off["ts"] == first[0][2]  # stamped from offset ts
-    replay = list(r.readBetweenOffsets({"pos": 0}, off))
+    replay = list(r.readBetweenOffsets({"cursor": 0}, off))
     assert replay == first  # byte-identical replay, stamp included
 
 
@@ -81,8 +81,105 @@ def test_replay_is_deterministic(fixture_path):
     r = _reader(fixture_path, max_results=5)
     first, off = r.read(r.initialOffset())
     first = list(first)
-    replayed = list(r.readBetweenOffsets({"pos": 0}, off))
+    replayed = list(r.readBetweenOffsets({"cursor": 0}, off))
     assert first == replayed
+
+
+def test_idle_poll_returns_start_offset_unchanged(fixture_path):
+    """A drained source must return the START offset object unchanged (same
+    ts, same cursor) — a re-stamped offset makes every idle trigger look
+    like new data, growing the offset log forever on a quiet source."""
+    r = TweetPollStreamReader({"path": fixture_path, "max_results": "100"})
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == len(TWEETS)
+    idle_rows, off2 = r.read(off)
+    assert list(idle_rows) == []
+    assert off2 is off or off2 == off  # byte-identical: no fresh ts
+    idle_rows, off3 = r.read(off2)
+    assert list(idle_rows) == [] and off3 == off
+
+
+class _FakeResponse:
+    def __init__(self, status_code, body=None, headers=None):
+        self.status_code = status_code
+        self._body = body or {}
+        self.headers = headers or {}
+        self.url = "fake://"
+
+    def json(self):
+        return self._body
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"HTTP {self.status_code}")
+
+
+def test_http_transport_429_backoff_then_retry(fixture_path):
+    """S2 live path (twitter_producer.py:94-111): a 429 with
+    x-rate-limit-reset must sleep until reset + 60 s and retry once,
+    driven through the DataSource reader's read()."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    body = {"data": [dict(t, id=str(1000 + i))
+                     for i, t in enumerate(TWEETS[:2])],
+            "includes": {"users": [{"id": "a0", "name": "n",
+                                    "username": "u",
+                                    "public_metrics": {}}]}}
+    calls, sleeps = [], []
+
+    def fake_get(url, headers=None, params=None):
+        calls.append(params)
+        if len(calls) == 1:
+            return _FakeResponse(429, headers={"x-rate-limit-reset": "1100"})
+        return _FakeResponse(200, body=body)
+
+    r = TweetPollStreamReader({
+        "path": fixture_path, "kafka_timestamp_ms": "1705312800000"})
+    r.transport = HttpPollTransport(
+        bearer_token="tok", query="q",
+        get=fake_get, sleep=sleeps.append, now=lambda: 1000)
+    rows, off = r.read(r.initialOffset())
+    rows = list(rows)
+    assert len(calls) == 2                    # 429 then retried
+    assert sleeps == [1100 - 1000 + 60]       # reset - now + 60 (reference)
+    assert len(rows) == 2
+    assert off["cursor"] is not None
+    assert calls[0]["query"] == "q"
+    # incremental next poll carries since_id from the committed cursor
+    r.read(off)
+    assert calls[-1].get("since_id") == off["cursor"]
+
+
+def test_http_transport_idle_and_since_id():
+    """Empty poll keeps the cursor; non-empty polls advance it to the max
+    tweet id and pass it back as since_id."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    pages = [
+        {"data": [{"id": "101", "text": "x"}, {"id": "105", "text": "y"}]},
+        {"data": []},
+        {"data": [{"id": "130", "text": "z"}]},
+    ]
+    calls = []
+
+    def fake_get(url, headers=None, params=None):
+        calls.append(dict(params))
+        return _FakeResponse(200, body=pages[len(calls) - 1])
+
+    t = HttpPollTransport("tok", "q", get=fake_get,
+                          sleep=lambda s: None, now=lambda: 0)
+    objs, cur = t.poll(t.initial_cursor(), 50)
+    assert [o["data"]["id"] for o in objs] == ["101", "105"]
+    assert cur == "105" and "since_id" not in calls[0]
+    objs, cur2 = t.poll(cur, 50)
+    assert objs == [] and cur2 == cur         # idle: cursor unchanged
+    assert calls[1]["since_id"] == "105"
+    objs, cur3 = t.poll(cur2, 50)
+    assert cur3 == "130"
 
 
 def test_stream_integration(spark, fixture_path):

@@ -1,16 +1,26 @@
-"""Golden tests for the sentiment ensemble (U3) — the reference's exact
-constants (sentiment_analysis.py:274-317): weights 0.6/0.4, ±0.1 final
-thresholds, 1.2 agreement boost, 1.0 clamp."""
+"""Golden tests for the sentiment pipeline: the ensemble (U3) with the
+reference's exact constants (sentiment_analysis.py:274-317), the valence
+lexicon model (U1/U2 stand-in), and the equivalence of the Arrow-UDF and
+relational scoring plans."""
 
 from __future__ import annotations
+
+import csv
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
 
+from social_media_sentiment_analysis_spark.functions.lexicon_data import (
+    BASE_VALENCES,
+    LEXICON,
+    normalize_token,
+    score_tokens,
+)
 from social_media_sentiment_analysis_spark.functions.sentiment import (
     ensemble_columns,
-    lexicon_scores,
     sentiment_enrich,
+    sentiment_enrich_relational,
 )
 
 
@@ -51,42 +61,80 @@ class TestEnsemble:
         assert combined == pytest.approx(0.2)
 
 
-class TestLexiconScores:
-    def test_positive_text(self, spark):
-        df = spark.createDataFrame([("fast fast big table",)], ["cleaned"])
-        row = df.select(
-            *[c.alias(n) for n, c in lexicon_scores(F.col("cleaned")).items()]
-        ).collect()[0]
-        # pos_n=3, neg_n=0, n_tok=4
-        assert row["vader_compound"] == pytest.approx(3 / 4)
-        assert row["vader_sentiment"] == "positive"
-        assert row["textblob_polarity"] == pytest.approx(3 / 5)
-        assert row["textblob_sentiment"] == "positive"
-        assert row["vader_neutral"] == pytest.approx(1 - 3 / 5)
+class TestLexicon:
+    def test_scale_and_content(self):
+        """A real lexicon, not a demo list: thousands of entries, both
+        polarities well represented, valences integer in [-5, 5]."""
+        assert len(LEXICON) > 4000
+        assert sum(1 for v in LEXICON.values() if v > 0) > 1000
+        assert sum(1 for v in LEXICON.values() if v < 0) > 1500
+        assert all(isinstance(v, int) and -5 <= v <= 5 and v != 0
+                   for v in LEXICON.values())
+        for word, expected_sign in [("excellent", 1), ("love", 1),
+                                    ("awful", -1), ("terrible", -1),
+                                    ("catastrophic", -1), ("okay", 1)]:
+            assert LEXICON[word] * expected_sign > 0
 
-    def test_empty_text_canonical_neutral(self, spark):
-        """U5: empty text → neutral record, compound 0, neutral share 1.0."""
-        df = spark.createDataFrame([("",)], ["cleaned"])
-        row = df.select(
-            *[c.alias(n) for n, c in lexicon_scores(F.col("cleaned")).items()]
-        ).collect()[0]
-        assert row["vader_compound"] == 0.0
-        assert row["vader_sentiment"] == "neutral"
-        assert row["vader_neutral"] == 1.0
+    def test_csv_artifact_matches_module(self):
+        """The checked-in CSV (what the DuckDB oracle reads) must equal the
+        module dict (what the Spark paths use) row for row."""
+        path = (Path(__file__).parent.parent
+                / "social_media_sentiment_analysis_spark" / "data"
+                / "sentiment_lexicon.csv")
+        with open(path, newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert {r["word"]: int(r["valence"]) for r in rows} == LEXICON
+        assert [r["word"] for r in rows] == sorted(LEXICON)
 
-    def test_threshold_boundaries(self, spark):
-        """VADER labels at >=0.05 (inclusive); ensemble/textblob at >0.1."""
-        df = spark.createDataFrame([(0.05,), (0.049,), (-0.05,)], "s double")
-        from social_media_sentiment_analysis_spark.functions.sentiment import _label_from
-        got = [r["l"] for r in
-               df.select(_label_from(F.col("s"), 0.05, strict=False).alias("l")).collect()]
-        assert got == ["positive", "neutral", "negative"]
+    def test_normalize_token(self):
+        assert normalize_token("Don't!") == "dont"
+        assert normalize_token("(Amazing)") == "amazing"
+        assert normalize_token("...") == ""
+        assert normalize_token("It’s") == "its"
+
+    @pytest.mark.parametrize("text,expected", [
+        ("I love this amazing product!", (7, 2, 0)),
+        ("This is terribel and awful.", (-3, 0, 1)),      # typo -> no hit
+        ("It's okay, nothing special.", (-1, 1, 1)),      # negation flip
+        ("Best day ever! So excited!", (7, 2, 0)),        # booster step
+        ("not bad at all", (3, 1, 0)),                    # flipped negative
+        ("", (0, 0, 0)),
+    ])
+    def test_score_tokens(self, text, expected):
+        assert score_tokens(text.split(" ")) == expected
+
+
+class TestGoldenReferenceTexts:
+    """The reference's own smoke texts (test_setup.py:102-107) through the
+    full pipeline — labels must match what VADER/TextBlob produce on them
+    (clearly positive / clearly negative / not-positive / clearly positive).
+    """
+
+    TEXTS = [
+        ("1", "I love this amazing product!"),
+        ("2", "This is terribel and awful."),
+        ("3", "It's okay, nothing special."),
+        ("4", "Best day ever! So excited!"),
+    ]
+
+    def test_labels(self, spark):
+        df = spark.createDataFrame(self.TEXTS, ["id", "text"])
+        rows = {r["id"]: r for r in sentiment_enrich(df, "text").collect()}
+        assert rows["1"]["final_sentiment"] == "positive"
+        assert rows["1"]["vader_sentiment"] == "positive"
+        assert rows["1"]["vader_compound"] == pytest.approx(0.875)
+        assert rows["2"]["final_sentiment"] == "negative"
+        assert rows["2"]["vader_sentiment"] == "negative"
+        # "nothing special" is VADER-negated — must NOT read as positive
+        assert rows["3"]["final_sentiment"] != "positive"
+        assert rows["4"]["final_sentiment"] == "positive"
+        assert rows["4"]["confidence_score"] == 1.0
 
 
 class TestEnrichPipeline:
     def test_enrich_adds_all_columns(self, spark):
         df = spark.createDataFrame(
-            [("1", "RT @u the fast big run"), ("2", "slow slow small day")],
+            [("1", "RT @u a great wonderful run"), ("2", "an awful terrible day")],
             ["id", "text"],
         )
         out = sentiment_enrich(df, "text")
@@ -96,13 +144,57 @@ class TestEnrichPipeline:
         rows = {r["id"]: r for r in out.collect()}
         assert rows["1"]["final_sentiment"] == "positive"
         assert rows["2"]["final_sentiment"] == "negative"
-        assert rows["1"]["cleaned_text"] == "u the fast big run"
+        assert rows["1"]["cleaned_text"] == "u a great wonderful run"
 
-    def test_single_codegen_stage(self, spark):
-        """The whole clean→score→ensemble pipeline must collapse into one
-        projection over the scan — no shuffle, no Python boundary."""
-        df = spark.createDataFrame([("1", "fast")], ["id", "text"])
-        plan = sentiment_enrich(df, "text")._jdf.queryExecution().executedPlan().toString()
+    def test_empty_text_canonical_neutral(self, spark):
+        """U5: empty text → neutral record, compound 0, neutral share 1.0."""
+        row = sentiment_enrich(
+            spark.createDataFrame([("",)], ["text"]), "text").collect()[0]
+        assert row["vader_compound"] == 0.0
+        assert row["vader_sentiment"] == "neutral"
+        assert row["vader_neutral"] == 1.0
+        assert row["final_sentiment"] == "neutral"
+
+    def test_zero_shuffle_one_arrow_crossing(self, spark):
+        """The default path must stay scan → one ArrowEvalPython → codegen'd
+        projection: no shuffle, no row-at-a-time Python."""
+        df = spark.createDataFrame([("1", "great")], ["id", "text"])
+        plan = sentiment_enrich(df, "text")._jdf.queryExecution() \
+            .executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
-        assert "ArrowEvalPython" not in plan
+        assert plan.count("ArrowEvalPython") == 1
+
+    def test_relational_path_equivalent(self, spark):
+        """The pure-JVM broadcast-join plan and the Arrow-UDF plan must be
+        bit-identical on text exercising every feature: negation, boosting,
+        punctuation stripping, apostrophes, unknown words, empty text."""
+        texts = [
+            (1, "I love this amazing product!"),
+            (2, "not bad, actually VERY good..."),
+            (3, "so slow and so broken; don't buy"),
+            (4, ""),
+            (5, "Neutral words only here today"),
+            (6, "never fails, hardly disappointing, truly great!"),
+        ]
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        cols = ["doc_id", "vader_compound", "vader_sentiment",
+                "textblob_polarity", "final_sentiment", "confidence_score"]
+        a = {r["doc_id"]: r for r in
+             sentiment_enrich(df, "text").select(*cols).collect()}
+        b = {r["doc_id"]: r for r in
+             sentiment_enrich_relational(df, spark, "text")
+             .select(*cols).collect()}
+        assert a == b
+
+    def test_relational_broadcasts_lexicon(self, spark):
+        """The 4.7k-row lexicon must hash-join broadcast, never shuffle."""
+        df = spark.createDataFrame([(1, "great stuff")], ["doc_id", "text"])
+        plan = sentiment_enrich_relational(df, spark, "text") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_base_valences_have_no_generated_collisions(self):
+        """Every explicit base entry survives expansion verbatim."""
+        for w, v in BASE_VALENCES.items():
+            assert LEXICON[normalize_token(w)] == v

@@ -86,10 +86,9 @@ def main() -> int:
     @check("sentiment ensemble goldens (lexicon vocabulary)")
     def c_goldens():
         # same shape as the reference's 4-text smoke (test_setup.py:102-107)
-        # but over the deterministic lexicon's vocabulary (functions/
-        # sentiment.py POSITIVE_WORDS/NEGATIVE_WORDS) — the default model.
-        # Real VADER/TextBlob UDFs are import-gated and slot into the same
-        # pipeline when their packages are installed.
+        # over the engine's valence lexicon (functions/lexicon_data.py) —
+        # the default model. Real VADER/TextBlob UDFs are import-gated and
+        # slot into the same pipeline when their packages are installed.
         from social_media_sentiment_analysis_spark.functions.sentiment import (
             sentiment_enrich,
         )
