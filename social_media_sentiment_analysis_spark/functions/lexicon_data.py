@@ -536,18 +536,20 @@ _NEGATOR_SET = frozenset(NEGATORS)
 _BOOSTER_SET = frozenset(BOOSTERS)
 
 
-def score_tokens(raw_tokens: list[str]) -> tuple[int, int, int]:
-    """Ground-truth scorer over raw whitespace tokens; the SQL oracle and
-    the relational (explode/broadcast-join) plan both mirror this exactly.
+def score_normalized_tokens(norm_tokens: list[str]) -> tuple[int, int, int]:
+    """Scorer over ALREADY-normalized tokens — the hot path used by the
+    Arrow UDF, which receives tokens normalized JVM-side (regex work stays
+    in whole-stage codegen; Python does only dict lookups and integer
+    sums).
 
     Returns (s, pos_n, neg_n): the integer valence sum and the counts of
     tokens whose EFFECTIVE (post-negation) valence is positive / negative.
     """
     s = pos_n = neg_n = 0
     prev = ""
-    for tok in raw_tokens:
-        t = normalize_token(tok)
-        v = LEXICON.get(t, 0)
+    get = LEXICON.get
+    for t in norm_tokens:
+        v = get(t, 0)
         if v:
             if prev in _NEGATOR_SET:
                 v = -v
@@ -560,3 +562,9 @@ def score_tokens(raw_tokens: list[str]) -> tuple[int, int, int]:
                 neg_n += 1
         prev = t
     return s, pos_n, neg_n
+
+
+def score_tokens(raw_tokens: list[str]) -> tuple[int, int, int]:
+    """Ground-truth scorer over raw whitespace tokens; the SQL oracle and
+    the relational (explode/broadcast-join) plan both mirror this exactly."""
+    return score_normalized_tokens([normalize_token(t) for t in raw_tokens])

