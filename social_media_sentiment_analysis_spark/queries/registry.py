@@ -19,6 +19,7 @@ from . import (
     multimodal,
     reference,
     selection,
+    semistructured,
     shaping,
     star,
     temporal,
@@ -723,6 +724,17 @@ _ALL: list[Query] = [
     Query("tokenizer_fertility", selection.q_tokenizer_fertility,
           selection.ORACLE_TOKENIZER_FERTILITY,
           "per-source tokenizer fertility / bytes-per-piece profile"),
+    # --- semi-structured / VARIANT (queries/semistructured.py) ---
+    Query("variant_extract", semistructured.q_variant_extract,
+          semistructured.ORACLE_VARIANT_EXTRACT,
+          "VARIANT typed path extraction over drifting shapes "
+          "(try_variant_get absorbs type drift as NULL)"),
+    Query("variant_shred", semistructured.q_variant_shred,
+          semistructured.ORACLE_VARIANT_SHRED,
+          "LATERAL variant_explode of an open-schema array into a rollup"),
+    Query("schema_drift_audit", semistructured.q_schema_drift_audit,
+          semistructured.ORACLE_SCHEMA_DRIFT_AUDIT,
+          "shape census over an open-schema corpus (presence/type probes)"),
 ]
 
 # The driver's correctness gate verifies the first 50 entries in registry
