@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     "streaming_sentiment_summary",
     "dedup_clusters",
     "knn_ivf",
+    # round 3 additions: the pure-JVM lexicon plan, the distributed-ntile
+    # rewrites, and the VARIANT open-schema path
+    "sentiment_enrich_relational",
+    "customer_spend_quartiles",
+    "rfm_segments",
+    "variant_extract",
+    "variant_shred",
 ]
 
 
