@@ -724,6 +724,12 @@ _ALL: list[Query] = [
     Query("tokenizer_fertility", selection.q_tokenizer_fertility,
           selection.ORACLE_TOKENIZER_FERTILITY,
           "per-source tokenizer fertility / bytes-per-piece profile"),
+    Query("streaming_segment_engagement",
+          star.q_streaming_segment_engagement,
+          star.ORACLE_STREAMING_SEGMENT_ENGAGEMENT,
+          "stream-static broadcast join (events stream x customer dim) + "
+          "complete-mode segment rollup, drained and oracle-verified — "
+          "third member of the streaming=batch gate family"),
     # --- semi-structured / VARIANT (queries/semistructured.py) ---
     Query("variant_extract", semistructured.q_variant_extract,
           semistructured.ORACLE_VARIANT_EXTRACT,
@@ -753,8 +759,10 @@ _FRONT = [
     "sentiment_summary", "sentiment_total", "sentiment_enrich",
     "recent_tweets", "recent_negative", "lang_filter", "trailing_window",
     "hourly_rollup", "export",
-    # streaming ≡ batch, verified by the same oracles
+    # streaming ≡ batch, verified by the same oracles (round 3 adds the
+    # stream-static join member)
     "streaming_sentiment_summary", "streaming_hourly_rollup",
+    "streaming_segment_engagement",
     # changed this round — gate the new plans
     "sentiment_enrich_relational", "customer_spend_quartiles",
     "rfm_segments", "ccnet_buckets",
@@ -775,7 +783,7 @@ _FRONT = [
     "asof_next_order", "moving_average", "retention_cohorts",
     "session_funnel", "hourly_anomalies",
     # never-gated: embeddings
-    "quantize_embeddings", "label_centroids", "hard_negatives",
+    "quantize_embeddings", "label_centroids",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _ALL.sort(key=lambda q: _FRONT_ORDER.get(q.name, len(_FRONT_ORDER)))

@@ -77,6 +77,57 @@ ORDER BY event_count DESC, c_mktsegment ASC
 """
 
 
+def q_streaming_segment_engagement(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The STREAM-STATIC join class, oracle-verified: events consumed as a
+    micro-batched file stream, broadcast-joined per batch against the
+    static customer dim (no streaming state for the join — the dim is
+    re-resolved each micro-batch, which is also how slowly-changing dims
+    refresh mid-stream), aggregated per segment in complete mode, drained
+    with availableNow. Third member of the streaming≡batch gate family
+    (summary = stateless pipeline, hourly rollup = event-time agg, this =
+    stream-static join).
+
+    Differences from the batch twin it mirrors: COUNT(DISTINCT) is not
+    supported inside a streaming aggregation, and the double SUM must be
+    decimal-exact to be micro-batch-order-independent (same policy as
+    streaming_hourly_rollup)."""
+    from ..functions.rounding import decimal_sum, round_half_up
+    from ..sources.batch import load_events_stream
+    from ..streaming.pipeline import drain_stream_to_df
+
+    stream = load_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    joined = stream.join(
+        F.broadcast(customer),
+        stream.user_id == customer.c_custkey, "inner")
+    agg = (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("event_count"),
+             round_half_up(decimal_sum(F.col("value")), 4)
+             .alias("total_value"))
+    )
+    return drain_stream_to_df(agg, "stream_segments") \
+        .orderBy(F.desc("event_count"), F.asc("c_mktsegment"))
+
+
+def _oracle_streaming_segment_engagement() -> str:
+    from ..functions.rounding import sql_decimal_sum, sql_round_half_up
+
+    total = sql_round_half_up(sql_decimal_sum("value"), 4)
+    return f"""
+SELECT c_mktsegment,
+       COUNT(*) AS event_count,
+       {total} AS total_value
+FROM events JOIN customer ON events.user_id = customer.c_custkey
+GROUP BY c_mktsegment
+ORDER BY event_count DESC, c_mktsegment ASC
+"""
+
+
+ORACLE_STREAMING_SEGMENT_ENGAGEMENT = _oracle_streaming_segment_engagement()
+
+
 # ---------------------------------------------------------------------------
 # Multi-dim star join: orders ⋈ customer ⋈ nation ⋈ region.
 # ---------------------------------------------------------------------------
