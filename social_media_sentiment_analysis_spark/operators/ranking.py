@@ -7,12 +7,21 @@ per-customer/per-document rollups (fine for bounded inputs like per-day or
 per-type aggregates, fatal at tens of millions of rows). This module
 replaces it with the classic distributed total-order rank:
 
-1. ``repartitionByRange`` on the sort key (disjoint, ordered key ranges —
-   partition i holds strictly earlier keys than partition i+1);
-2. ``row_number`` windowed BY PARTITION ID (parallel, no global sort);
-3. per-partition counts (one tiny P-row aggregate) turned into cumulative
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort key
+   (disjoint ordered key ranges, rows sorted inside each range — together
+   this is a distributed total sort, spread over P tasks);
+2. stamp each row map-side with ``spark_partition_id()`` and
+   ``monotonically_increasing_id()`` (pid in the upper bits, a counter that
+   increments by 1 per row in partition-local order in the lower bits);
+3. ``localCheckpoint`` the stamped frame so the per-partition stats branch
+   and the output branch read the SAME materialized partitions — this both
+   removes the duplicate scan/exchange subtree and makes the pid/mid stamps
+   deterministic even over nondeterministic upstreams (a task retry cannot
+   re-deal rows to different partitions once the result is pinned);
+4. one P-row aggregate (count + min(mid) per pid) turned into cumulative
    offsets and broadcast back;
-4. global rank = offset[pid] + local row number.
+5. global rank = offset[pid] + (mid - min_mid[pid]) + 1 — pure map-side
+   arithmetic; NO window runs over the corpus, so no second full exchange.
 
 The result is EXACTLY the rank a global sort would give as long as the
 ordering is total (callers must include a unique tiebreak column — the same
@@ -25,10 +34,25 @@ percent_rank are then closed-form expressions of (rank, n):
                              -> ceil(rank / (base+1))
                              -> rem + ceil((rank - rem·(base+1)) / base)
 
-Cost: one range exchange of the input (the sort any exact rank needs,
-but spread over P tasks) + one P-row broadcast. The boundary sampling pass
-of repartitionByRange re-reads the input lineage; rank callers that feed an
-expensive upstream should localCheckpoint first if that matters.
+Cost, measured from the physical plan (PLANS.md): ONE full-corpus range
+exchange (the sort any exact rank needs, spread over P tasks) + the
+localCheckpoint materialization (MEMORY_AND_DISK write + one columnar
+re-read for the P-row stats pass) + one P-row broadcast. ``step 5`` relies
+on monotonically_increasing_id's per-partition counter being consecutive
+(true since Spark 1.6: pid << 33 | row-index; pinned by
+tests/test_ranking.py against a single-partition window oracle).
+
+``with_running_sums`` additionally needs an ordered per-partition
+accumulation, which only WindowExec provides — its window clusters on the
+pid column, so the plan pays a SECOND exchange (hash on pid, still P-way
+parallel, never single-task). Two exchanges total; the checkpoint keeps the
+totals branch from re-scanning the input lineage.
+
+Trade-off note for cluster deployments: localCheckpoint pins partitions to
+executors (lost executor ⇒ recompute from nothing fails the job rather than
+silently re-dealing rows). For long jobs on preemptible nodes, swap for
+``df.checkpoint()`` with a reliable checkpoint dir — same determinism, adds
+a DFS round-trip.
 """
 
 from __future__ import annotations
@@ -36,8 +60,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_PID, _LOCAL, _OFF = "__rank_pid", "__rank_local", "__rank_off"
+_PID, _MID, _MIN, _OFF = "__rank_pid", "__rank_mid", "__rank_minmid", "__rank_off"
 TOTAL_COL = "__rank_n"
+
+
+def _ranged_stamped(df: DataFrame, order: list[Column]) -> DataFrame:
+    """Range-partition + locally sort ``df`` by ``order``, stamp pid/mid,
+    and localCheckpoint so every downstream branch shares one materialized
+    computation (deterministic pids, no duplicate scan)."""
+    part = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(_MID, F.monotonically_increasing_id())
+    )
+    return part.localCheckpoint(eager=False)
 
 
 def with_global_rank(df: DataFrame, order: list[Column],
@@ -47,27 +84,26 @@ def with_global_rank(df: DataFrame, order: list[Column],
     (pass desc()/asc() Columns, INCLUDING a unique tiebreak). With
     ``keep_total`` also adds the row count as ``TOTAL_COL`` (broadcast-
     joined, not a second scan)."""
-    part = df.repartitionByRange(*order).withColumn(
-        _PID, F.spark_partition_id())
-    local = part.withColumn(
-        _LOCAL, F.row_number().over(Window.partitionBy(_PID).orderBy(*order)))
-    counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
-    # cumulative offsets over the P-row counts table: bounded input (P =
+    part = _ranged_stamped(df, order)
+    stats = part.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min(_MID).alias(_MIN))
+    # cumulative offsets over the P-row stats table: bounded input (P =
     # number of shuffle partitions), so this tiny global window is fine
     w_off = (Window.orderBy(_PID)
              .rowsBetween(Window.unboundedPreceding, -1))
     w_all = (Window.orderBy(_PID)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
-    offsets = counts.select(
-        _PID,
+    offsets = stats.select(
+        _PID, _MIN,
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias(_OFF),
         F.sum("__cnt").over(w_all).alias(TOTAL_COL),
     )
     out = (
-        local.join(F.broadcast(offsets), _PID)
-        .withColumn(rank_col, F.col(_OFF) + F.col(_LOCAL))
-        .drop(_PID, _LOCAL, _OFF)
+        part.join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col,
+                    F.col(_OFF) + (F.col(_MID) - F.col(_MIN)) + F.lit(1))
+        .drop(_PID, _MID, _MIN, _OFF)
     )
     return out if keep_total else out.drop(TOTAL_COL)
 
@@ -77,28 +113,41 @@ def with_running_sums(df: DataFrame, order: list[Column],
     """Distributed prefix sums: for each ``out_col -> value_col`` in
     ``sums`` add the running SUM of ``value_col`` under the total ordering
     ``order`` — the UNBOUNDED PRECEDING..CURRENT ROW frame without a
-    partition-less window. Same mechanics as ``with_global_rank`` (range
-    partition → local running sum → broadcast per-partition totals as
-    offsets); all requested sums share ONE range exchange. Exact for
-    integer/decimal value columns; double columns change accumulation
-    order vs a sequential scan (like any partial aggregation)."""
-    part = df.repartitionByRange(*order).withColumn(
-        _PID, F.spark_partition_id())
+    partition-less window. Range partition → per-pid running sum (window
+    clustered on pid: one extra P-way hash exchange, see module docstring)
+    → broadcast per-partition totals as offsets; all requested sums share
+    the exchanges. Exact for integer/decimal value columns; double columns
+    change accumulation order vs a sequential scan (like any partial
+    aggregation).
+
+    NULL semantics match the global window exactly: SUM ignores NULLs and
+    returns NULL over an all-NULL (or empty) prefix, so the local sum and
+    the prior-partition offset combine with NULL-as-identity-only-if-both:
+    NULL ⊕ NULL = NULL, NULL ⊕ x = x, x ⊕ y = x + y."""
+    part = _ranged_stamped(df, order)
     w_local = (Window.partitionBy(_PID).orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = part.withColumns({
         out: F.sum(val).over(w_local) for out, val in sums.items()})
     totals = part.groupBy(_PID).agg(
         *[F.sum(val).alias(f"__tot_{out}") for out, val in sums.items()])
+    # no coalesce here: a NULL cumulative total means "no non-NULL value in
+    # any prior partition", which must propagate (not become 0)
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         _PID,
-        *[F.coalesce(F.sum(f"__tot_{out}").over(w_off), F.lit(0))
-          .alias(f"__off_{out}") for out in sums])
+        *[F.sum(f"__tot_{out}").over(w_off).alias(f"__off_{out}")
+          for out in sums])
     out_df = local.join(F.broadcast(offsets), _PID)
+
+    def _combine(local_col: Column, off_col: Column) -> Column:
+        return (F.when(off_col.isNull(), local_col)
+                .when(local_col.isNull(), off_col)
+                .otherwise(local_col + off_col))
+
     out_df = out_df.withColumns({
-        out: F.col(out) + F.col(f"__off_{out}") for out in sums})
-    return out_df.drop(_PID, *[f"__off_{out}" for out in sums])
+        out: _combine(F.col(out), F.col(f"__off_{out}")) for out in sums})
+    return out_df.drop(_PID, _MID, *[f"__off_{out}" for out in sums])
 
 
 def _ntile_expr(rank: Column, n: Column, tiles: int) -> Column:

@@ -745,47 +745,45 @@ _ALL: list[Query] = [
 
 # The driver's correctness gate verifies the first 50 entries in registry
 # order. The front-50 ROTATES each round so successive driver gates
-# cumulatively cover the registry (r1 ∪ r2 gated 79 distinct queries;
+# cumulatively cover the registry (r1 ∪ r2 ∪ r3 gated 117 distinct queries;
 # local harnesses still verify the full registry at 3 scale factors).
-# Always kept: the reference surface + the oracle-verified streaming pair.
-# Round 3 adds everything whose implementation changed this round (the
-# real-lexicon sentiment family rides the always-on core; the relational
-# lexicon plan, the distributed-ntile rewrites, and the discrete-percentile
-# ccnet form are gated explicitly) and fills the rest with oracle-bearing
-# queries no driver gate has recorded yet.
+# Round 4 closes the loop: these are EXACTLY the 50 oracle-bearing queries
+# no driver gate has recorded yet (registry minus CORRECTNESS_r01∪r02∪r03
+# minus the 25 rows-only entries), so after this round every one of the 167
+# oracle-bearing queries has at least one green CORRECTNESS row. The
+# reference surface stays covered by the entry() smoke check.
 _FRONT = [
-    # reference surface (flagship first — also the smoke entry); scores now
-    # come from the real valence lexicon, so this re-gates the new model
-    "sentiment_summary", "sentiment_total", "sentiment_enrich",
-    "recent_tweets", "recent_negative", "lang_filter", "trailing_window",
-    "hourly_rollup", "export",
-    # streaming ≡ batch, verified by the same oracles (round 3 adds the
-    # stream-static join member)
-    "streaming_sentiment_summary", "streaming_hourly_rollup",
-    "streaming_segment_engagement",
-    # changed this round — gate the new plans
-    "sentiment_enrich_relational", "customer_spend_quartiles",
-    "rfm_segments", "ccnet_buckets",
-    # named by the r2 verdict for rotation
-    "mixture_weights", "hybrid_search", "scd2_history",
-    "event_pattern_match", "negative_samples",
-    # never-gated: text / LM quality
-    "bigram_logprob", "unigram_logprob", "bm25_search", "inverted_index",
-    "oov_rate", "zipf_exponent", "pmi_collocations", "vocab_growth",
-    # never-gated: dedup / multimodal
-    "incremental_dedup", "dedup_levenshtein", "cross_doc_overlap",
-    "media_dedup", "media_metadata", "fingerprints",
-    # never-gated: pipeline shaping / privacy
-    "pack_sequences", "chunk_documents", "dataset_split",
-    "stratified_sample", "source_mix", "corpus_datacard", "pii_redact",
-    "k_anonymity",
-    # never-gated: temporal / behavioral
-    "asof_next_order", "moving_average", "retention_cohorts",
-    "session_funnel", "hourly_anomalies",
-    # never-gated: embeddings
-    "quantize_embeddings", "label_centroids",
+    # semi-structured / VARIANT (new in r3, never gated)
+    "variant_extract", "variant_shred", "schema_drift_audit",
+    "props_variant", "props_extract", "nested_order_docs",
+    # temporal / behavioral analytics
+    "rolling_active_users", "cumulative_unique_users", "trailing_hour_avg",
+    "time_weighted_avg", "decayed_engagement", "daily_value_delta",
+    "value_trend", "similar_days", "conversion_latency",
+    "event_transitions", "common_paths", "cohort_ltv", "cohort_overlap",
+    "ab_test", "daily_type_pivot", "unpivot_daily_counts",
+    "distinct_users_by_type",
+    # stats / profiling
+    "stats_profile", "equidepth_histogram", "value_histogram", "value_bars",
+    "mad_outliers", "winsorized_stats", "type_value_geomean",
+    "key_skew_profile", "integrity_audit", "snapshot_diff",
+    # TPC-H-ish relational shapes
+    "above_avg_orders", "top_orders_with_ties", "nation_segments",
+    "status_priority_sets", "top_sources_with_other",
+    # LLM-data curation
+    "curation_funnel", "curation_pipeline", "contamination", "lang_id",
+    "repetition", "vocab_pairs", "source_sample", "weighted_sample",
+    "hard_negatives", "pseudonymize_audit",
+    # embeddings
+    "embedding_dim_profile", "embedding_norm_stats",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
+_REGISTRY_NAMES = {q.name for q in _ALL}
+# A typo or a future rename must fail loudly, not silently demote the entry
+# to the back of the sort (the driver gates the first 50 in order).
+_unknown = [n for n in _FRONT if n not in _REGISTRY_NAMES]
+assert not _unknown, f"_FRONT names not in registry: {_unknown}"
+assert len(_FRONT) == len(set(_FRONT)) == 50, "front-50 must be 50 unique"
 _ALL.sort(key=lambda q: _FRONT_ORDER.get(q.name, len(_FRONT_ORDER)))
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}
