@@ -144,10 +144,12 @@ def lexicon_sums_udf():
 
 def _score_columns_from_sums(df: DataFrame) -> DataFrame:
     """Shared tail of every scoring path: model-score/label/ensemble columns
-    from the integer columns (s, pos_n, neg_n, __n_tok). Single-expression
-    double arithmetic — identical op order to the DuckDB oracle
-    (queries/sqlgen.py ENRICHED_DOCS_CTE `scored` stage)."""
-    s, p, n = F.col("s"), F.col("pos_n"), F.col("neg_n")
+    from the integer columns (__s, __pos_n, __neg_n, __n_tok — dunder-
+    prefixed so a caller DataFrame that already has s/pos_n/neg_n columns
+    is never silently clobbered). Single-expression double arithmetic —
+    identical op order to the DuckDB oracle (queries/sqlgen.py
+    ENRICHED_DOCS_CTE `scored` stage)."""
+    s, p, n = F.col("__s"), F.col("__pos_n"), F.col("__neg_n")
     t = F.col("__n_tok")
     df = df.withColumns({
         "vader_compound": s / F.sqrt(s * s + F.lit(COMPOUND_ALPHA)),
@@ -177,7 +179,7 @@ def _score_columns_from_sums(df: DataFrame) -> DataFrame:
             F.least(base_conf * F.lit(AGREEMENT_BOOST), F.lit(CONFIDENCE_CAP)),
         ).otherwise(base_conf),
     })
-    return df.drop("s", "pos_n", "neg_n", "__n_tok")
+    return df.drop("__s", "__pos_n", "__neg_n", "__n_tok")
 
 
 def sentiment_enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -195,9 +197,9 @@ def sentiment_enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df.withColumn(
         "__sums", lexicon_sums_udf()(normalized_tokens_col(F.col("cleaned_text"))))
     df = df.withColumns({
-        "s": F.col("__sums.s"),
-        "pos_n": F.col("__sums.pos_n"),
-        "neg_n": F.col("__sums.neg_n"),
+        "__s": F.col("__sums.s"),
+        "__pos_n": F.col("__sums.pos_n"),
+        "__neg_n": F.col("__sums.neg_n"),
         "__n_tok": token_count(F.col("cleaned_text")),
     }).drop("__sums")
     return _score_columns_from_sums(df)
@@ -270,16 +272,16 @@ def sentiment_enrich_relational(
         F.broadcast(lexicon_table(df.sparkSession)), pairs.tok == F.col("word"))
     v = effective_valence(F.col("valence"), F.col("prev"))
     sums = hits.groupBy(id_col).agg(
-        F.sum(v).cast("int").alias("s"),
-        F.sum(F.when(v > 0, 1).otherwise(0)).cast("int").alias("pos_n"),
-        F.sum(F.when(v < 0, 1).otherwise(0)).cast("int").alias("neg_n"),
+        F.sum(v).cast("int").alias("__s"),
+        F.sum(F.when(v > 0, 1).otherwise(0)).cast("int").alias("__pos_n"),
+        F.sum(F.when(v < 0, 1).otherwise(0)).cast("int").alias("__neg_n"),
     )
     df = (
         df.join(sums, on=id_col, how="left")
         .withColumns({
-            "s": F.coalesce(F.col("s"), F.lit(0)),
-            "pos_n": F.coalesce(F.col("pos_n"), F.lit(0)),
-            "neg_n": F.coalesce(F.col("neg_n"), F.lit(0)),
+            "__s": F.coalesce(F.col("__s"), F.lit(0)),
+            "__pos_n": F.coalesce(F.col("__pos_n"), F.lit(0)),
+            "__neg_n": F.coalesce(F.col("__neg_n"), F.lit(0)),
             "__n_tok": token_count(F.col("cleaned_text")),
         })
     )

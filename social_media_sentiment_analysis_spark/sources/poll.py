@@ -125,10 +125,32 @@ class HttpPollTransport(PollTransport):
     live deployment may route through its own session); ``get`` defaults to
     ``requests.get`` resolved lazily so the module imports without the
     package installed.
+
+    REPLAY CONTRACT (weaker than the file transport's): this transport
+    re-polls the LIVE API for a committed id range, so crash-recovery
+    replay is best-effort, not byte-identical — tweets deleted since the
+    original read vanish, and tweets whose ids landed in (start, end] after
+    the original read appear. Exactly-once downstream therefore must key on
+    tweet id (the upsert/anti-join sinks do), NOT on content hashes; the
+    content-addressed shard sink should only be fed from replayable
+    transports. ``TweetPollStreamReader`` surfaces this flag as
+    ``transport_replay_exact``.
+
+    OVERFLOW DRAIN: the recent-search endpoint returns the newest page
+    first. Advancing ``since_id`` to the max seen id after ONE page would
+    permanently skip anything older than the page boundary whenever more
+    than ``max_results`` tweets arrived between polls (the reference shares
+    this gap, twitter_producer.py:67). ``poll`` therefore follows the
+    API's ``meta.next_token`` pagination within one poll, up to
+    ``max_pages`` pages, so the committed cursor only moves past ids that
+    were actually read. If the drain still truncates (more than
+    max_pages·max_results arrivals in one interval), the remainder is
+    skipped and a warning is logged — bounded loss instead of silent loss,
+    and the bound is operator-tunable.
     """
 
     def __init__(self, bearer_token: str, query: str,
-                 get=None, sleep=None, now=None) -> None:
+                 get=None, sleep=None, now=None, max_pages: int = 5) -> None:
         if get is None:
             import requests  # import-gated: not installed in all sandboxes
 
@@ -144,6 +166,8 @@ class HttpPollTransport(PollTransport):
         self._get, self._sleep, self._now = get, sleep, now
         self.bearer_token = bearer_token
         self.query = query
+        self.max_pages = max(1, int(max_pages))
+        self.replay_exact = False  # see REPLAY CONTRACT in class docstring
 
     def _headers(self) -> dict:
         return {
@@ -179,17 +203,37 @@ class HttpPollTransport(PollTransport):
         return None  # no since_id: first poll returns the most recent page
 
     def poll(self, cursor, max_results: int):
-        params = self._params(max_results)
-        if cursor:
-            params["since_id"] = cursor
-        body = self._request(params) or {}
-        tweets = body.get("data") or []
-        users = (body.get("includes") or {}).get("users") or []
-        objs = [{"data": t, "includes": {"users": users}} for t in tweets]
-        if not tweets:
+        objs: list[dict] = []
+        max_id = None
+        next_token = None
+        for page in range(self.max_pages):
+            params = self._params(max_results)
+            if cursor:
+                params["since_id"] = cursor
+            if next_token:
+                params["next_token"] = next_token
+            body = self._request(params) or {}
+            tweets = body.get("data") or []
+            users = (body.get("includes") or {}).get("users") or []
+            objs.extend({"data": t, "includes": {"users": users}}
+                        for t in tweets)
+            if tweets:
+                page_max = max(int(t["id"]) for t in tweets)
+                max_id = page_max if max_id is None else max(max_id, page_max)
+            next_token = (body.get("meta") or {}).get("next_token")
+            if not next_token:
+                break
+        if next_token:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "tweet-poll: overflow drain truncated after %d pages; "
+                "tweets older than the drained window in (since_id, max_id] "
+                "are skipped — raise max_pages or shorten the trigger "
+                "interval", self.max_pages)
+        if not objs:
             return [], cursor  # unchanged cursor => unchanged offset
-        new_cursor = max(int(t["id"]) for t in tweets)
-        return objs, str(new_cursor)
+        return objs, str(max_id)
 
     def replay(self, start_cursor, end_cursor) -> list[dict]:
         # Best-effort deterministic range re-poll: (start, end] by id.
@@ -206,7 +250,17 @@ class HttpPollTransport(PollTransport):
 
 
 class TweetPollStreamReader(SimpleDataSourceStreamReader):
-    """One read() = one poll, capped at max_results rows (≤100)."""
+    """One read() = one poll, capped at max_results rows per page (≤100;
+    the http transport may drain up to ``max_pages`` pages on overflow).
+
+    Replay semantics depend on the transport (``transport_replay_exact``):
+    the file transport replays a committed offset range byte-identically;
+    the http transport re-polls the live API, so replay is best-effort
+    (deletions vanish, stragglers appear — see HttpPollTransport). Pipelines
+    that require byte-identical replay (the content-addressed shard sink)
+    must use a replay-exact transport or insert an id-keyed idempotent sink
+    between this source and the content-addressed stage.
+    """
 
     def __init__(self, options: dict) -> None:
         self.max_results = min(int(options.get("max_results", 10)),
@@ -216,12 +270,17 @@ class TweetPollStreamReader(SimpleDataSourceStreamReader):
         if options.get("transport", "file") == "http":
             self.transport: PollTransport = HttpPollTransport(
                 bearer_token=options.get("bearer_token", ""),
-                query=options.get("query", ""))
+                query=options.get("query", ""),
+                max_pages=int(options.get("max_pages", 5)))
         else:
             path = options.get("path")
             if not path:
                 raise ValueError("tweet-poll file transport requires 'path'")
             self.transport = FilePollTransport(path)
+
+    @property
+    def transport_replay_exact(self) -> bool:
+        return getattr(self.transport, "replay_exact", True)
 
     def initialOffset(self) -> dict:
         return {"cursor": self.transport.initial_cursor()}

@@ -182,6 +182,62 @@ def test_http_transport_idle_and_since_id():
     assert cur3 == "130"
 
 
+def test_http_transport_overflow_drain_and_truncation():
+    """When more than max_results tweets arrived, poll must follow
+    meta.next_token so the committed cursor only moves past ids actually
+    read; when the drain hits max_pages it truncates with a warning (bounded
+    loss) rather than silently skipping everything past page one."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    pages = [
+        {"data": [{"id": "300", "text": "newest"}, {"id": "299", "text": "b"}],
+         "meta": {"next_token": "t1"}},
+        {"data": [{"id": "298", "text": "c"}, {"id": "297", "text": "d"}]},
+    ]
+    calls = []
+
+    def fake_get(url, headers=None, params=None):
+        calls.append(dict(params))
+        return _FakeResponse(200, body=pages[len(calls) - 1])
+
+    t = HttpPollTransport("tok", "q", get=fake_get,
+                          sleep=lambda s: None, now=lambda: 0, max_pages=5)
+    objs, cur = t.poll("296", 2)
+    assert [o["data"]["id"] for o in objs] == ["300", "299", "298", "297"]
+    assert cur == "300"
+    assert "next_token" not in calls[0] and calls[1]["next_token"] == "t1"
+    assert all(c["since_id"] == "296" for c in calls)
+
+    # truncation: max_pages=1 stops after the first page but still advances
+    calls.clear()
+    pages[:] = [
+        {"data": [{"id": "310", "text": "x"}],
+         "meta": {"next_token": "t9"}},
+    ]
+    t1 = HttpPollTransport("tok", "q", get=fake_get,
+                           sleep=lambda s: None, now=lambda: 0, max_pages=1)
+    objs, cur = t1.poll("300", 1)
+    assert [o["data"]["id"] for o in objs] == ["310"] and cur == "310"
+    assert len(calls) == 1
+
+
+def test_http_transport_replay_contract_flag(fixture_path):
+    """The reader must surface which replay contract the transport gives:
+    file = exact, http = best-effort (documented weaker contract)."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    r = TweetPollStreamReader({"path": fixture_path})
+    assert r.transport_replay_exact is True
+    r.transport = HttpPollTransport(
+        "tok", "q", get=lambda *a, **k: None,
+        sleep=lambda s: None, now=lambda: 0)
+    assert r.transport_replay_exact is False
+
+
 def test_stream_integration(spark, fixture_path):
     from social_media_sentiment_analysis_spark.streaming import (
         enrich_tweet_stream,
