@@ -45,6 +45,26 @@ MEDIA_FEATURE_SCHEMA = (
 )
 
 
+def _spread_for_python(df: DataFrame) -> DataFrame:
+    """Ensure an Arrow/mapInPandas crossing runs with cluster-wide
+    parallelism. A small parquet table scans as ONE partition (file <
+    maxPartitionBytes), which would serialize the whole Python stage
+    through a single worker — measured as the dominant cost of media_phash
+    at sf0.1 (5000 rows, 1 partition, 32 idle cores; tools/phash_ab.py).
+    Repartition round-robin only when the scan is under-parallel; at real
+    scale (100 TB ⇒ ~10^5-10^6 input splits) the branch never fires and no
+    shuffle is added.
+
+    Target is HALF the core count: each Python-crossing task pays a fixed
+    Arrow/worker round-trip overhead, so on the small-scan path full fan-out
+    overshoots — the sf0.1 sweep measured 1-partition 1.61 s, 8 → 1.18 s,
+    16 → 1.16 s, 32 → 1.39 s end-to-end for media_phash (SCALE.md §8)."""
+    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def attach_media(docs: DataFrame) -> DataFrame:
     """Derive a MEDIA_SCHEMA-shaped table from the ``documents`` testdata
     table: payload = UTF-8 bytes of the text (a stand-in for encoded media),
@@ -132,9 +152,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                          "byte_std", "byte_min", "byte_max", "n_frames"],
             )
 
-    return media.select("media_id", "modality", "payload").mapInPandas(
-        features, schema=MEDIA_FEATURE_SCHEMA
-    )
+    return _spread_for_python(
+        media.select("media_id", "modality", "payload")
+    ).mapInPandas(features, schema=MEDIA_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = (
@@ -174,11 +194,10 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                 out, columns=["media_id", "frame_idx", "frame_ts_ms",
                               "frame_bytes"])
 
-    return (
+    return _spread_for_python(
         media.filter(F.col("modality") == "video")
         .select("media_id", "payload", "duration_ms")
-        .mapInPandas(frames, schema=FRAME_SCHEMA)
-    )
+    ).mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int = 16,
@@ -211,14 +230,13 @@ def resize_images(media: DataFrame, width: int = 16,
                 "width": width, "height": height,
             })
 
-    return (
+    return _spread_for_python(
         media.filter(F.col("modality") == "image")
         .select("media_id", "mime_type", "payload")
-        .mapInPandas(
-            resize,
-            schema="media_id string, mime_type string, payload binary, "
-                   "width int, height int")
-    )
+    ).mapInPandas(
+        resize,
+        schema="media_id string, mime_type string, payload binary, "
+               "width int, height int")
 
 
 SEGMENT_SCHEMA = (
@@ -268,11 +286,10 @@ def segment_audio(media: DataFrame, segment_ms: int = 1000,
                 out, columns=["media_id", "segment_idx", "start_ms",
                               "end_ms", "segment_bytes"])
 
-    return (
+    return _spread_for_python(
         media.filter(F.col("modality") == "audio")
         .select("media_id", "payload", "duration_ms")
-        .mapInPandas(segments, schema=SEGMENT_SCHEMA)
-    )
+    ).mapInPandas(segments, schema=SEGMENT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -324,6 +341,49 @@ def _fake_decode_phash(payload: bytes) -> int:
     return h
 
 
+def _phash_batch(payloads) -> "np.ndarray":
+    """Whole-batch dHash: bit-identical to ``_fake_decode_phash`` per row,
+    but the bucket sums for EVERY row in the Arrow batch run in ONE
+    ``np.add.reduceat`` over the concatenated payload bytes, and the 64-bit
+    packing is one matrix-vector product — no per-row Python loop. Rows
+    shorter than the bucket count (empty buckets — reduceat can't express
+    those) fall back to the scalar path; they are rare and tiny by
+    definition. Measured 0.65 s → ~0.25 s on the sf0.1 decode stage
+    (tools/phash_ab.py)."""
+    import numpy as np
+
+    k = _PHASH_CELLS + 1
+    raw = [(p if p else b"\x00") for p in payloads]
+    lengths = np.fromiter((len(b) for b in raw), dtype=np.int64,
+                          count=len(raw))
+    out = np.zeros(len(raw), dtype=np.int64)
+    small = lengths < k
+    if small.any():
+        for i in np.flatnonzero(small):
+            out[i] = _fake_decode_phash(raw[i])
+    big_rows = np.flatnonzero(~small)
+    if big_rows.size:
+        big = np.frombuffer(b"".join(raw[i] for i in big_rows),
+                            dtype=np.uint8).astype(np.float64)
+        n_arr = lengths[big_rows]
+        div, mod = n_arr // k, n_arr % k
+        # per-row bucket sizes: first n%k buckets take n//k+1 (identical
+        # boundaries to np.array_split, matching the scalar path exactly)
+        sizes = div[:, None] + (np.arange(k)[None, :] < mod[:, None])
+        starts = np.zeros(big_rows.size, dtype=np.int64)
+        np.cumsum(n_arr[:-1], out=starts[1:])
+        inner = np.zeros((big_rows.size, k), dtype=np.int64)
+        np.cumsum(sizes[:, :-1], axis=1, out=inner[:, 1:])
+        edges = (starts[:, None] + inner).ravel()
+        means = np.add.reduceat(big, edges).reshape(-1, k) / sizes
+        bits = means[:, :-1] > means[:, 1:]
+        weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+        packed = (bits.astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64)
+        out[big_rows] = packed.view(np.int64)  # two's-complement into long
+    return out
+
+
 def phash_media(media: DataFrame) -> DataFrame:
     """Perceptual hash per media row: Arrow-batched decode→hash crossing
     (one per batch), output pruned to (media_id, modality, phash)."""
@@ -335,12 +395,12 @@ def phash_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],
-                "phash": [_fake_decode_phash(p) for p in pdf["payload"]],
+                "phash": _phash_batch(list(pdf["payload"])),
             })
 
-    return media.select("media_id", "modality", "payload").mapInPandas(
-        hashes, schema=PHASH_SCHEMA
-    )
+    return _spread_for_python(
+        media.select("media_id", "modality", "payload")
+    ).mapInPandas(hashes, schema=PHASH_SCHEMA)
 
 
 def phash_near_duplicates(media: DataFrame,
@@ -416,9 +476,9 @@ def encode_media(media: DataFrame) -> DataFrame:
                 "media_vec": [_fake_media_encoder(p) for p in pdf["payload"]],
             })
 
-    return media.select("media_id", "modality", "payload").mapInPandas(
-        encode, schema=MEDIA_VEC_SCHEMA
-    )
+    return _spread_for_python(
+        media.select("media_id", "modality", "payload")
+    ).mapInPandas(encode, schema=MEDIA_VEC_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -441,7 +501,7 @@ def frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "frame_idx": pdf["frame_idx"],
-                "fhash": [_fake_decode_phash(b) for b in pdf["frame_bytes"]],
+                "fhash": _phash_batch(list(pdf["frame_bytes"])),
             })
 
     return (
@@ -541,8 +601,7 @@ def segment_hashes(media: DataFrame, segment_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "segment_idx": pdf["segment_idx"],
-                "shash": [_fake_decode_phash(b)
-                          for b in pdf["segment_bytes"]],
+                "shash": _phash_batch(list(pdf["segment_bytes"])),
             })
 
     return (

@@ -183,6 +183,25 @@ class TestPhash:
     """Perceptual-hash near-dup: gradient-hash stability for perturbed
     payloads, modality blocking, and pair ordering."""
 
+    def test_batched_phash_bit_identical_to_scalar(self):
+        """The whole-batch reduceat path must be bit-identical to the
+        per-row reference for every size class, including the empty/tiny
+        payloads that fall back to the scalar path."""
+        from social_media_sentiment_analysis_spark.operators.multimodal import (
+            _fake_decode_phash,
+            _phash_batch,
+        )
+
+        rng = np.random.default_rng(11)
+        payloads = [None, b"", b"\x01", bytes(range(10)), bytes(64),
+                    bytes(65), bytes(66)]
+        payloads += [rng.integers(0, 256, size=int(n), dtype=np.uint8)
+                     .tobytes()
+                     for n in rng.integers(1, 5000, size=200)]
+        got = _phash_batch(payloads)
+        for i, p in enumerate(payloads):
+            assert got[i] == _fake_decode_phash(p if p else b"\x00")
+
     def _media_df(self, spark, rows):
         return spark.createDataFrame(
             rows, "media_id string, modality string, payload binary")
