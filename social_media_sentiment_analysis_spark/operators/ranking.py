@@ -67,14 +67,22 @@ TOTAL_COL = "__rank_n"
 def _ranged_stamped(df: DataFrame, order: list[Column]) -> DataFrame:
     """Range-partition + locally sort ``df`` by ``order``, stamp pid/mid,
     and localCheckpoint so every downstream branch shares one materialized
-    computation (deterministic pids, no duplicate scan)."""
+    computation (deterministic pids, no duplicate scan).
+
+    EAGER checkpoint, deliberately: a lazy (eager=False) checkpoint here is
+    re-planned inside each derived action, so the two downstream branches
+    can each materialize their own copy — measured as persisted-RDD blocks
+    that never drain (tests/test_cache_hygiene.py caught it: steady state 6
+    instead of ≤1, and pid agreement would again be by luck, not pinned).
+    Eager materialization runs once at call time and every branch reads the
+    same frozen partitions."""
     part = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn(_PID, F.spark_partition_id())
         .withColumn(_MID, F.monotonically_increasing_id())
     )
-    return part.localCheckpoint(eager=False)
+    return part.localCheckpoint(eager=True)
 
 
 def with_global_rank(df: DataFrame, order: list[Column],

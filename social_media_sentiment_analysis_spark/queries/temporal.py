@@ -933,9 +933,11 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's batch SQL oracle: the events table is consumed as a
     micro-batched file stream (``sources/batch.py::load_events_stream``),
     aggregated with the same expressions as the batch ``hourly_rollup``,
-    drained with an availableNow trigger into a memory sink, and the final
-    table returned. Streaming ≡ batch on the same input IS the exactly-once
-    correctness statement — here the DuckDB gate checks it per round.
+    drained with an availableNow trigger through a foreachBatch parquet
+    sink (distributed — the hour×type result grows with the time span, so
+    it must not collect to the driver), and the final table returned.
+    Streaming ≡ batch on the same input IS the exactly-once correctness
+    statement — here the DuckDB gate checks it per round.
 
     Complete output mode keeps every window in the (|hours|×|types|-sized)
     state store — the right trade for a rollup whose result set is bounded;
@@ -945,7 +947,7 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.rounding import decimal_sum, round_half_up
     from ..sources.batch import load_events_stream
-    from ..streaming.pipeline import drain_stream_to_df
+    from ..streaming.pipeline import drain_stream_to_parquet
 
     stream = load_events_stream(spark, sf_dir)
     # decimal-exact sum + engine-exact rounding (functions/rounding.py):
@@ -959,7 +961,7 @@ def q_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              round_half_up(decimal_sum(F.col("value")), 4)
              .alias("total_value"))
     )
-    return drain_stream_to_df(rolled, "stream_rollup") \
+    return drain_stream_to_parquet(rolled, "stream_rollup") \
         .orderBy("hour", "event_type")
 
 

@@ -314,3 +314,37 @@ def drain_stream_to_df(streaming_df: DataFrame,
     rows = table.collect()
     spark.catalog.dropTempView(sink)
     return spark.createDataFrame(rows, table.schema)
+
+
+def drain_stream_to_parquet(streaming_df: DataFrame,
+                            name_prefix: str = "drain") -> DataFrame:
+    """Distributed drain for a complete-mode streaming aggregation: run to
+    exhaustion with an availableNow trigger, ``foreachBatch``-overwriting a
+    parquet directory with each micro-batch's full result (complete mode ⇒
+    the last batch IS the final table), then read the directory back and
+    ``localCheckpoint`` so the temp files can be deleted immediately.
+
+    This is the harness to use when the aggregation's group cardinality
+    grows with the data (hour×type rollups over long spans): the result
+    never lands on the driver — the memory-sink + collect path
+    (``drain_stream_to_df``) stays for aggregates bounded by construction
+    (3-5 row summaries), where a parquet round-trip is pure overhead.
+    """
+    import shutil
+    import tempfile
+
+    spark = streaming_df.sparkSession
+    out_dir = tempfile.mkdtemp(prefix=f"{name_prefix}_")
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (streaming_df.writeStream.foreachBatch(write_batch)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    try:
+        # eager checkpoint materializes the blocks so the directory can go
+        result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return result

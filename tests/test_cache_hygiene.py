@@ -14,7 +14,16 @@ default periodic GC is 30 min), so the probe forces ``System.gc()`` per
 retry; additionally the driver JVM pins the single MOST RECENT query's
 checkpoint in a last-execution slot (displaced by the next query, steady
 state = 1), so the invariant is boundedness across repeated runs, not
-zero."""
+zero.
+
+De-flake contract (r3 verdict): the drain is PROGRESS-based, not a fixed
+wall budget — under CPU contention (a co-running Spark session sharing the
+cores) the async ContextCleaner drains slowly but steadily, so the drain
+keeps waiting while the count is still falling and only gives up after a
+no-progress window. If the assertion would still fail, the whole two-pass
+probe reruns once: a real persist() leak reproduces (the count grows again
+on identical inputs); GC-timing flake does not.
+"""
 
 from __future__ import annotations
 
@@ -32,23 +41,32 @@ PERSIST_PRONE = [
 ]
 
 
-def _drain(spark, budget_s: float = 150.0) -> int:
+def _drain(spark, no_progress_s: float = 75.0, hard_cap_s: float = 600.0) -> int:
     """Force Python+JVM GC until the persisted-RDD count reaches the
-    steady-state slot (the ContextCleaner queue is async and bursty —
-    measured: a few seconds per checkpointed RDD)."""
-    deadline = time.time() + budget_s
-    n = -1
-    while time.time() < deadline:
+    steady-state slot. The ContextCleaner queue is async and bursty, and
+    under load each sweep can take tens of seconds — so the give-up rule
+    is "no progress for ``no_progress_s``", which a loaded-but-healthy
+    cleaner never trips, instead of a fixed wall budget (the r3 full-suite
+    flake: 150 s was not enough with a second session contending for the
+    cores)."""
+    start = time.time()
+    last_progress = start
+    best = None
+    while True:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.5)
         n = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         if n <= 1:
-            break
-    return n
+            return n
+        if best is None or n < best:
+            best, last_progress = n, time.time()
+        now = time.time()
+        if now - last_progress > no_progress_s or now - start > hard_cap_s:
+            return n
 
 
-def test_no_cache_accumulation_across_queries(spark, sf_dir):
+def _probe(spark, sf_dir) -> list[int]:
     counts = []
     for _ in range(2):
         for name in PERSIST_PRONE:
@@ -56,7 +74,19 @@ def test_no_cache_accumulation_across_queries(spark, sf_dir):
             df.collect()
             del df
         counts.append(_drain(spark))
+    return counts
+
+
+def _ok(counts: list[int]) -> bool:
     # steady state: at most the one JVM-pinned last-execution checkpoint,
     # and NO growth between identical runs (growth = a persist() leak)
-    assert counts[1] <= max(counts[0], 1), counts
-    assert counts[1] <= 1, counts
+    return counts[1] <= max(counts[0], 1) and counts[1] <= 1
+
+
+def test_no_cache_accumulation_across_queries(spark, sf_dir):
+    counts = _probe(spark, sf_dir)
+    if not _ok(counts):
+        # one full-probe retry: a genuine leak reproduces (the count grows
+        # again over identical inputs); a GC-drain timing flake does not
+        counts = _probe(spark, sf_dir)
+    assert _ok(counts), counts
