@@ -131,6 +131,109 @@ class TestGoldenReferenceTexts:
         assert rows["4"]["confidence_score"] == 1.0
 
 
+class TestGoldenCorpus:
+    """24-text labeled golden corpus (r3 verdict #4) spanning every scoring
+    feature the reference exercises (sentiment_analysis.py:218-317):
+    negation flips, boosters, all-caps, emoticons, empty/whitespace,
+    neutral prose, balanced polarity, RT/mention/URL cleaning, unicode
+    apostrophes/ellipsis. Each row pins the exact integer lexicon sums
+    (s, pos_n, neg_n), all three labels, and the confidence — and BOTH
+    scoring plans (Arrow UDF and pure-JVM relational) must reproduce them
+    byte-equal."""
+
+    # (doc_id, text, (s, pos_n, neg_n), vader, textblob, final, confidence)
+    GOLDEN = [
+        (1, "I love this amazing product!", (7, 2, 0),
+         "positive", "positive", "positive", 1.0),
+        (2, "This is terribel and awful.", (-3, 0, 1),   # typo -> no hit
+         "negative", "negative", "negative", 1.0),
+        (3, "It's okay, nothing special.", (-1, 1, 1),   # negated 'special'
+         "negative", "neutral", "negative", 0.6),
+        (4, "Best day ever! So excited!", (7, 2, 0),     # booster step
+         "positive", "positive", "positive", 1.0),
+        (5, "not bad at all", (3, 1, 0),                 # flip to positive
+         "positive", "positive", "positive", 1.0),
+        (6, "not good at all", (-2, 0, 1),               # flip to negative
+         "negative", "negative", "negative", 1.0),
+        (7, "very good indeed", (3, 1, 0),               # booster +1
+         "positive", "positive", "positive", 1.0),
+        (8, "very bad indeed", (-4, 0, 1),               # booster -1
+         "negative", "negative", "negative", 1.0),
+        (9, "extremely happy with the result", (4, 1, 0),
+         "positive", "positive", "positive", 1.0),
+        (10, "hardly a disappointment", (-2, 0, 1),
+         "negative", "negative", "negative", 1.0),
+        (11, "THIS IS ABSOLUTELY WONDERFUL", (5, 1, 0),  # all-caps lowercased
+         "positive", "positive", "positive", 1.0),
+        (12, "TERRIBLE SERVICE. AWFUL. NEVER AGAIN", (-6, 0, 2),
+         "negative", "negative", "negative", 1.0),
+        (13, "I am so so so happy :)", (4, 1, 0),        # emoticon ignored
+         "positive", "positive", "positive", 1.0),
+        (14, "worst purchase ever :(", (-3, 0, 1),
+         "negative", "negative", "negative", 1.0),
+        (15, "", (0, 0, 0), "neutral", "neutral", "neutral", 0.0),
+        (16, "   ", (0, 0, 0), "neutral", "neutral", "neutral", 0.0),
+        (17, "the cat sat on the mat", (0, 0, 0),        # neutral prose
+         "neutral", "neutral", "neutral", 0.0),
+        (18, "don't love it, don't hate it", (0, 1, 1),  # balanced flips
+         "neutral", "neutral", "neutral", 0.0),
+        (19, "RT @user check https://t.co/x this brilliant masterpiece",
+         (8, 2, 0), "positive", "positive", "positive", 1.0),  # cleaned
+        (20, "@someone that was a complete disaster, truly horrific",
+         (-7, 0, 2), "negative", "negative", "negative", 1.0),
+        (21, "good good good bad", (3, 3, 1),            # repeats all count
+         "positive", "positive", "positive", 1.0),
+        (22, "never been happier!", (3, 1, 0),
+         "positive", "positive", "positive", 1.0),
+        (23, "It’s not awful… it’s actually great", (6, 2, 0),  # unicode
+         "positive", "positive", "positive", 1.0),
+        (24, "meh", (-1, 0, 1),                          # weak negative
+         "negative", "neutral", "negative", 0.6),
+    ]
+
+    CMP_COLS = ["doc_id", "cleaned_text", "vader_compound", "vader_positive",
+                "vader_negative", "vader_neutral", "vader_sentiment",
+                "textblob_polarity", "textblob_subjectivity",
+                "textblob_sentiment", "combined_score", "final_sentiment",
+                "confidence_score"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t, *_ in self.GOLDEN], ["doc_id", "text"])
+
+    def test_udf_path_matches_goldens(self, spark):
+        rows = {r["doc_id"]: r for r in
+                sentiment_enrich(self._df(spark), "text").collect()}
+        for i, _text, _sums, vader, tb, final, conf in self.GOLDEN:
+            r = rows[i]
+            assert r["vader_sentiment"] == vader, (i, r)
+            assert r["textblob_sentiment"] == tb, (i, r)
+            assert r["final_sentiment"] == final, (i, r)
+            assert r["confidence_score"] == pytest.approx(conf), (i, r)
+
+    def test_integer_sums_pinned(self, spark):
+        """The exact lexicon sums behind every label, through the scalar
+        scorer on the SAME cleaned+normalized tokens Spark produces — the
+        invariant that keeps the Arrow path, the relational path, and the
+        DuckDB oracle in integer lockstep."""
+        enr = sentiment_enrich(self._df(spark), "text") \
+            .select("doc_id", "cleaned_text").collect()
+        cleaned = {r["doc_id"]: r["cleaned_text"] for r in enr}
+        for i, _text, sums, *_ in self.GOLDEN:
+            toks = [normalize_token(t) for t in cleaned[i].split(" ")] \
+                if cleaned[i] else []
+            assert (score_tokens(toks) if toks else (0, 0, 0)) == sums, i
+
+    def test_both_paths_byte_equal_on_corpus(self, spark):
+        df = self._df(spark)
+        a = {r["doc_id"]: r for r in
+             sentiment_enrich(df, "text").select(*self.CMP_COLS).collect()}
+        b = {r["doc_id"]: r for r in
+             sentiment_enrich_relational(df, spark, "text")
+             .select(*self.CMP_COLS).collect()}
+        assert a == b
+
+
 class TestEnrichPipeline:
     def test_enrich_adds_all_columns(self, spark):
         df = spark.createDataFrame(
