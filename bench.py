@@ -78,29 +78,91 @@ BENCH_QUERIES = [
 ]
 
 
+N_PASSES = 3
+
+
+def _prior_round_json() -> tuple[str, dict] | None:
+    """Latest checked-in BENCH_r{N}.json, for the per-query delta report."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        return None
+    with open(best) as f:
+        data = json.load(f)
+    # the driver wraps the bench line in {"parsed": {...}, "tail": ...}
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return os.path.basename(best), data
+
+
+def _write_delta(timings: dict[str, float]) -> None:
+    """BENCH_DELTA.json: machine-readable per-query ratio vs the latest
+    recorded round, so cross-round regressions are a jq away instead of a
+    by-eye diff. Ratios within the measured ±20% same-config noise band
+    (SCALE.md §7) are labeled noise; beyond it, flagged."""
+    prior = _prior_round_json()
+    if prior is None:
+        return
+    fname, prev = prior
+    prev_q = prev.get("queries", {})
+    delta = {}
+    for name, sec in timings.items():
+        if name in prev_q and prev_q[name] > 0:
+            ratio = round(sec / prev_q[name], 3)
+            delta[name] = {
+                "sec": sec, "prev_sec": prev_q[name], "ratio": ratio,
+                "flag": ("regression" if ratio > 1.2 else
+                         "improvement" if ratio < 0.8 else "noise"),
+            }
+        else:
+            delta[name] = {"sec": sec, "prev_sec": None, "ratio": None,
+                           "flag": "new"}
+    shared = [d["ratio"] for d in delta.values() if d["ratio"]]
+    out = {
+        "baseline": fname,
+        "passes": N_PASSES,
+        "shared_query_total_ratio": round(
+            sum(timings[n] for n in timings if delta[n]["ratio"])
+            / max(sum(prev_q[n] for n in timings if delta[n]["ratio"]), 1e-9),
+            3) if shared else None,
+        "queries": delta,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DELTA.json"), "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+
+
 def run() -> dict:
     spark = get_spark("bench")
     # keep stderr to genuine errors so the recorded bench tail is signal
     spark.sparkContext.setLogLevel("ERROR")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    timings: dict[str, float] = {}
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    # Two passes per query; report the per-query minimum. Pass 1 absorbs
-    # first-run cost (JVM, file listing, per-plan codegen compile), so the
-    # min is normally pass 2's steady state — but timing both passes also
-    # rejects transient host contention (observed 3-5x uniform inflation
-    # from hypervisor steal), which a single timed pass cannot.
-    for name in names:
-        start = time.perf_counter()
-        QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-    for name in names:
-        start = time.perf_counter()
-        QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = min(timings[name],
-                            round(time.perf_counter() - start, 3))
+    # N_PASSES timed passes per query; report the per-query minimum. Pass 1
+    # absorbs first-run cost (JVM, file listing, per-plan codegen compile);
+    # passes 2-3 give two steady-state samples so one hypervisor-steal burst
+    # (observed: 3-5x uniform inflation) can't define a query's number. The
+    # session is warmed before timing so pass 1 isn't also paying executor
+    # and Python-worker startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    for _ in range(N_PASSES):
+        for name in names:
+            start = time.perf_counter()
+            QUERIES[name].builder(spark, SF_DIR) \
+                .write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
     total = round(sum(timings.values()), 3)
     spark.stop()
+    _write_delta(timings)
     return {
         "metric": "headline_queries_total_sec",
         "value": total,
