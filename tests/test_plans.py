@@ -308,6 +308,41 @@ def test_new_retrieval_and_q20_plan_contracts(spark, sf_dir):
     assert is_top_k(hs) or "TakeOrdered" in physical_plan(hs)
 
 
+def test_exchange_counts_do_not_regress(spark, sf_dir):
+    """Registry-wide exchange-count ratchet (r3 verdict #7): every query's
+    shuffle count is pinned in tests/plan_snapshot.json (generated by
+    tools/plan_snapshot.py under these exact conditions). A count ABOVE the
+    snapshot means an extra shuffle snuck in — a lost broadcast, a lost
+    partitioning reuse, a planner-visible regression — and fails here even
+    while the oracle gate stays green. A count BELOW the snapshot is an
+    improvement: the test still passes, and the report names the queries so
+    the snapshot can be ratcheted down with a rerun of the tool."""
+    import json
+    from pathlib import Path
+
+    snap_path = Path(__file__).parent / "plan_snapshot.json"
+    snapshot = json.loads(snap_path.read_text())
+    regressed, improved, new = {}, {}, []
+    for name, query in QUERIES.items():
+        got = exchange_count(query.builder(spark, sf_dir))
+        pinned = snapshot.get(name)
+        if pinned is None:
+            new.append(name)
+        elif got > pinned:
+            regressed[name] = (pinned, got)
+        elif got < pinned:
+            improved[name] = (pinned, got)
+    assert not regressed, (
+        f"exchange counts regressed (pinned, got): {regressed}; if the "
+        f"increase is intentional, justify it and rerun "
+        f"tools/plan_snapshot.py")
+    assert not new, (
+        f"queries missing from plan_snapshot.json (rerun "
+        f"tools/plan_snapshot.py): {new}")
+    if improved:
+        print(f"exchange counts improved — ratchet the snapshot: {improved}")
+
+
 def test_jaccard_self_join_never_broadcasts_corpus(spark, sf_dir):
     """The shingled-corpus self-join must plan as a ShuffledHashJoin on the
     block key: broadcasting either side ships the ENTIRE corpus through
