@@ -69,6 +69,34 @@ def test_running_sums_match_window(spark):
     assert got == want
 
 
+def test_running_sums_null_semantics_match_window(spark):
+    """NULL handling must match the global window exactly (advisor finding):
+    SUM ignores NULLs but returns NULL over an all-NULL (or empty) prefix —
+    so a long all-NULL head must stay NULL across partition boundaries, not
+    collapse to 0, and values resume adding after the first non-NULL."""
+    from social_media_sentiment_analysis_spark.operators.ranking import (
+        with_running_sums,
+    )
+
+    # 600 rows: the first 250 are NULL (spanning several range partitions
+    # at shuffle_partitions=8), then sparse values with NULL gaps
+    df = spark.range(600).select(
+        "id",
+        F.when(F.col("id") >= 250, F.col("id") % 5).alias("a"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 7).alias("b"),
+    )
+    got = {r["id"]: (r["ca"], r["cb"]) for r in with_running_sums(
+        df, [F.asc("id")], {"ca": "a", "cb": "b"}).collect()}
+    w = (Window.orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["id"]: (r["ca"], r["cb"]) for r in df.select(
+        "id", F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb")).collect()}
+    assert got == want
+    assert want[0] == (None, 0)      # sanity: the head really is NULL
+    assert want[249][0] is None      # ...all the way to the first value
+
+
 def test_no_partitionless_window_over_input(spark):
     """The plan must contain no WindowExec without a partition spec over
     the (unbounded) input — only the bounded P-row offsets table may use
