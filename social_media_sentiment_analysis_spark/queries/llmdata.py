@@ -2342,3 +2342,67 @@ SELECT source,
 FROM normed
 ORDER BY source
 """
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy quality profile — the standard cheap
+    gibberish/boilerplate detector in LLM curation stacks (low Shannon
+    entropy over the character distribution ⇒ repeated filler or binary
+    junk; natural prose sits ~4 bits/char).
+
+    Per document H = log2(n) − (Σ c·log2 c)/n over lowercase character
+    counts, then one per-source rollup. Plan: map-side explode (characters
+    of each doc stay in the doc's partition) → partial-aggregated
+    (doc, char) counts — the shuffle carries at most |alphabet| rows per
+    doc per partition, NOT one row per character — → per-doc combine →
+    per-source aggregate. Two key-bounded exchanges; nothing is
+    corpus-quadratic, no Python crossing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), ""),
+                           lambda c: c != "")).alias("ch"))
+    counts = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"))
+    scored = per_doc.select(
+        "source", (F.log2("n") - F.col("s") / F.col("n")).alias("h"))
+    return (
+        scored.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("h"), 4).alias("avg_entropy"),
+             F.round(F.min("h"), 4).alias("min_entropy"),
+             F.round(F.max("h"), 4).alias("max_entropy"),
+             F.sum(F.when(F.col("h") < 3.5, 1).otherwise(0))
+             .cast("bigint").alias("low_entropy_docs"))
+        .orderBy("source")
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+    SELECT doc_id, source,
+           unnest(string_split(lower(text), '')) AS ch
+    FROM documents
+), counts AS (
+    SELECT doc_id, source, ch, COUNT(*) AS c
+    FROM chars WHERE ch <> '' GROUP BY 1, 2, 3
+), per_doc AS (
+    SELECT doc_id, source, SUM(c) AS n, SUM(c * log2(c)) AS s
+    FROM counts GROUP BY 1, 2
+), scored AS (
+    SELECT source, log2(n) - s / n AS h FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       round(AVG(h), 4) AS avg_entropy,
+       round(MIN(h), 4) AS min_entropy,
+       round(MAX(h), 4) AS max_entropy,
+       CAST(SUM(CASE WHEN h < 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS low_entropy_docs
+FROM scored
+GROUP BY source
+ORDER BY source
+"""

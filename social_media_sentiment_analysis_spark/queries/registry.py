@@ -741,6 +741,16 @@ _ALL: list[Query] = [
     Query("schema_drift_audit", semistructured.q_schema_drift_audit,
           semistructured.ORACLE_SCHEMA_DRIFT_AUDIT,
           "shape census over an open-schema corpus (presence/type probes)"),
+    # --- round-4 additions ---
+    Query("char_entropy", llmdata.q_char_entropy,
+          llmdata.ORACLE_CHAR_ENTROPY,
+          "per-source character-entropy quality profile (Shannon bits/char "
+          "over lowercase char counts — the cheap gibberish detector)"),
+    Query("training_order", selection.q_training_order,
+          selection.ORACLE_TRAINING_ORDER,
+          "deterministic global training-order shuffle: exact positions "
+          "via the distributed rank operator (oracle-gated on an "
+          "unbounded corpus, no single-task window)"),
 ]
 
 # The driver's correctness gate verifies the first 50 entries in registry

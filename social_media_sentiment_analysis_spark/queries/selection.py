@@ -437,3 +437,31 @@ SELECT doc_id, COUNT(*) AS n_spans,
 FROM spans GROUP BY doc_id
 ORDER BY doc_id
 """
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets an
+    exact 1-based position under a seeded content-independent permutation
+    (ORDER BY md5(doc_id), doc_id) — the "shuffle the corpus before
+    sharding" step every pretraining run needs, made reproducible.
+
+    This is the oracle-gated workout for ``operators/ranking.py`` on an
+    UNBOUNDED corpus: a naive ROW_NUMBER() OVER (ORDER BY md5) plans a
+    single-task window; ``with_global_rank`` computes the identical
+    positions with one range exchange + a P-row broadcast (module
+    docstring has the cost proof; the DuckDB twin below is the exactness
+    proof, re-checked per driver round)."""
+    from ..operators.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__key"))
+    ranked = with_global_rank(
+        docs, [F.asc("__key"), F.asc("doc_id")], rank_col="position")
+    return ranked.select("doc_id", "position")
+
+
+ORACLE_TRAINING_ORDER = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS position
+FROM documents
+"""

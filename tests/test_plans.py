@@ -132,6 +132,7 @@ _GLOBAL_WINDOW_BOUNDED = {
     "zipf_exponent", "hybrid_search",
     # distributed-ranking offsets table: P rows (one per shuffle partition)
     "customer_spend_quartiles", "rfm_segments", "vocab_growth",
+    "training_order",
 }
 
 
