@@ -125,33 +125,41 @@ def load_table_stream(spark: SparkSession, sf_dir: str,
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, name)
-    # the file-stream source monitors a DIRECTORY; the testdata table is a
-    # single file, so expose it through a per-path staging dir (symlink
-    # where the filesystem allows, copy otherwise) — at production scale
-    # the source watches the ingest directory directly and this shim
-    # disappears
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "spark_stream_" + sf_dir.strip("/").replace("/", "_") + "_" + name)
-    link = os.path.join(stage, f"{name}.parquet")
-    os.makedirs(stage, exist_ok=True)
-    # a symlink always reflects the current source; a fallback COPY must be
-    # refreshed when the source file changes, or the stream would silently
-    # read stale data while the batch oracle reads the new file
-    src_stat = os.stat(path)
-    if os.path.islink(link):
-        pass
-    elif (not os.path.exists(link)
-          or os.stat(link).st_size != src_stat.st_size
-          or os.stat(link).st_mtime < src_stat.st_mtime):
-        try:
-            if os.path.exists(link):
-                os.remove(link)
-            os.symlink(path, link)
-        except OSError:
-            shutil.copyfile(path, link)
     raw_schema = spark.read.parquet(path).schema
-    df = spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    if os.path.isdir(path):
+        # a Spark-written table IS a directory of part files — the file
+        # stream watches it directly (this is the production shape; the
+        # round-4 scale probe exposed that routing a directory through the
+        # single-file staging shim below made the stream list ZERO files
+        # and silently emit an empty result through complete-mode sinks)
+        df = spark.readStream.schema(raw_schema).format("parquet").load(path)
+    else:
+        # the file-stream source monitors a DIRECTORY; the driver's testdata
+        # table is a single FILE, so expose it through a per-path staging
+        # dir (symlink where the filesystem allows, copy otherwise) — at
+        # production scale the source watches the ingest directory directly
+        # and this shim disappears
+        stage = os.path.join(
+            tempfile.gettempdir(),
+            "spark_stream_" + sf_dir.strip("/").replace("/", "_") + "_" + name)
+        link = os.path.join(stage, f"{name}.parquet")
+        os.makedirs(stage, exist_ok=True)
+        # a symlink always reflects the current source; a fallback COPY must
+        # be refreshed when the source file changes, or the stream would
+        # silently read stale data while the batch oracle reads the new file
+        src_stat = os.stat(path)
+        if os.path.islink(link):
+            pass
+        elif (not os.path.exists(link)
+              or os.stat(link).st_size != src_stat.st_size
+              or os.stat(link).st_mtime < src_stat.st_mtime):
+            try:
+                if os.path.exists(link):
+                    os.remove(link)
+                os.symlink(path, link)
+            except OSError:
+                shutil.copyfile(path, link)
+        df = spark.readStream.schema(raw_schema).format("parquet").load(stage)
     if name == "events" and isinstance(raw_schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr(
             "timestampadd(MICROSECOND, ts div 1000, "

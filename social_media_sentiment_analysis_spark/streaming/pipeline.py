@@ -330,6 +330,7 @@ def drain_stream_to_parquet(streaming_df: DataFrame,
     (``drain_stream_to_df``) stays for aggregates bounded by construction
     (3-5 row summaries), where a parquet round-trip is pure overhead.
     """
+    import os
     import shutil
     import tempfile
 
@@ -343,6 +344,10 @@ def drain_stream_to_parquet(streaming_df: DataFrame,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     try:
+        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+            # zero micro-batches fired (empty source): an empty result with
+            # the declared schema, never a schema-inference crash
+            return spark.createDataFrame([], streaming_df.schema)
         # eager checkpoint materializes the blocks so the directory can go
         result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
