@@ -102,15 +102,19 @@ def _prior_round_json() -> tuple[str, dict] | None:
     return os.path.basename(best), data
 
 
-def _write_delta(timings: dict[str, float]) -> None:
+def _write_delta(timings: dict[str, float], sf: float) -> None:
     """BENCH_DELTA.json: machine-readable per-query ratio vs the latest
     recorded round, so cross-round regressions are a jq away instead of a
     by-eye diff. Ratios within the measured ±20% same-config noise band
-    (SCALE.md §7) are labeled noise; beyond it, flagged."""
+    (SCALE.md §7) are labeled noise; beyond it, flagged. Skipped when the
+    current run's scale factor differs from the baseline's (a scale-probe
+    run must not overwrite the delta with cross-SF ratios)."""
     prior = _prior_round_json()
     if prior is None:
         return
     fname, prev = prior
+    if prev.get("sf") is not None and prev["sf"] != sf:
+        return
     prev_q = prev.get("queries", {})
     delta = {}
     for name, sec in timings.items():
@@ -162,7 +166,7 @@ def run() -> dict:
             timings[name] = min(timings.get(name, elapsed), elapsed)
     total = round(sum(timings.values()), 3)
     spark.stop()
-    _write_delta(timings)
+    _write_delta(timings, sf)
     return {
         "metric": "headline_queries_total_sec",
         "value": total,
