@@ -102,13 +102,41 @@ def _prior_round_json() -> tuple[str, dict] | None:
     return os.path.basename(best), data
 
 
+def _isolated_rerun(name: str, passes: int = 3) -> float:
+    """Min-of-``passes`` wall time for ONE query in a FRESH warmed session —
+    the adjudication protocol for a flagged regression (SCALE.md §7: single-
+    query times drift ±20-25% across sessions and further under in-session
+    contamination from the 49-query sweep; an isolated fresh-session min is
+    the measurement a human would run before believing a flag)."""
+    spark = get_spark(f"bench-isolated-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    best = float("inf")
+    for _ in range(passes):
+        start = time.perf_counter()
+        QUERIES[name].builder(spark, SF_DIR) \
+            .write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    spark.stop()
+    return round(best, 3)
+
+
 def _write_delta(timings: dict[str, float], sf: float) -> None:
     """BENCH_DELTA.json: machine-readable per-query ratio vs the latest
     recorded round, so cross-round regressions are a jq away instead of a
     by-eye diff. Ratios within the measured ±20% same-config noise band
     (SCALE.md §7) are labeled noise; beyond it, flagged. Skipped when the
     current run's scale factor differs from the baseline's (a scale-probe
-    run must not overwrite the delta with cross-SF ratios)."""
+    run must not overwrite the delta with cross-SF ratios).
+
+    Every ``regression`` flag is AUTO-ADJUDICATED in the same run: the
+    query is re-timed in an isolated fresh session (min of 3 warmed
+    passes, ``_isolated_rerun``) and the entry gains ``isolated_sec`` /
+    ``isolated_ratio`` plus an ``adjudication`` verdict — "environmental"
+    when the isolated ratio falls back inside the noise band (the
+    in-sweep number was contamination), "confirmed" when it does not.
+    One-off environmental flags thereby self-resolve inside the artifact
+    instead of consuming a verdict cycle (r4 next-round #4)."""
     prior = _prior_round_json()
     if prior is None:
         return
@@ -128,6 +156,15 @@ def _write_delta(timings: dict[str, float], sf: float) -> None:
         else:
             delta[name] = {"sec": sec, "prev_sec": None, "ratio": None,
                            "flag": "new"}
+    for name, entry in delta.items():
+        if entry["flag"] != "regression":
+            continue
+        iso = _isolated_rerun(name)
+        entry["isolated_sec"] = iso
+        entry["isolated_ratio"] = round(iso / entry["prev_sec"], 3)
+        entry["adjudication"] = (
+            "environmental" if entry["isolated_ratio"] <= 1.2
+            else "confirmed")
     shared = [d["ratio"] for d in delta.values() if d["ratio"]]
     out = {
         "baseline": fname,

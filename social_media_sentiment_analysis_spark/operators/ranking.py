@@ -91,7 +91,17 @@ def with_global_rank(df: DataFrame, order: list[Column],
     """Add an exact 1-based global rank under the total ordering ``order``
     (pass desc()/asc() Columns, INCLUDING a unique tiebreak). With
     ``keep_total`` also adds the row count as ``TOTAL_COL`` (broadcast-
-    joined, not a second scan)."""
+    joined, not a second scan).
+
+    SIDE EFFECT — this call EXECUTES a Spark job: the eager
+    ``localCheckpoint`` in ``_ranged_stamped`` materializes the
+    range-sorted input at BUILD time (required for deterministic pid/mid
+    stamps shared by both downstream branches — see module docstring), and
+    pins it in executor MEMORY_AND_DISK until the returned frame's RDD is
+    garbage-collected and the ContextCleaner sweeps. Plan-only callers
+    (``.explain()``, exchange counting, building without an action) still
+    pay the materialization; drop the result handle promptly when only
+    inspecting plans."""
     part = _ranged_stamped(df, order)
     stats = part.groupBy(_PID).agg(
         F.count(F.lit(1)).alias("__cnt"), F.min(_MID).alias(_MIN))
@@ -131,7 +141,11 @@ def with_running_sums(df: DataFrame, order: list[Column],
     NULL semantics match the global window exactly: SUM ignores NULLs and
     returns NULL over an all-NULL (or empty) prefix, so the local sum and
     the prior-partition offset combine with NULL-as-identity-only-if-both:
-    NULL ⊕ NULL = NULL, NULL ⊕ x = x, x ⊕ y = x + y."""
+    NULL ⊕ NULL = NULL, NULL ⊕ x = x, x ⊕ y = x + y.
+
+    SIDE EFFECT: like ``with_global_rank``, building this frame runs a
+    Spark job and pins the checkpointed input in executor storage until
+    the handle is collected (see ``with_global_rank`` docstring)."""
     part = _ranged_stamped(df, order)
     w_local = (Window.partitionBy(_PID).orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))

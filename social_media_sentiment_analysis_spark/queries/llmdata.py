@@ -2349,19 +2349,32 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy over the character distribution ⇒ repeated filler or binary
     junk; natural prose sits ~4 bits/char).
 
-    Per document H = log2(n) − (Σ c·log2 c)/n over lowercase character
+    Per document H = log2(n) − (Σ c·log2 c)/n over case-folded character
     counts, then one per-source rollup. Plan: map-side explode (characters
     of each doc stay in the doc's partition) → partial-aggregated
     (doc, char) counts — the shuffle carries at most |alphabet| rows per
     doc per partition, NOT one row per character — → per-doc combine →
     per-source aggregate. Two key-bounded exchanges; nothing is
     corpus-quadratic, no Python crossing.
+
+    Character semantics (r4 advice): the fold is ASCII-ONLY ``translate``,
+    not ``lower()`` — engines disagree on Unicode special case mappings
+    (Spark/Java full case mapping expands U+0130 'İ' to "i" + combining
+    dot; DuckDB's simple fold gives "i"), which would silently break
+    oracle parity on Turkish/Lithuanian text. Both engines split '' per
+    code point (emoji/astral-plane safe — pinned by
+    tests/test_char_semantics.py), so with an ASCII fold the per-character
+    pipeline is engine-invariant; non-ASCII characters count case-
+    sensitively as distinct code points, which an entropy profile is
+    insensitive to in practice.
     """
     docs = load_table(spark, sf_dir, "documents")
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     chars = docs.select(
         "doc_id", "source",
-        F.explode(F.filter(F.split(F.lower(F.col("text")), ""),
-                           lambda c: c != "")).alias("ch"))
+        F.explode(F.filter(
+            F.split(F.translate(F.col("text"), upper, upper.lower()), ""),
+            lambda c: c != "")).alias("ch"))
     counts = chars.groupBy("doc_id", "source", "ch").agg(
         F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy("doc_id", "source").agg(
@@ -2384,7 +2397,9 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHAR_ENTROPY = """
 WITH chars AS (
     SELECT doc_id, source,
-           unnest(string_split(lower(text), '')) AS ch
+           unnest(string_split(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'), '')) AS ch
     FROM documents
 ), counts AS (
     SELECT doc_id, source, ch, COUNT(*) AS c

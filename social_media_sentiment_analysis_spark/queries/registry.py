@@ -755,37 +755,40 @@ _ALL: list[Query] = [
 
 # The driver's correctness gate verifies the first 50 entries in registry
 # order. The front-50 ROTATES each round so successive driver gates
-# cumulatively cover the registry (r1 ∪ r2 ∪ r3 gated 117 distinct queries;
-# local harnesses still verify the full registry at 3 scale factors).
-# Round 4 closes the loop: these are EXACTLY the 50 oracle-bearing queries
-# no driver gate has recorded yet (registry minus CORRECTNESS_r01∪r02∪r03
-# minus the 25 rows-only entries), so after this round every one of the 167
-# oracle-bearing queries has at least one green CORRECTNESS row. The
-# reference surface stays covered by the entry() smoke check.
+# cumulatively cover the registry (r1 ∪ r2 ∪ r3 ∪ r4 gated 167 distinct
+# queries — all oracle-bearing entries that existed at the r4 gate; the two
+# post-gate round-4 additions char_entropy/training_order passed only the
+# local parity harness + the judge's independent sf0.01 run, so 167 of 169
+# oracle-bearing queries have a driver row going into round 5). Round 5:
+# gate those last two, then re-verify the STALEST coverage — the 29 queries
+# whose only green row is from round 1 plus 19 round-2-only entries
+# (including asof_latest_order, under a BENCH_DELTA regression flag — its
+# correctness should be re-pinned alongside the perf investigation). After
+# this gate every oracle-bearing query has a driver row and none is more
+# than three rounds stale. Local harnesses still verify the full registry
+# at 3 scale factors each round.
 _FRONT = [
-    # semi-structured / VARIANT (new in r3, never gated)
-    "variant_extract", "variant_shred", "schema_drift_audit",
-    "props_variant", "props_extract", "nested_order_docs",
-    # temporal / behavioral analytics
-    "rolling_active_users", "cumulative_unique_users", "trailing_hour_avg",
-    "time_weighted_avg", "decayed_engagement", "daily_value_delta",
-    "value_trend", "similar_days", "conversion_latency",
-    "event_transitions", "common_paths", "cohort_ltv", "cohort_overlap",
-    "ab_test", "daily_type_pivot", "unpivot_daily_counts",
-    "distinct_users_by_type",
-    # stats / profiling
-    "stats_profile", "equidepth_histogram", "value_histogram", "value_bars",
-    "mad_outliers", "winsorized_stats", "type_value_geomean",
-    "key_skew_profile", "integrity_audit", "snapshot_diff",
-    # TPC-H-ish relational shapes
-    "above_avg_orders", "top_orders_with_ties", "nation_segments",
-    "status_priority_sets", "top_sources_with_other",
-    # LLM-data curation
-    "curation_funnel", "curation_pipeline", "contamination", "lang_id",
-    "repetition", "vocab_pairs", "source_sample", "weighted_sample",
-    "hard_negatives", "pseudonymize_audit",
-    # embeddings
-    "embedding_dim_profile", "embedding_norm_stats",
+    # never driver-gated (added after the r4 gate ran)
+    "char_entropy", "training_order",
+    # last gated in round 1 — stalest coverage, all 29
+    "active_customer_segments", "basket_rules", "brand_size_revenue",
+    "customer_activity_merge", "decimal_revenue", "discount_elasticity",
+    "dup_cluster_sizes", "excess_volume_suppliers",
+    "forecast_revenue_change", "inactive_customers",
+    "late_orders_by_priority", "local_supplier_revenue", "market_share",
+    "nation_brand_profit", "order_intervals", "parts_supplier_counts",
+    "priority_rollup", "regional_revenue_share", "returned_item_losses",
+    "returnflag_priority_counts", "segment_engagement",
+    "skew_salted_revenue", "small_quantity_revenue",
+    "supplier_concentration", "supplier_triangles", "top_customers",
+    "top_order_per_customer", "top_supplier", "wealthy_inactive_customers",
+    # last gated in round 2 — 19 picked across families
+    "asof_latest_order", "author_enrichment", "contamination_spans",
+    "dedup_canonical", "dedup_clusters", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_spans", "dsir_select", "gapfill_hourly",
+    "knn_bruteforce", "knn_join", "pricing_summary", "running_total",
+    "sessionization", "text_stats", "tfidf_keywords",
+    "tokenizer_fertility", "word_frequency",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

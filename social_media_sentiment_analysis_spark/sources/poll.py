@@ -126,14 +126,19 @@ class HttpPollTransport(PollTransport):
     ``requests.get`` resolved lazily so the module imports without the
     package installed.
 
-    REPLAY CONTRACT (weaker than the file transport's): this transport
-    re-polls the LIVE API for a committed id range, so crash-recovery
-    replay is best-effort, not byte-identical — tweets deleted since the
-    original read vanish, and tweets whose ids landed in (start, end] after
-    the original read appear. Exactly-once downstream therefore must key on
-    tweet id (the upsert/anti-join sinks do), NOT on content hashes; the
-    content-addressed shard sink should only be fed from replayable
-    transports. ``TweetPollStreamReader`` surfaces this flag as
+    REPLAY CONTRACT: with ``spool_dir`` set (option ``spool_dir=...``),
+    every committed poll's RAW page set is spooled to disk (atomic rename,
+    keyed by the (start, end] cursor range), and ``replay`` serves the
+    spooled bytes — byte-identical crash recovery, safe to feed the
+    content-addressed shard sink; ``replay_exact`` reports True. Without a
+    spool dir, replay falls back to re-polling the LIVE API over
+    (since_id=start, until_id=end+1] (following pagination like ``poll``),
+    which is best-effort, not byte-identical — tweets deleted since the
+    original read vanish, and tweets whose ids landed in (start, end]
+    after the original read appear. Exactly-once downstream of an
+    unspooled transport must therefore key on tweet id (the upsert/
+    anti-join sinks do), NOT on content hashes.
+    ``TweetPollStreamReader`` surfaces the contract as
     ``transport_replay_exact``.
 
     OVERFLOW DRAIN: the recent-search endpoint returns the newest page
@@ -147,10 +152,18 @@ class HttpPollTransport(PollTransport):
     max_pages·max_results arrivals in one interval), the remainder is
     skipped and a warning is logged — bounded loss instead of silent loss,
     and the bound is operator-tunable.
+
+    FIRST POLL (``cursor is None``): returns only the MOST RECENT page and
+    does NOT follow ``next_token`` — pagination exists to drain overflow
+    *between* incremental polls, not to walk the 7-day search history on
+    startup (an up-to-5x first-batch volume surprise). Backfill depth is
+    the operator's call: seed the checkpoint with an explicit ``since_id``
+    cursor, or raise ``max_results``.
     """
 
     def __init__(self, bearer_token: str, query: str,
-                 get=None, sleep=None, now=None, max_pages: int = 5) -> None:
+                 get=None, sleep=None, now=None, max_pages: int = 5,
+                 spool_dir: str | None = None, spool_keep: int = 64) -> None:
         if get is None:
             import requests  # import-gated: not installed in all sandboxes
 
@@ -167,7 +180,14 @@ class HttpPollTransport(PollTransport):
         self.bearer_token = bearer_token
         self.query = query
         self.max_pages = max(1, int(max_pages))
-        self.replay_exact = False  # see REPLAY CONTRACT in class docstring
+        self.spool_dir = spool_dir
+        self.spool_keep = max(1, int(spool_keep))
+        # see REPLAY CONTRACT in class docstring
+        self.replay_exact = spool_dir is not None
+        if spool_dir is not None:
+            import os
+
+            os.makedirs(spool_dir, exist_ok=True)
 
     def _headers(self) -> dict:
         return {
@@ -202,14 +222,16 @@ class HttpPollTransport(PollTransport):
     def initial_cursor(self):
         return None  # no since_id: first poll returns the most recent page
 
-    def poll(self, cursor, max_results: int):
+    def _paged(self, base_params: dict, max_pages: int,
+               warn_context: str) -> tuple[list[dict], object]:
+        """Follow meta.next_token up to ``max_pages`` pages; returns the
+        enveloped objects (newest page first, API order within pages) and
+        the max tweet id seen (None when empty)."""
         objs: list[dict] = []
         max_id = None
         next_token = None
-        for page in range(self.max_pages):
-            params = self._params(max_results)
-            if cursor:
-                params["since_id"] = cursor
+        for _ in range(max_pages):
+            params = dict(base_params)
             if next_token:
                 params["next_token"] = next_token
             body = self._request(params) or {}
@@ -227,26 +249,75 @@ class HttpPollTransport(PollTransport):
             import logging
 
             logging.getLogger(__name__).warning(
-                "tweet-poll: overflow drain truncated after %d pages; "
-                "tweets older than the drained window in (since_id, max_id] "
-                "are skipped — raise max_pages or shorten the trigger "
-                "interval", self.max_pages)
+                "tweet-poll: %s truncated after %d pages; "
+                "tweets older than the drained window are skipped — raise "
+                "max_pages or shorten the trigger interval",
+                warn_context, max_pages)
+        return objs, max_id
+
+    def _spool_path(self, start_cursor, end_cursor) -> str:
+        import os
+
+        return os.path.join(
+            self.spool_dir,
+            f"poll_{start_cursor if start_cursor else 'none'}"
+            f"_{end_cursor}.json")
+
+    def _spool_write(self, start_cursor, end_cursor,
+                     objs: list[dict]) -> None:
+        """Atomically persist the committed range's RAW pages (write to a
+        temp name, rename into place — a crash mid-write leaves no partial
+        spool), then GC all but the newest ``spool_keep`` spools (bounded
+        disk; replay only ever needs uncommitted-tail ranges)."""
+        import os
+
+        path = self._spool_path(start_cursor, end_cursor)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(objs, f)
+        os.replace(tmp, path)
+        spools = sorted(
+            (p for p in os.listdir(self.spool_dir)
+             if p.startswith("poll_") and p.endswith(".json")),
+            key=lambda p: os.path.getmtime(os.path.join(self.spool_dir, p)))
+        for stale in spools[:-self.spool_keep]:
+            try:
+                os.remove(os.path.join(self.spool_dir, stale))
+            except OSError:
+                pass
+
+    def poll(self, cursor, max_results: int):
+        params = self._params(max_results)
+        if cursor:
+            params["since_id"] = cursor
+        # first poll (no cursor): single most-recent page, NO pagination —
+        # see FIRST POLL in the class docstring
+        pages = self.max_pages if cursor else 1
+        objs, max_id = self._paged(params, pages, "overflow drain")
         if not objs:
             return [], cursor  # unchanged cursor => unchanged offset
+        if self.spool_dir is not None:
+            self._spool_write(cursor, str(max_id), objs)
         return objs, str(max_id)
 
     def replay(self, start_cursor, end_cursor) -> list[dict]:
-        # Best-effort deterministic range re-poll: (start, end] by id.
-        # until_id is exclusive, so request until end+1.
+        if self.spool_dir is not None:
+            import os
+
+            path = self._spool_path(start_cursor, end_cursor)
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f)  # byte-identical committed pages
+        # Fallback: best-effort range re-poll of (start, end] by id —
+        # until_id is exclusive, so request until end+1; paginate like
+        # poll() so a multi-page committed range replays fully.
         params = self._params(API_MAX_RESULTS)
         if start_cursor:
             params["since_id"] = start_cursor
         if end_cursor:
             params["until_id"] = str(int(end_cursor) + 1)
-        body = self._request(params) or {}
-        tweets = body.get("data") or []
-        users = (body.get("includes") or {}).get("users") or []
-        return [{"data": t, "includes": {"users": users}} for t in tweets]
+        objs, _ = self._paged(params, self.max_pages, "replay drain")
+        return objs
 
 
 class TweetPollStreamReader(SimpleDataSourceStreamReader):
@@ -255,11 +326,13 @@ class TweetPollStreamReader(SimpleDataSourceStreamReader):
 
     Replay semantics depend on the transport (``transport_replay_exact``):
     the file transport replays a committed offset range byte-identically;
-    the http transport re-polls the live API, so replay is best-effort
-    (deletions vanish, stragglers appear — see HttpPollTransport). Pipelines
-    that require byte-identical replay (the content-addressed shard sink)
-    must use a replay-exact transport or insert an id-keyed idempotent sink
-    between this source and the content-addressed stage.
+    the http transport is byte-identical too when ``spool_dir`` is set
+    (raw committed pages persisted to disk), else it re-polls the live API
+    best-effort (deletions vanish, stragglers appear — see
+    HttpPollTransport). Pipelines that require byte-identical replay (the
+    content-addressed shard sink) must use a replay-exact transport or
+    insert an id-keyed idempotent sink between this source and the
+    content-addressed stage.
     """
 
     def __init__(self, options: dict) -> None:
@@ -271,7 +344,9 @@ class TweetPollStreamReader(SimpleDataSourceStreamReader):
             self.transport: PollTransport = HttpPollTransport(
                 bearer_token=options.get("bearer_token", ""),
                 query=options.get("query", ""),
-                max_pages=int(options.get("max_pages", 5)))
+                max_pages=int(options.get("max_pages", 5)),
+                spool_dir=options.get("spool_dir"),
+                spool_keep=int(options.get("spool_keep", 64)))
         else:
             path = options.get("path")
             if not path:

@@ -223,6 +223,130 @@ def test_http_transport_overflow_drain_and_truncation():
     assert len(calls) == 1
 
 
+def test_http_first_poll_single_page():
+    """ADVICE r4: with no cursor, the first poll must return only the most
+    recent page — next_token pagination is for draining overflow BETWEEN
+    incremental polls, not walking history on startup."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    pages = [
+        {"data": [{"id": "500", "text": "newest"}],
+         "meta": {"next_token": "deep-history"}},
+        {"data": [{"id": "499", "text": "old"}]},
+    ]
+    calls = []
+
+    def fake_get(url, headers=None, params=None):
+        calls.append(dict(params))
+        return _FakeResponse(200, body=pages[len(calls) - 1])
+
+    t = HttpPollTransport("tok", "q", get=fake_get,
+                          sleep=lambda s: None, now=lambda: 0, max_pages=5)
+    objs, cur = t.poll(None, 50)
+    assert [o["data"]["id"] for o in objs] == ["500"]
+    assert cur == "500"
+    assert len(calls) == 1 and "next_token" not in calls[0]
+
+
+def test_http_spool_replay_byte_identical_after_crash(tmp_path):
+    """VERDICT r4 #5: a >max_results burst drains multiple pages within one
+    poll AND spools the raw committed range, so a crash between read() and
+    commit replays the batch BYTE-IDENTICALLY from disk (a fresh transport
+    instance, the live API now returning different data) — the contract the
+    content-addressed shard sink needs."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    burst = [
+        {"data": [{"id": "310", "text": "n3"}, {"id": "309", "text": "n2"}],
+         "meta": {"next_token": "t1"}},
+        {"data": [{"id": "308", "text": "n1"}],
+         "includes": {"users": [{"id": "u9", "name": "n", "username": "un",
+                                 "public_metrics": {"followers_count": 3}}]}},
+    ]
+    calls = []
+
+    def fake_get(url, headers=None, params=None):
+        calls.append(dict(params))
+        return _FakeResponse(200, body=burst[len(calls) - 1])
+
+    spool = str(tmp_path / "spool")
+    t = HttpPollTransport("tok", "q", get=fake_get, sleep=lambda s: None,
+                          now=lambda: 0, max_pages=5, spool_dir=spool)
+    assert t.replay_exact is True
+    objs, cur = t.poll("305", 2)          # burst of 3 > max_results 2
+    assert [o["data"]["id"] for o in objs] == ["310", "309", "308"]
+    assert cur == "310"
+
+    # crash: new process = new transport over the same spool dir; the live
+    # API has moved on (would now 500) — replay must not even touch it
+    def dead_get(url, headers=None, params=None):
+        raise AssertionError("replay must serve from spool, not the API")
+
+    t2 = HttpPollTransport("tok", "q", get=dead_get, sleep=lambda s: None,
+                           now=lambda: 0, max_pages=5, spool_dir=spool)
+    assert t2.replay("305", "310") == objs  # byte-identical raw envelopes
+
+
+def test_http_replay_fallback_paginates_with_until_id():
+    """Without a spool, replay falls back to a live (since, end] re-poll —
+    and must FOLLOW pagination so a multi-page committed range replays
+    fully, bounded by until_id = end + 1."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    pages = [
+        {"data": [{"id": "310", "text": "a"}, {"id": "309", "text": "b"}],
+         "meta": {"next_token": "t1"}},
+        {"data": [{"id": "308", "text": "c"}]},
+    ]
+    calls = []
+
+    def fake_get(url, headers=None, params=None):
+        calls.append(dict(params))
+        return _FakeResponse(200, body=pages[len(calls) - 1])
+
+    t = HttpPollTransport("tok", "q", get=fake_get,
+                          sleep=lambda s: None, now=lambda: 0, max_pages=5)
+    objs = t.replay("305", "310")
+    assert [o["data"]["id"] for o in objs] == ["310", "309", "308"]
+    assert len(calls) == 2
+    assert all(c["since_id"] == "305" for c in calls)
+    assert all(c["until_id"] == "311" for c in calls)  # end+1, exclusive
+    assert calls[1]["next_token"] == "t1"
+
+
+def test_http_spool_gc_keeps_newest(tmp_path):
+    """The spool is bounded: only the newest spool_keep committed ranges
+    survive (replay only ever needs the uncommitted tail)."""
+    import os
+
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    seq = {"n": 100}
+
+    def fake_get(url, headers=None, params=None):
+        seq["n"] += 1
+        return _FakeResponse(200, body={
+            "data": [{"id": str(seq["n"]), "text": "x"}]})
+
+    spool = str(tmp_path / "spool")
+    t = HttpPollTransport("tok", "q", get=fake_get, sleep=lambda s: None,
+                          now=lambda: 0, spool_dir=spool, spool_keep=2)
+    cur = None
+    for _ in range(5):
+        _, cur = t.poll(cur, 10)
+    files = [p for p in os.listdir(spool) if p.endswith(".json")]
+    assert len(files) == 2
+    assert "poll_104_105.json" in files  # the newest range survives
+
+
 def test_http_transport_replay_contract_flag(fixture_path):
     """The reader must surface which replay contract the transport gives:
     file = exact, http = best-effort (documented weaker contract)."""
