@@ -2350,12 +2350,22 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     junk; natural prose sits ~4 bits/char).
 
     Per document H = log2(n) − (Σ c·log2 c)/n over case-folded character
-    counts, then one per-source rollup. Plan: map-side explode (characters
-    of each doc stay in the doc's partition) → partial-aggregated
-    (doc, char) counts — the shuffle carries at most |alphabet| rows per
-    doc per partition, NOT one row per character — → per-doc combine →
-    per-source aggregate. Two key-bounded exchanges; nothing is
-    corpus-quadratic, no Python crossing.
+    counts, then one per-source rollup.
+
+    Plan — the per-doc histogram never leaves the row: sort the doc's
+    character array, find run boundaries (``i == 1 or arr[i] != arr[i-1]``
+    over a position sequence), and fold Σ c·log2 c over the run lengths
+    with ``zip_with``/``aggregate`` — all whole-stage-codegen Column ops.
+    The ONLY exchange in the query is the final per-source aggregate
+    (partial-agged to |sources|·P rows). The previous explode→
+    groupBy(doc, char)→groupBy(doc) formulation shuffled ~2·alphabet rows
+    per document across two corpus-keyed exchanges; the r5 shuffle probe
+    (tools/shuffle_probe.py, SCALE.md §7) measured its second exchange
+    growing with docs × partition-spread and motivated this rewrite —
+    per-document state belongs in the document's row, not in a shuffle.
+    Σ accumulation order changes vs the grouped version (sorted-run order
+    instead of hash-arrival order); both sit far below the round(·,4)
+    comparison and the oracle is unchanged.
 
     Character semantics (r4 advice): the fold is ASCII-ONLY ``translate``,
     not ``lower()`` — engines disagree on Unicode special case mappings
@@ -2370,18 +2380,30 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    chars = docs.select(
-        "doc_id", "source",
-        F.explode(F.filter(
-            F.split(F.translate(F.col("text"), upper, upper.lower()), ""),
-            lambda c: c != "")).alias("ch"))
-    counts = chars.groupBy("doc_id", "source", "ch").agg(
-        F.count(F.lit(1)).alias("c"))
-    per_doc = counts.groupBy("doc_id", "source").agg(
-        F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.log2("c")).alias("s"))
-    scored = per_doc.select(
-        "source", (F.log2("n") - F.col("s") / F.col("n")).alias("h"))
+    arr = F.array_sort(F.filter(
+        F.split(F.translate(F.col("text"), upper, upper.lower()), ""),
+        lambda c: c != ""))
+    with_arr = docs.select("source", arr.alias("arr"),
+                           F.size(arr).alias("n")).filter(F.col("n") >= 1)
+    # run starts: 1-based positions opening a new character run
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (i == 1) | (F.element_at("arr", i)
+                              != F.element_at("arr", i - 1)))
+    scored = (
+        with_arr.withColumn("starts", starts)
+        # each run's exclusive end = the next run's start (last run: n+1)
+        .withColumn("ends", F.array_append(
+            F.slice("starts", 2,
+                    F.greatest(F.size("starts") - 1, F.lit(0))),
+            F.col("n") + 1))
+        .withColumn("s", F.aggregate(
+            F.zip_with("starts", "ends",
+                       lambda a, b: (b - a).cast("double")
+                       * F.log2((b - a).cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .select("source",
+                (F.log2("n") - F.col("s") / F.col("n")).alias("h")))
     return (
         scored.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"),

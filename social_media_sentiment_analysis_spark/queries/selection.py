@@ -154,13 +154,16 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions), dup_tokens (Σ span token lengths, spans measured start..
     start+k-1), longest_span. Docs with no duplicated span are omitted.
 
-    Plan: positional shingles are one map-side posexplode; the shingle
-    profile aggregates once (corpus-sized exchange — the irreducible cost);
-    duplicated-hash set semi-joins back (shuffled equi-join on the hash);
-    the island grouping windows within doc_id (one exchange, reused by the
-    final per-doc aggregate). At 100 TB the shingle table is the same
-    artifact the MinHash pipeline already materializes — this query reads
-    positions from it rather than re-shingling.
+    Plan (r5 rewrite, see duplicated_spans): positional shingles are one
+    map-side posexplode; ONE window over hash(h) marks duplicated
+    positions in place (min(doc) != max(doc) over the h-group — no
+    aggregate-and-join-back, no second tokenization of the corpus); the
+    island grouping then windows within doc_id (one hits-sized exchange,
+    reused by the final per-doc aggregate). Two content exchanges total —
+    the r4 shape paid four, measured by tools/shuffle_probe.py. At 100 TB
+    the shingle table is the same artifact the MinHash pipeline already
+    materializes — this query reads positions from it rather than
+    re-shingling.
     """
     docs = load_table(spark, sf_dir, "documents")
     return (duplicated_spans(docs, "text", "doc_id", k=_SPAN_K)
@@ -172,23 +175,32 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _positional_shingles(docs: DataFrame, text_col: str, id_col: str,
-                         k: int) -> DataFrame:
+                         k: int, materialize: bool = True) -> DataFrame:
     """(id, pos, h): every k-token shingle of every eligible document with
     its 0-based start position — the positional dedup-index artifact shared
-    by the span queries. localCheckpoint: the table feeds two consumers
-    (the hash profile/benchmark set AND the position probe) — without the
-    barrier the corpus re-tokenizes and re-hashes once per consumer."""
+    by the span queries. The table feeds two consumers (the hash profile/
+    benchmark set AND the position probe), so it must materialize once,
+    not re-tokenize per consumer. Two sharing mechanisms:
+
+    - ``materialize=True`` (contamination_spans): ``localCheckpoint``
+      — the benchmark branch is a 1%-slice distinct and the probe is a
+      broadcast semi-join, so neither consumer wants an h-shuffle and the
+      checkpoint's partitioning loss is irrelevant.
+    - ``materialize=False`` (duplicated_spans): the raw lazy frame — its
+      r5 rewrite has a SINGLE consumer (one window over h), so there is
+      nothing to share and any barrier would only add cost."""
     arr = F.filter(F.split(F.lower(text_col), _TOKEN_SPLIT),
                    lambda t: t != F.lit(""))
     toked = docs.select(F.col(id_col), arr.alias("arr")) \
         .filter(F.size("arr") >= k)
     n_sh = F.size("arr") - F.lit(k - 1)
-    return toked.select(
+    sh = toked.select(
         id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(1), n_sh),
             lambda i: F.md5(F.concat_ws(" ", F.slice("arr", i, k)))
-        )).alias("pos", "h")).localCheckpoint()
+        )).alias("pos", "h"))
+    return sh.localCheckpoint() if materialize else sh
 
 
 def _island_spans(marked: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -215,12 +227,22 @@ def duplicated_spans(docs: DataFrame, text_col: str, id_col: str,
     token array; a span covers start_pos .. end_pos+k-1 tokens. Core of
     ``q_dedup_spans`` — see its docstring for the plan-shape story; the
     cross-engine property pin is tests/test_properties.py."""
-    sh = _positional_shingles(docs, text_col, id_col, k)
-    dup_hashes = (sh.groupBy("h")
-                  .agg(F.count_distinct(id_col).alias("nd"))
-                  .filter(F.col("nd") >= 2)
-                  .select("h"))
-    dup_pos = sh.join(dup_hashes, "h", "left_semi")
+    sh = _positional_shingles(docs, text_col, id_col, k, materialize=False)
+    # "appears in >= 2 distinct documents" == the h-group's doc ids are not
+    # all equal == min(doc) != max(doc) — a WINDOW over h, not an
+    # aggregate-and-join-back: one corpus exchange (the window's hash(h)
+    # sort) replaces the r4 shape's three (profile agg + join re-shuffle,
+    # plus a second scan/tokenize of the corpus for the profile branch).
+    # min/max stream through the whole-partition frame; a pathologically
+    # hot shingle serializes its h-group into one task either way (same
+    # skew class as the groupBy formulation — cap shingle frequency
+    # upstream if a corpus has universal boilerplate).
+    w_h = Window.partitionBy("h")
+    dup_pos = (sh
+               .withColumn("__dmin", F.min(id_col).over(w_h))
+               .withColumn("__dmax", F.max(id_col).over(w_h))
+               .filter(F.col("__dmin") != F.col("__dmax"))
+               .drop("__dmin", "__dmax"))
     return _island_spans(dup_pos, id_col, k)
 
 
