@@ -2443,3 +2443,70 @@ FROM scored
 GROUP BY source
 ORDER BY source
 """
+
+
+_ZIPF_TOP = 500  # fit over the top ranks; the singleton tail bends the line
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf log-log slope — the vocabulary-health quality
+    signal: natural text follows freq ∝ rank^s with s ≈ −1 (Zipf's law);
+    machine-generated/boilerplate corpora flatten (s → 0 over-diverse
+    spam) or steepen (template text repeating few types). Curation stacks
+    use the fitted slope per source/shard as a cheap distributional
+    anomaly detector next to entropy and repetition.
+
+    Fit: ordinary least squares of ln(freq) on ln(rank) over the top
+    {_ZIPF_TOP} ranks per source (ties broken by word for determinism),
+    via the built-in REGR_SLOPE aggregate — identical accumulation in
+    both engines, rounded to 4.
+
+    Plan: one corpus exchange (word counts, partial-agged to
+    |vocab|·P rows), one vocab-sized exchange for the per-source rank
+    window, whose partitioning the final per-source aggregate reuses
+    exchange-free. The regression itself is an aggregate — no collect, no
+    fitting loop; null-pair skipping (CASE WHEN rank ≤ N) confines the
+    fit to the head without a second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                           lambda t: t != "")).alias("w")))
+    counts = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = counts.withColumn("r", F.row_number().over(w_rank))
+    in_head = F.col("r") <= _ZIPF_TOP
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum("cnt").cast("bigint").alias("n_tokens"),
+                 F.round(F.regr_slope(
+                     F.when(in_head, F.log("cnt")),
+                     F.when(in_head, F.log("r"))), 4).alias("zipf_slope"))
+            .orderBy("source"))
+
+
+ORACLE_ZIPF_SLOPE = f"""
+WITH words AS (
+    SELECT source, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z]+'),
+        t -> t <> '')) AS w
+    FROM documents
+), counts AS (
+    SELECT source, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2
+), ranked AS (
+    SELECT source, w, cnt,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, w ASC) AS r
+    FROM counts
+)
+SELECT source,
+       COUNT(*) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       round(regr_slope(CASE WHEN r <= {_ZIPF_TOP} THEN ln(cnt) END,
+                        CASE WHEN r <= {_ZIPF_TOP} THEN ln(r) END), 4)
+           AS zipf_slope
+FROM ranked GROUP BY source
+ORDER BY source
+"""

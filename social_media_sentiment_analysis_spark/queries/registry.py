@@ -751,6 +751,17 @@ _ALL: list[Query] = [
           "deterministic global training-order shuffle: exact positions "
           "via the distributed rank operator (oracle-gated on an "
           "unbounded corpus, no single-task window)"),
+    # --- round-5 additions ---
+    Query("winnowing_fingerprints", selection.q_winnowing_fingerprints,
+          selection.ORACLE_WINNOWING_FINGERPRINTS,
+          "MOSS winnowing fingerprints (per-window min of k-gram rolling "
+          "hashes): guaranteed-recall substring-match index at ~2/(w+1) "
+          "the shingle volume, rolled up per source"),
+    Query("zipf_slope", llmdata.q_zipf_slope,
+          llmdata.ORACLE_ZIPF_SLOPE,
+          "per-source Zipf log-log slope over the top word ranks "
+          "(REGR_SLOPE aggregate — distributional anomaly signal next to "
+          "entropy/repetition)"),
 ]
 
 # The driver's correctness gate verifies the first 50 entries in registry
@@ -760,16 +771,19 @@ _ALL: list[Query] = [
 # post-gate round-4 additions char_entropy/training_order passed only the
 # local parity harness + the judge's independent sf0.01 run, so 167 of 169
 # oracle-bearing queries have a driver row going into round 5). Round 5:
-# gate those last two, then re-verify the STALEST coverage — the 29 queries
-# whose only green row is from round 1 plus 19 round-2-only entries
-# (including asof_latest_order, under a BENCH_DELTA regression flag — its
-# correctness should be re-pinned alongside the perf investigation). After
-# this gate every oracle-bearing query has a driver row and none is more
-# than three rounds stale. Local harnesses still verify the full registry
-# at 3 scale factors each round.
+# gate those two plus the two NEW round-5 queries (winnowing_fingerprints,
+# zipf_slope — gate new queries the round they land), then re-verify the
+# STALEST coverage — the 29 queries whose only green row is from round 1
+# plus 17 round-2-only entries (including asof_latest_order, under a
+# BENCH_DELTA regression flag — its correctness should be re-pinned
+# alongside the perf investigation). After this gate every oracle-bearing
+# query has a driver row and none is more than three rounds stale. Local
+# harnesses still verify the full registry at 3 scale factors each round.
 _FRONT = [
-    # never driver-gated (added after the r4 gate ran)
+    # never driver-gated (added after the r4 gate ran / new in r5) — gate
+    # new queries the SAME round they land so no never-gated tail accrues
     "char_entropy", "training_order",
+    "winnowing_fingerprints", "zipf_slope",
     # last gated in round 1 — stalest coverage, all 29
     "active_customer_segments", "basket_rules", "brand_size_revenue",
     "customer_activity_merge", "decimal_revenue", "discount_elasticity",
@@ -782,11 +796,11 @@ _FRONT = [
     "skew_salted_revenue", "small_quantity_revenue",
     "supplier_concentration", "supplier_triangles", "top_customers",
     "top_order_per_customer", "top_supplier", "wealthy_inactive_customers",
-    # last gated in round 2 — 19 picked across families
+    # last gated in round 2 — 17 picked across families
     "asof_latest_order", "author_enrichment", "contamination_spans",
     "dedup_canonical", "dedup_clusters", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_spans", "dsir_select", "gapfill_hourly",
-    "knn_bruteforce", "knn_join", "pricing_summary", "running_total",
+    "dedup_ngram_jaccard", "dedup_spans", "dsir_select",
+    "knn_bruteforce", "knn_join", "pricing_summary",
     "sessionization", "text_stats", "tfidf_keywords",
     "tokenizer_fertility", "word_frequency",
 ]

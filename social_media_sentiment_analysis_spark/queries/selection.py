@@ -487,3 +487,81 @@ SELECT doc_id,
            AS position
 FROM documents
 """
+
+
+_WINNOW_K = 4   # shingle width (tokens) — the noise threshold
+_WINNOW_W = 4   # window width (shingles) — guarantee span = w + k - 1
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting algorithm): slide a w-window over the
+    k-token shingle hash sequence and keep each window's MINIMUM hash —
+    any substring match of at least w+k-1 tokens between two documents is
+    then guaranteed to share a selected fingerprint, at ~2/(w+1) the
+    index size of the full shingle set. The per-source rollup reports the
+    selection density (selected/total shingles — should sit near the
+    2/(w+1) theoretical rate for random text) and the cross-document
+    fingerprint collision share (fingerprints kept by >= 2 docs — the
+    dup-candidate index this pipeline feeds).
+
+    The fingerprint SET per document equals DISTINCT(window-min): winnowing
+    selects one position per window, but the selected VALUES collapse to
+    exactly the distinct per-window minima, which is what an index keys on
+    — so the whole operator is relational: positional shingles (map-side
+    posexplode) → min over a w-row window within doc (ONE corpus exchange,
+    by doc) → distinct + per-doc counts reuse that partitioning
+    exchange-free → doc-level join back for source → per-source aggregate.
+    Only full windows select (pos >= w-1), per the paper.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _positional_shingles(docs, "text", "doc_id", _WINNOW_K,
+                              materialize=False)
+    w_win = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(-(_WINNOW_W - 1), 0))
+    fps = (sh.withColumn("fp", F.min("h").over(w_win))
+           .filter(F.col("pos") >= _WINNOW_W - 1)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_windows"),
+                F.count_distinct("fp").alias("n_fps")))
+    per_doc = fps.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_fps").cast("bigint").alias("total_fps"),
+                 F.round(F.sum("n_fps") / F.sum("n_windows"), 4)
+                 .alias("selection_density"))
+            .orderBy("source"))
+
+
+ORACLE_WINNOWING_FINGERPRINTS = f"""
+WITH toked AS (
+    SELECT doc_id, source, list_filter(
+        regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+        t -> t <> '') AS arr
+    FROM documents
+), eligible AS (
+    SELECT doc_id, source, arr FROM toked WHERE len(arr) >= {_WINNOW_K}
+), sh AS (
+    SELECT doc_id, source, i - 1 AS pos,
+           md5(array_to_string(arr[i:i+{_WINNOW_K - 1}], ' ')) AS h
+    FROM eligible, unnest(range(1, len(arr) - {_WINNOW_K} + 2)) AS t(i)
+), wm AS (
+    SELECT doc_id, source, pos,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                        AND CURRENT ROW) AS fp
+    FROM sh
+), perdoc AS (
+    SELECT doc_id, source,
+           COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_fps
+    FROM wm WHERE pos >= {_WINNOW_W - 1}
+    GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_fps) AS BIGINT) AS total_fps,
+       round(SUM(n_fps) / SUM(n_windows), 4) AS selection_density
+FROM perdoc GROUP BY source
+ORDER BY source
+"""
