@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "rfm_segments",
     "variant_extract",
     "variant_shred",
+    # round 5 additions: the zero-corpus-shuffle entropy rewrite and the
+    # two new fingerprint/vocab-profile operators
+    "char_entropy",
+    "winnowing_fingerprints",
+    "zipf_slope",
 ]
 
 
