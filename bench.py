@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "winnowing_fingerprints",
     "zipf_slope",
+    "winnow_containment",
 ]
 
 

@@ -762,6 +762,11 @@ _ALL: list[Query] = [
           "per-source Zipf log-log slope over the top word ranks "
           "(REGR_SLOPE aggregate — distributional anomaly signal next to "
           "entropy/repetition)"),
+    Query("winnow_containment", selection.q_winnow_containment,
+          selection.ORACLE_WINNOW_CONTAINMENT,
+          "asymmetric containment candidates from the winnowing index "
+          "(doc-inside-doc pairs symmetric Jaccard misses; hot-fingerprint "
+          "cap bounds the pairwise stage to fp buckets)"),
 ]
 
 # The driver's correctness gate verifies the first 50 entries in registry
@@ -783,7 +788,7 @@ _FRONT = [
     # never driver-gated (added after the r4 gate ran / new in r5) — gate
     # new queries the SAME round they land so no never-gated tail accrues
     "char_entropy", "training_order",
-    "winnowing_fingerprints", "zipf_slope",
+    "winnowing_fingerprints", "zipf_slope", "winnow_containment",
     # last gated in round 1 — stalest coverage, all 29
     "active_customer_segments", "basket_rules", "brand_size_revenue",
     "customer_activity_merge", "decimal_revenue", "discount_elasticity",
@@ -796,12 +801,12 @@ _FRONT = [
     "skew_salted_revenue", "small_quantity_revenue",
     "supplier_concentration", "supplier_triangles", "top_customers",
     "top_order_per_customer", "top_supplier", "wealthy_inactive_customers",
-    # last gated in round 2 — 17 picked across families
+    # last gated in round 2 — 16 picked across families
     "asof_latest_order", "author_enrichment", "contamination_spans",
     "dedup_canonical", "dedup_clusters", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_spans", "dsir_select",
     "knn_bruteforce", "knn_join", "pricing_summary",
-    "sessionization", "text_stats", "tfidf_keywords",
+    "sessionization", "text_stats",
     "tokenizer_fertility", "word_frequency",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}

@@ -578,3 +578,109 @@ SELECT source, COUNT(*) AS n_docs,
 FROM perdoc GROUP BY source
 ORDER BY source
 """
+
+
+_CONTAIN_MAX_FP_DOCS = 50   # drop universal-boilerplate fingerprints
+_CONTAIN_THRESHOLD = 0.5
+
+
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment candidates from the winnowing index: pairs
+    of documents sharing enough selected fingerprints that the smaller
+    fingerprint set is >= {_CONTAIN_THRESHOLD} contained in the overlap —
+    the doc-inside-doc detector (quote farms, scraped mirrors with added
+    chrome) that symmetric Jaccard misses: a 200-token doc fully pasted
+    into a 20k-token page has tiny Jaccard but containment ~1.
+
+    This is the winnowing index USED as its paper intends: the fingerprint
+    sets (~2/(w+1) of shingle volume) are the join keys, so the pairwise
+    stage runs over fingerprint buckets, never the corpus. Hot
+    fingerprints kept by > {_CONTAIN_MAX_FP_DOCS} docs are dropped before
+    the self-join (the standard LSH bucket cap — universal boilerplate
+    would otherwise create quadratic candidate blowup; bounded loss,
+    same policy as the banded MinHash pipeline).
+
+    Plan: winnowing stream (one corpus exchange) → distinct (doc, fp),
+    eagerly localCheckpointed — the fingerprint table feeds THREE
+    consumers (per-doc sizes, and both sides of the self-join) and the
+    REST-probe showed the corpus scan+window executing once per branch
+    without the barrier (column pruning differentiates the subtrees, so
+    AQE stage reuse does not collapse them); the checkpoint is
+    fingerprint-sized (~2/(w+1) of the shingle volume), the exact
+    artifact a production pipeline would persist as its dedup index →
+    fp-frequency window filter (one fp-keyed exchange) → self-equi-join
+    on fp (bucket-bounded, join sides share the fp-window stage) →
+    per-pair overlap counts → broadcast per-doc set sizes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (winnowing_window_minima(docs, "text", "doc_id",
+                                   k=_WINNOW_K, w=_WINNOW_W)
+           .select("doc_id", "fp").distinct().localCheckpoint())
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    w_fp = Window.partitionBy("fp")
+    kept = (fps.withColumn("__docs", F.count(F.lit(1)).over(w_fp))
+            .filter((F.col("__docs") >= 2)
+                    & (F.col("__docs") <= _CONTAIN_MAX_FP_DOCS))
+            .drop("__docs"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("shared_fps")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_fps").alias("n_b"))
+    return (shared.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .withColumn("containment",
+                        F.col("shared_fps")
+                        / F.least(F.col("n_a"), F.col("n_b")))
+            .filter(F.col("containment") >= _CONTAIN_THRESHOLD)
+            .select("doc_a", "doc_b", "shared_fps",
+                    F.round("containment", 4).alias("containment"))
+            .orderBy("doc_a", "doc_b"))
+
+
+ORACLE_WINNOW_CONTAINMENT = f"""
+WITH toked AS (
+    SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+        t -> t <> '') AS arr
+    FROM documents
+), eligible AS (
+    SELECT doc_id, arr FROM toked WHERE len(arr) >= {_WINNOW_K}
+), sh AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(arr[i:i+{_WINNOW_K - 1}], ' ')) AS h
+    FROM eligible, unnest(range(1, len(arr) - {_WINNOW_K} + 2)) AS t(i)
+), wm AS (
+    SELECT doc_id, pos,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                        AND CURRENT ROW) AS fp
+    FROM sh
+), fps AS (
+    SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= {_WINNOW_W - 1}
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id
+), kept AS (
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS nd
+        FROM fps
+    ) WHERE nd BETWEEN 2 AND {_CONTAIN_MAX_FP_DOCS}
+), shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM kept a JOIN kept b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fps,
+       round(shared_fps / least(sa.n_fps, sb.n_fps), 4) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared_fps / least(sa.n_fps, sb.n_fps) >= {_CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""

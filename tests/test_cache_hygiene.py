@@ -60,6 +60,8 @@ PERSIST_PRONE = [
     # training_order drives the eager-checkpoint ranking operator too —
     # and merely BUILDING it materializes the checkpoint (r4 advice)
     "training_order",
+    # winnow_containment checkpoints its fingerprint table (r5)
+    "winnow_containment",
 ]
 
 
