@@ -162,9 +162,17 @@ def _write_delta(timings: dict[str, float], sf: float) -> None:
         else:
             delta[name] = {"sec": sec, "prev_sec": None, "ratio": None,
                            "flag": "new"}
-    for name, entry in delta.items():
-        if entry["flag"] != "regression":
-            continue
+    flagged = sorted(
+        (n for n, e in delta.items() if e["flag"] == "regression"),
+        key=lambda n: -delta[n]["ratio"])
+    # a machine-wide slowdown can flag dozens of queries at once; each
+    # isolated rerun costs a fresh JVM (~30-60 s), so adjudicate only the
+    # 5 worst — a mass flagging is itself diagnostic (environmental), and
+    # the skipped entries say so explicitly instead of silently missing
+    for name in flagged[5:]:
+        delta[name]["adjudication"] = "unadjudicated (mass flagging)"
+    for name in flagged[:5]:
+        entry = delta[name]
         iso = _isolated_rerun(name)
         entry["isolated_sec"] = iso
         entry["isolated_ratio"] = round(iso / entry["prev_sec"], 3)
