@@ -347,6 +347,49 @@ def test_http_spool_gc_keeps_newest(tmp_path):
     assert "poll_104_105.json" in files  # the newest range survives
 
 
+def test_reader_replays_spooled_batch_after_crash(tmp_path):
+    """End-to-end through the READER: a burst batch read but not committed
+    is replayed by readBetweenOffsets byte-identically from the spool, with
+    the ORIGINAL offset timestamp (content-addressed sinks see the same
+    rows), on a fresh reader instance whose transport can't reach the API."""
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    burst = [
+        {"data": [{"id": "310", "text": "n3"}, {"id": "309", "text": "n2"}],
+         "meta": {"next_token": "t1"}},
+        {"data": [{"id": "308", "text": "n1"}]},
+    ]
+    calls = []
+
+    def fake_get(url, headers=None, params=None):
+        calls.append(dict(params))
+        return _FakeResponse(200, body=burst[len(calls) - 1])
+
+    spool = str(tmp_path / "spool")
+    r = TweetPollStreamReader({"path": "unused-will-replace",
+                               "kafka_timestamp_ms": "1705312800000"})
+    r.transport = HttpPollTransport(
+        "tok", "q", get=fake_get, sleep=lambda s: None, now=lambda: 0,
+        max_pages=5, spool_dir=spool)
+    assert r.transport_replay_exact is True
+    start = {"cursor": "305"}
+    rows, end = r.read(start)
+    rows = list(rows)
+    assert len(rows) == 3 and end["cursor"] == "310"
+
+    # crash before commit: new reader process, API unreachable
+    r2 = TweetPollStreamReader({"path": "unused-will-replace",
+                                "kafka_timestamp_ms": "1705312800000"})
+    r2.transport = HttpPollTransport(
+        "tok", "q",
+        get=lambda *a, **k: (_ for _ in ()).throw(AssertionError("no API")),
+        sleep=lambda s: None, now=lambda: 0, max_pages=5, spool_dir=spool)
+    replayed = list(r2.readBetweenOffsets(start, end))
+    assert replayed == rows  # byte-identical rows, original stamp
+
+
 def test_http_transport_replay_contract_flag(fixture_path):
     """The reader must surface which replay contract the transport gives:
     file = exact, http = best-effort (documented weaker contract)."""
