@@ -767,6 +767,11 @@ _ALL: list[Query] = [
           "asymmetric containment candidates from the winnowing index "
           "(doc-inside-doc pairs symmetric Jaccard misses; hot-fingerprint "
           "cap bounds the pairwise stage to fp buckets)"),
+    Query("source_overlap", selection.q_source_overlap,
+          selection.ORACLE_SOURCE_OVERLAP,
+          "source-pair Jaccard over winnowing fingerprint sets — the "
+          "cross-source scraping/contamination audit run before mixing "
+          "sources into a training run"),
 ]
 
 # The driver's correctness gate verifies the first 50 entries in registry
@@ -789,6 +794,7 @@ _FRONT = [
     # new queries the SAME round they land so no never-gated tail accrues
     "char_entropy", "training_order",
     "winnowing_fingerprints", "zipf_slope", "winnow_containment",
+    "source_overlap",
     # last gated in round 1 — stalest coverage, all 29
     "active_customer_segments", "basket_rules", "brand_size_revenue",
     "customer_activity_merge", "decimal_revenue", "discount_elasticity",
@@ -801,13 +807,12 @@ _FRONT = [
     "skew_salted_revenue", "small_quantity_revenue",
     "supplier_concentration", "supplier_triangles", "top_customers",
     "top_order_per_customer", "top_supplier", "wealthy_inactive_customers",
-    # last gated in round 2 — 16 picked across families
+    # last gated in round 2 — 15 picked across families
     "asof_latest_order", "author_enrichment", "contamination_spans",
     "dedup_canonical", "dedup_clusters", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_spans", "dsir_select",
     "knn_bruteforce", "knn_join", "pricing_summary",
-    "sessionization", "text_stats",
-    "tokenizer_fertility", "word_frequency",
+    "sessionization", "tokenizer_fertility", "word_frequency",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

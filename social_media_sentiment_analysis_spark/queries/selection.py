@@ -684,3 +684,83 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE shared_fps / least(sa.n_fps, sb.n_fps) >= {_CONTAIN_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source-overlap matrix: Jaccard similarity between each
+    pair of SOURCES over their winnowing fingerprint sets — the "are these
+    two feeds scraping each other" signal that doc-level dedup can't show
+    (two sources can share 30% of their content while no single document
+    pair crosses a dedup threshold). Standard corpus-audit step before
+    mixing sources into a training run.
+
+    Plan: the winnowing stream (one corpus exchange) → doc-level source
+    join → DISTINCT (source, fp), eagerly localCheckpointed (three
+    consumers — sizes and both self-join sides — would each re-run the
+    corpus pipeline otherwise, the winnow_containment lesson); the
+    checkpointed table holds at most |sources| rows per fingerprint, so
+    the self-join on fp is bounded by the source count squared per
+    fingerprint, never by document counts; per-pair intersection counts +
+    broadcast per-source set sizes close it out. Output is
+    |sources|-choose-2 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (winnowing_window_minima(docs, "text", "doc_id",
+                                   k=_WINNOW_K, w=_WINNOW_W)
+           .join(docs.select("doc_id", "source"), "doc_id")
+           .select("source", "fp").distinct().localCheckpoint())
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                     & (F.col("a.source") < F.col("b.source")))
+              .groupBy(F.col("a.source").alias("source_a"),
+                       F.col("b.source").alias("source_b"))
+              .agg(F.count(F.lit(1)).alias("shared_fps")))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_fps").alias("n_b"))
+    return (shared.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b", "shared_fps",
+                    F.round(F.col("shared_fps")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("shared_fps")), 6).alias("jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH toked AS (
+    SELECT doc_id, source, list_filter(
+        regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+        t -> t <> '') AS arr
+    FROM documents
+), eligible AS (
+    SELECT doc_id, source, arr FROM toked WHERE len(arr) >= {_WINNOW_K}
+), sh AS (
+    SELECT doc_id, source, i - 1 AS pos,
+           md5(array_to_string(arr[i:i+{_WINNOW_K - 1}], ' ')) AS h
+    FROM eligible, unnest(range(1, len(arr) - {_WINNOW_K} + 2)) AS t(i)
+), wm AS (
+    SELECT doc_id, source, pos,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                        AND CURRENT ROW) AS fp
+    FROM sh
+), fps AS (
+    SELECT DISTINCT source, fp FROM wm WHERE pos >= {_WINNOW_W - 1}
+), sizes AS (
+    SELECT source, COUNT(*) AS n_fps FROM fps GROUP BY source
+), shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_fps,
+       round(shared_fps / (sa.n_fps + sb.n_fps - shared_fps), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""

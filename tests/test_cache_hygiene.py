@@ -60,8 +60,9 @@ PERSIST_PRONE = [
     # training_order drives the eager-checkpoint ranking operator too —
     # and merely BUILDING it materializes the checkpoint (r4 advice)
     "training_order",
-    # winnow_containment checkpoints its fingerprint table (r5)
+    # winnow_containment / source_overlap checkpoint fingerprint tables (r5)
     "winnow_containment",
+    "source_overlap",
 ]
 
 
