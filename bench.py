@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "zipf_slope",
     "winnow_containment",
+    "source_overlap",
 ]
 
 
