@@ -715,20 +715,51 @@ ORDER BY doc_id
 
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed every document with the deterministic hashing-trick featurizer
-    (functions/vectors.py::hashed_embedding) and report per-document vector
-    facts — the embedding-generation stage of the training pipeline, fully
-    JVM-side (rows-only: xxhash64 has no DuckDB twin; determinism and
-    near-dup separation are asserted in tests/test_similarity.py)."""
+    (functions/vectors.py::hashed_embedding), with the featurizer's
+    contracts carried INTO the oracle gate (r5 verdict #7) — the vector
+    itself has no DuckDB twin (xxhash64), so the gate pins the THEOREMS
+    every produced vector must satisfy, computed genuinely on the Spark
+    side and pinned as literals by the SQL twin:
+
+    - ``unit_norm``: the L2 norm of the (normalized) vector, rounded —
+      must be exactly 1.0 for every document (tokens() of cleaned text is
+      never an empty array, so the zero-vector case cannot occur here);
+      any normalization bug flips the value-hash.
+    - ``dim``: the declared 16 — a schema/shape regression trips it.
+    - ``deterministic``: documents with IDENTICAL cleaned text must get
+      byte-identical vectors — computed as min==max of the vector
+      signature over a window keyed by the cleaned-text hash (real
+      duplicate groups exist in the corpus, so this window genuinely
+      compares vectors); the oracle pins TRUE.
+
+    (Near-dup separation quality is asserted in
+    tests/test_similarity.py — that part is statistical, not a theorem.)
+    Plan: featurize map-side; ONE exchange for the determinism window
+    (keyed on the text hash); presentation sort."""
     toked = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(clean_text(F.col("text"))).alias("toks"))
+        "doc_id", clean_text(F.col("text")).alias("cleaned"))
     emb = toked.select(
-        "doc_id", vectors.hashed_embedding(F.col("toks"), 16).alias("emb"))
-    nonzero = F.size(F.filter(F.col("emb"), lambda x: x != 0.0))
-    return emb.select(
-        "doc_id",
-        F.round(vectors.l2_norm(F.col("emb")), 4).alias("norm"),
-        nonzero.alias("nonzero_dims"),
-    ).orderBy("doc_id")
+        "doc_id", F.md5(F.col("cleaned")).alias("text_sig"),
+        vectors.hashed_embedding(tokens(F.col("cleaned")), 16).alias("emb"))
+    sig = F.md5(F.to_json(F.col("emb")))
+    w_text = Window.partitionBy("text_sig")
+    return (emb
+            .withColumn("__sig", sig)
+            .select(
+                "doc_id",
+                F.round(vectors.l2_norm(F.col("emb")), 4).alias("unit_norm"),
+                F.size("emb").cast("long").alias("dim"),
+                (F.min("__sig").over(w_text) == F.max("__sig").over(w_text))
+                .alias("deterministic"))
+            .orderBy("doc_id"))
+
+
+ORACLE_EMBED_DOCUMENTS = """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS unit_norm,
+       CAST(16 AS BIGINT) AS dim, TRUE AS deterministic
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1436,7 +1467,12 @@ def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_words, avg_neglogp): per-document average negative
     log-probability under the corpus's own add-one-smoothed unigram LM —
     shared core of ``unigram_logprob`` and ``ccnet_buckets``. The vocabulary
-    is the only shared state (broadcast back onto the exploded corpus)."""
+    is the only shared state. Its join back onto the exploded corpus is NOT
+    broadcast-hinted: the vocabulary is word-keyed (Heaps-law sublinear but
+    unbounded — billions of distinct noise tokens at 100 TB), so forcing a
+    broadcast is the bug class plans/lint.py forbids; AQE broadcasts it at
+    runtime while it is actually small and falls back to a skew-aware
+    shuffled join on ``word`` when it is not."""
     toked = (
         _docs(spark, sf_dir)
         .filter(F.trim(F.col("cleaned_text")) != "")
@@ -1459,7 +1495,7 @@ def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import decimal_sum
 
     return (
-        toked.join(F.broadcast(vocab), "word")
+        toked.join(vocab, "word")
         .groupBy("doc_id", "source")
         .agg(F.count(F.lit(1)).alias("n_words"),
              (decimal_sum(neglogp, 26, 12) / F.count(F.lit(1)))
@@ -1475,11 +1511,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     score high, stutter-repetition docs score low).
 
     Two aggregates and one join on the word key: (1) corpus term counts —
-    the vocabulary table, tiny relative to the corpus, broadcast back;
-    (2) explode docs to (doc, word), probe the vocabulary, and average
-    -log p per doc; (3) roll per-doc scores up per source. The vocabulary
-    is the only shared state — at 100 TB it's the word-count table a real
-    pipeline would persist once and reuse across scoring runs.
+    the vocabulary table, tiny relative to the corpus, joined back with
+    the strategy left to AQE (see _unigram_doc_scores: word is an
+    unbounded key, so the broadcast is never forced); (2) explode docs to
+    (doc, word), probe the vocabulary, and average -log p per doc;
+    (3) roll per-doc scores up per source. The vocabulary is the only
+    shared state — at 100 TB it's the word-count table a real pipeline
+    would persist once and reuse across scoring runs.
     """
     from ..functions.rounding import decimal_sum, round_half_up
 
@@ -1765,28 +1803,76 @@ ORDER BY source, pick_rank
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch heavy hitters over the token stream: build the
-    (depth×width)-cell sketch in one pass, probe the distinct vocabulary
-    against it (broadcast), return the top-10 estimated-count words.
+    """Count-min-sketch heavy hitters over the token stream, with the CMS
+    accuracy contract carried INTO the oracle gate (r5 verdict #7): build
+    the (depth×width)-cell sketch in one pass, probe the top-10 words
+    (by exact count — SQL-reproducible ranking), and emit, per word, the
+    exact count plus two sketch-invariant booleans the DuckDB twin pins
+    as literally TRUE:
 
-    Rows-only (xxhash64 has no DuckDB twin); the accuracy contract —
-    estimate ≥ true count, error ≤ ε·N — is pinned in
-    tests/test_skew_sketch.py::TestCountMin. At 100 TB the sketch build's
-    shuffle input is bounded at depth×width cells per partition no matter
-    the corpus size; the probe is a broadcast of ≤ depth×width rows.
+    - ``overestimates``: est >= true — the CMS theorem (min over depth
+      hash rows can only collide upward); ANY false here is a sketch bug.
+    - ``within_bound``: est - true <= ε·N with ε = e/width — the
+      Markov-bound guarantee (holds per word with prob 1-(1/e)^depth;
+      deterministic for fixed data + xxhash64 seed, verified at every
+      test SF).
+
+    The estimate itself has no DuckDB twin (xxhash64), which is exactly
+    why the gate pins the THEOREMS the estimate must satisfy against the
+    exact counts the oracle CAN compute — the query fails the value-hash
+    the moment the sketch under-counts or blows its error budget.
+    (Point-estimate accuracy is additionally pinned in
+    tests/test_skew_sketch.py::TestCountMin.)
+
+    At 100 TB the sketch build's shuffle input is bounded at depth×width
+    cells per partition regardless of corpus size; the probe broadcasts
+    ≤ depth×width rows; the exact counts reuse the one word-count
+    aggregate every frequency query already runs; ε·N's anchor is a
+    1-row global aggregate.
     """
-    from ..operators.cms import cms_build, cms_estimate
+    from ..operators.cms import (
+        DEFAULT_DEPTH, DEFAULT_WIDTH, cms_build, cms_estimate,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     words = docs.select(
         F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
                            lambda t: t != F.lit(""))).alias("word"))
-    sketch = cms_build(words, "word")
+    sketch = cms_build(words, "word",
+                       depth=DEFAULT_DEPTH, width=DEFAULT_WIDTH)
+    true_counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    eps = 2.718281828459045 / DEFAULT_WIDTH
     return (
-        cms_estimate(sketch, words, "word")
-        .orderBy(F.desc("est_count"), "word")
+        true_counts
+        .join(cms_estimate(sketch, words, "word",
+                           depth=DEFAULT_DEPTH, width=DEFAULT_WIDTH), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word", "true_count",
+            (F.col("est_count") >= F.col("true_count"))
+            .alias("overestimates"),
+            ((F.col("est_count") - F.col("true_count"))
+             <= F.lit(eps) * F.col("n_total")).alias("within_bound"))
+        .orderBy(F.desc("true_count"), "word")
         .limit(10)
     )
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH words AS (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word
+    FROM documents WHERE lang = 'en'
+)
+SELECT word, COUNT(*) AS true_count,
+       TRUE AS overestimates, TRUE AS within_bound
+FROM words
+GROUP BY word
+ORDER BY true_count DESC, word
+LIMIT 10
+"""
 
 
 _XDOC_SHINGLE_K = 8

@@ -540,6 +540,13 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = fps.join(
         load_table(spark, sf_dir, "documents").select("doc_id", "source"),
         "doc_id")
+    return _fingerprint_source_rollup(per_doc)
+
+
+def _fingerprint_source_rollup(per_doc: DataFrame) -> DataFrame:
+    """Per-source selection-density rollup over per-doc winnowing stats
+    (doc_id, source, n_windows, n_fps) — shared by the corpus-rebuilding
+    query above and ``winnowing_fingerprints_from_index``."""
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_fps").cast("bigint").alias("total_fps"),
@@ -601,24 +608,37 @@ def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same policy as the banded MinHash pipeline).
 
     Plan: winnowing stream (one corpus exchange) → distinct (doc, fp),
-    eagerly localCheckpointed — the fingerprint table feeds THREE
-    consumers (per-doc sizes, and both sides of the self-join) and the
-    REST-probe showed the corpus scan+window executing once per branch
-    without the barrier (column pruning differentiates the subtrees, so
-    AQE stage reuse does not collapse them); the checkpoint is
-    fingerprint-sized (~2/(w+1) of the shingle volume), the exact
-    artifact a production pipeline would persist as its dedup index →
-    fp-frequency window filter (one fp-keyed exchange) → self-equi-join
-    on fp (bucket-bounded, join sides share the fp-window stage) →
-    per-pair overlap counts → broadcast per-doc set sizes.
+    eagerly localCheckpointed — the fingerprint table feeds both sides
+    of the self-join and the REST-probe showed the corpus scan+window
+    executing once per branch without the barrier (column pruning
+    differentiates the subtrees, so AQE stage reuse does not collapse
+    them); the checkpoint is fingerprint-sized (~2/(w+1) of the shingle
+    volume), the exact artifact a production pipeline would persist as
+    its dedup index → per-doc set size as a window count over doc_id
+    (each row CARRIES its document's n_fps into the pair stage — no
+    aggregate-and-join-back, and critically no broadcast of a
+    doc-cardinality table, which is billions of rows at corpus scale;
+    r5 verdict #1) → fp-frequency window filter (one fp-keyed exchange)
+    → self-equi-join on fp (bucket-bounded, join sides share the
+    fp-window stage) → per-pair overlap counts grouped WITH the carried
+    sizes (functionally dependent on the doc pair, so same groups).
     """
     docs = load_table(spark, sf_dir, "documents")
     fps = (winnowing_window_minima(docs, "text", "doc_id",
                                    k=_WINNOW_K, w=_WINNOW_W)
            .select("doc_id", "fp").distinct().localCheckpoint())
-    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    return _containment_pairs(fps)
+
+
+def _containment_pairs(fps: DataFrame) -> DataFrame:
+    """The containment pair stage over a (doc_id, fp) fingerprint set —
+    shared by the corpus-rebuilding query above and the read-from-index
+    path (``winnow_containment_from_index``). See ``q_winnow_containment``
+    for the plan narrative."""
+    w_doc = Window.partitionBy("doc_id")
     w_fp = Window.partitionBy("fp")
-    kept = (fps.withColumn("__docs", F.count(F.lit(1)).over(w_fp))
+    kept = (fps.withColumn("n_fps", F.count(F.lit(1)).over(w_doc))
+            .withColumn("__docs", F.count(F.lit(1)).over(w_fp))
             .filter((F.col("__docs") >= 2)
                     & (F.col("__docs") <= _CONTAIN_MAX_FP_DOCS))
             .drop("__docs"))
@@ -626,14 +646,11 @@ def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                      & (F.col("a.doc_id") < F.col("b.doc_id")))
               .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
+                       F.col("b.doc_id").alias("doc_b"),
+                       F.col("a.n_fps").alias("n_a"),
+                       F.col("b.n_fps").alias("n_b"))
               .agg(F.count(F.lit(1)).alias("shared_fps")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_fps").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_fps").alias("n_b"))
-    return (shared.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
+    return (shared
             .withColumn("containment",
                         F.col("shared_fps")
                         / F.least(F.col("n_a"), F.col("n_b")))
@@ -709,6 +726,13 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    k=_WINNOW_K, w=_WINNOW_W)
            .join(docs.select("doc_id", "source"), "doc_id")
            .select("source", "fp").distinct().localCheckpoint())
+    return _source_overlap_pairs(fps)
+
+
+def _source_overlap_pairs(fps: DataFrame) -> DataFrame:
+    """The source-pair Jaccard stage over a distinct (source, fp) set —
+    shared by the corpus-rebuilding query above and the read-from-index
+    path (``source_overlap_from_index``)."""
     sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
     a, b = fps.alias("a"), fps.alias("b")
     shared = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
@@ -764,3 +788,121 @@ JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted winnowing index (r5 verdict #3)
+# ---------------------------------------------------------------------------
+
+_WINNOW_IDX_BUCKETS = 16
+
+
+def index_winnowing(spark: SparkSession, sf_dir: str,
+                    prefix: str = "winnow_idx",
+                    num_buckets: int = _WINNOW_IDX_BUCKETS,
+                    ) -> tuple[str, str]:
+    """Maintenance op: build the winnowing fingerprint index ONCE and
+    persist it as catalog tables, so the three consumers
+    (``winnow_containment``, ``source_overlap``,
+    ``winnowing_fingerprints``) read an artifact instead of each
+    re-running the corpus shingle pipeline (localCheckpoint is
+    session-local; this is the durable version a production pipeline
+    schedules next to compaction).
+
+    Artifacts:
+
+    - ``{prefix}_fps``: DISTINCT (doc_id, fp, source), **bucketed AND
+      sorted by fp** — the dedup index proper, at ~2/(w+1) of shingle
+      volume. Bucketing by fp is the layout win: the containment
+      self-join and the fp-frequency window both key on fp, so both
+      sides of the join arrive pre-shuffled (zero fp exchanges — the
+      measured 2.1x bucketed-join speedup from SCALE.md applies), and
+      carrying ``source`` in the index makes the source-overlap audit
+      index-only too.
+    - ``{prefix}_doc_stats``: per-doc (doc_id, source, n_windows,
+      n_fps) — doc-cardinality stats feeding the selection-density
+      rollup (and any future size-normalized score) without touching
+      the corpus.
+
+    The stream is checkpointed once so the two writes don't re-shingle
+    the corpus. Returns the two table names.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stream = (winnowing_window_minima(docs, "text", "doc_id",
+                                      k=_WINNOW_K, w=_WINNOW_W)
+              .localCheckpoint())
+    src = docs.select("doc_id", "source")
+    fps_table, stats_table = f"{prefix}_fps", f"{prefix}_doc_stats"
+    from ..sources.layout import write_bucketed
+
+    write_bucketed(
+        stream.select("doc_id", "fp").distinct().join(src, "doc_id"),
+        fps_table, "fp", num_buckets=num_buckets, sort_col="fp")
+    (stream.groupBy("doc_id")
+     .agg(F.count(F.lit(1)).alias("n_windows"),
+          F.count_distinct("fp").alias("n_fps"))
+     .join(src, "doc_id")
+     .write.mode("overwrite").saveAsTable(stats_table))
+    return fps_table, stats_table
+
+
+def winnow_containment_from_index(spark: SparkSession,
+                                  fps_table: str = "winnow_idx_fps",
+                                  stats_table: str = "winnow_idx_doc_stats",
+                                  ) -> DataFrame:
+    """``q_winnow_containment`` reading the persisted index: identical
+    semantics, but every corpus-derived input is an artifact scan. The
+    fp-frequency window and the fp self-join run DIRECTLY over the
+    bucketed-by-fp layout (zero fp exchanges — asserted in
+    tests/test_layout.py), and the per-doc set sizes come from the
+    persisted ``doc_stats`` table via an UNHINTED join (doc-keyed, on
+    the candidate pairs — AQE broadcasts the small side at runtime;
+    forcing it is the lint-forbidden bug class). This ordering differs
+    from the rebuild path deliberately: there the sizes ride a window on
+    the fingerprint stream's existing doc partitioning; here a doc_id
+    window FIRST would make the planner disable the bucketed scan
+    (`DisableUnnecessaryBucketedScan`), throwing away the index's whole
+    point."""
+    fps = spark.table(fps_table).select("doc_id", "fp")
+    w_fp = Window.partitionBy("fp")
+    kept = (fps.withColumn("__docs", F.count(F.lit(1)).over(w_fp))
+            .filter((F.col("__docs") >= 2)
+                    & (F.col("__docs") <= _CONTAIN_MAX_FP_DOCS))
+            .drop("__docs"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("shared_fps")))
+    sizes = spark.table(stats_table).select("doc_id", "n_fps")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_fps").alias("n_b"))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("containment",
+                        F.col("shared_fps")
+                        / F.least(F.col("n_a"), F.col("n_b")))
+            .filter(F.col("containment") >= _CONTAIN_THRESHOLD)
+            .select("doc_a", "doc_b", "shared_fps",
+                    F.round("containment", 4).alias("containment"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def source_overlap_from_index(spark: SparkSession,
+                              fps_table: str = "winnow_idx_fps",
+                              ) -> DataFrame:
+    """``q_source_overlap`` reading the persisted index (source rides in
+    the index, so this is index-only — no corpus join)."""
+    return _source_overlap_pairs(spark.table(fps_table)
+                                 .select("source", "fp").distinct())
+
+
+def winnowing_fingerprints_from_index(spark: SparkSession,
+                                      stats_table: str =
+                                      "winnow_idx_doc_stats",
+                                      ) -> DataFrame:
+    """``q_winnowing_fingerprints`` reading the persisted per-doc stats —
+    a doc-cardinality rollup; the corpus is never touched."""
+    return _fingerprint_source_rollup(spark.table(stats_table))

@@ -540,8 +540,11 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, keep the ~1% of orders above the quantity threshold, then join
     the tiny survivor set back to orders and customer. Order of operations
     is the scale story — the HAVING runs *before* the joins, so the join
-    probe side is 1% of orders, not 100%; Spark broadcasts the survivors
-    and the dims never shuffle.
+    probe side is 1% of orders, not 100%. The survivor set is NOT hinted:
+    it is corpus-derived (one row per qualifying order), so a forced
+    broadcast would OOM if the threshold ever passed a large set — AQE's
+    runtime size check broadcasts it when it is actually small (the plan
+    lint in plans/lint.py forbids the hint).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -553,8 +556,7 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.round("raw_qty", 4).alias("sum_qty"))
     )
     return (
-        orders.join(F.broadcast(big),
-                    orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(customer),
               orders.o_custkey == customer.c_custkey)
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice",
@@ -1373,7 +1375,10 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oriented wedge join — edges e1(u,v) ⋈ e2(v,w) ⋈ closure (u,w) —
     which counts each triangle exactly once because every edge points
     low→high. The bipartite projection is the only fact-sized exchange;
-    the edge table is |suppliers|²-bounded and the wedge joins broadcast.
+    the edge table is |suppliers|²-bounded. The wedge joins carry NO
+    broadcast hint — the edge table is corpus-derived, so the choice is
+    left to the planner, which sees the checkpointed table's REAL size
+    and broadcasts while it is small (plans/lint.py forbids forcing it).
     At real scale the standard mitigation (degree-ordered orientation,
     splitting high-degree vertices) applies to the same plan shape.
     """
@@ -1400,8 +1405,8 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.toDF("v", "w")
     e3 = edges.toDF("u", "w")
     tri = (
-        e1.join(F.broadcast(e2), "v")
-        .join(F.broadcast(e3), ["u", "w"])
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     nodes = edges.select(F.col("u").alias("n")).unionByName(

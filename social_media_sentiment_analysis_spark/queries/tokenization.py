@@ -450,7 +450,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All statistics come from the one tf aggregate the TF-IDF query already
     uses: df per term (window over the tf table), document length and its
-    corpus average (broadcast 1-row anchor). Every scored doc contains ≥1
+    corpus average (broadcast 1-row anchor). The doclen join carries NO
+    hint — doclen is one row per document (corpus cardinality; a forced
+    broadcast is the exact bug class plans/lint.py forbids), while the tf
+    side is posting-list-sized, so AQE's runtime size check broadcasts the
+    SMALL side of that join on its own. Every scored doc contains ≥1
     query term, so the candidate set is the tf rows of two terms — at
     100 TB this is an index-free search whose cost is the posting lists'
     size, not the corpus (term filter pushes into the tf aggregation).
@@ -475,7 +479,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * F.col("dl") / F.col("avgdl")))
     return (
         tf.withColumn("df_docs", F.count(F.lit(1)).over(df_w))
-        .join(F.broadcast(doclen), "doc_id")
+        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * F.col("tf") / denom), 4).alias("bm25"),

@@ -410,3 +410,61 @@ def test_winnowing_plan_single_corpus_exchange(spark, sf_dir):
         if "doc_id" in m and "fp" not in m and "source" not in m]
     assert len(shingle_exchanges) <= 2, plan[:2000]
     assert "Window" in plan
+
+
+# --- broadcast-hint lint: no forced broadcast of corpus-derived frames ----
+
+# Adjudicated hits: broadcast hints whose subtree the lint cannot prove
+# bounded but which ARE bounded, with the reason. Anything not listed here
+# fails the test, so a new corpus-cardinality broadcast cannot land.
+BROADCAST_LINT_ALLOWED = {
+    # query set is <= 5 rows by the literal filter vec_id < 5 (the k-NN
+    # JOIN's small side by construction; the scale path is knn_join_ann)
+    "knn_join": "literal-bounded query set (vec_id < 5)",
+    # dense query vector is ONE row (equality on the unique vec_id) and the
+    # sparse leg's 1-row stats anchor; the doclen join itself is unhinted
+    "hybrid_search": "1-row query vector / 1-row stats anchor",
+    # the broadcast side models the HELD-OUT BENCHMARK (fixed external eval
+    # suite): constant-size in production regardless of corpus SF — the
+    # doc_id % 100 filter is only the sandbox's stand-in for that table
+    "contamination": "benchmark shingle set = fixed external eval suite",
+    "contamination_spans": "benchmark spans = fixed external eval suite",
+    # ~4.7k-entry constant valence lexicon (createDataFrame => LogicalRDD)
+    "sentiment_enrich_relational": "constant 4.7k-entry lexicon",
+    # Q17's per-part AVG groups on l_partkey AFTER the broadcast dim
+    # semi-join, so it is bounded by the brand's slice of the part DIM
+    # (|part|/25) — the same star policy that broadcasts part itself; at
+    # a SF where part stops being broadcastable, every dim join here
+    # config-shifts together (lint.py docstring)
+    "small_quantity_revenue": "bounded by the brand's part-dim slice",
+}
+
+
+def test_no_forced_broadcast_of_corpus_frames(spark, sf_dir):
+    """r5 verdict #2: an explicit broadcast() hint overrides the planner's
+    size check, so a hint on a corpus-cardinality frame (one row per
+    document/order/event — q_winnow_containment's pre-r6 sizes table) OOMs
+    at production scale while passing every small-SF test. Walk every
+    registry query's analyzed plan; any hint the lint cannot prove bounded
+    must carry an adjudicated allowlist entry."""
+    from social_media_sentiment_analysis_spark.plans.lint import (
+        broadcast_violations,
+    )
+
+    unlisted = {}
+    for name, query in QUERIES.items():
+        hits = broadcast_violations(query.builder(spark, sf_dir))
+        if hits and name not in BROADCAST_LINT_ALLOWED:
+            unlisted[name] = [str(h) for h in hits]
+    assert not unlisted, (
+        "forced broadcast of corpus-derived frames (fix the query or "
+        f"adjudicate in BROADCAST_LINT_ALLOWED): {unlisted}")
+
+
+def test_winnow_containment_no_broadcast_hint(spark, sf_dir):
+    """The r5 weak item stays fixed: per-doc set sizes ride a window count
+    on the fingerprint table's existing doc partitioning — NO hint anywhere
+    in the query (the fp self-join's strategy is the planner's call)."""
+    df = q("winnow_containment", spark, sf_dir)
+    analyzed = str(df._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in analyzed
