@@ -139,11 +139,14 @@ def _write_delta(timings: dict[str, float], sf: float) -> None:
     Every ``regression`` flag is AUTO-ADJUDICATED in the same run: the
     query is re-timed in an isolated fresh session (min of 3 warmed
     passes, ``_isolated_rerun``) and the entry gains ``isolated_sec`` /
-    ``isolated_ratio`` plus an ``adjudication`` verdict — "environmental"
-    when the isolated ratio falls back inside the noise band (the
-    in-sweep number was contamination), "confirmed" when it does not.
-    One-off environmental flags thereby self-resolve inside the artifact
-    instead of consuming a verdict cycle (r4 next-round #4)."""
+    ``isolated_ratio`` plus an ``adjudication`` verdict — "confirmed"
+    when even the isolated ratio stays above the band, else
+    "environmental?". The trailing "?" is deliberate (r5 advice): the
+    isolated rerun and the in-sweep baseline do NOT share a protocol
+    (isolation removes contamination the baseline paid), so a clean
+    isolated ratio is evidence, not proof — a regression that only
+    manifests under in-sweep conditions still deserves a look. The
+    verdict is advisory; "confirmed" is the only load-bearing value."""
     prior = _prior_round_json()
     if prior is None:
         return
@@ -177,8 +180,9 @@ def _write_delta(timings: dict[str, float], sf: float) -> None:
         iso = _isolated_rerun(name)
         entry["isolated_sec"] = iso
         entry["isolated_ratio"] = round(iso / entry["prev_sec"], 3)
+        # "environmental?" is advisory (protocol asymmetry — see docstring)
         entry["adjudication"] = (
-            "environmental" if entry["isolated_ratio"] <= 1.2
+            "environmental?" if entry["isolated_ratio"] <= 1.2
             else "confirmed")
     shared = [d["ratio"] for d in delta.values() if d["ratio"]]
     out = {

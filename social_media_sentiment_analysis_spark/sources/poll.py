@@ -182,8 +182,11 @@ class HttpPollTransport(PollTransport):
         self.max_pages = max(1, int(max_pages))
         self.spool_dir = spool_dir
         self.spool_keep = max(1, int(spool_keep))
-        # see REPLAY CONTRACT in class docstring
+        # see REPLAY CONTRACT in class docstring; replay_exact flips to
+        # False (and replay_fallbacks counts) if a spooled range is ever
+        # missing at replay time and the live fallback had to serve it
         self.replay_exact = spool_dir is not None
+        self.replay_fallbacks = 0
         if spool_dir is not None:
             import os
 
@@ -245,7 +248,11 @@ class HttpPollTransport(PollTransport):
             next_token = (body.get("meta") or {}).get("next_token")
             if not next_token:
                 break
-        if next_token:
+        # warn_context=None: pagination is INTENTIONALLY off (first poll
+        # reads one page by design — see FIRST POLL), so a next_token is
+        # expected whenever the 7-day history is non-empty, not a drain
+        # truncation worth warning about (r5 advice).
+        if next_token and warn_context is not None:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -291,9 +298,12 @@ class HttpPollTransport(PollTransport):
         if cursor:
             params["since_id"] = cursor
         # first poll (no cursor): single most-recent page, NO pagination —
-        # see FIRST POLL in the class docstring
+        # see FIRST POLL in the class docstring; warn_context=None keeps
+        # the (expected) leftover next_token from logging a bogus
+        # "overflow drain truncated" warning on every startup
         pages = self.max_pages if cursor else 1
-        objs, max_id = self._paged(params, pages, "overflow drain")
+        objs, max_id = self._paged(
+            params, pages, "overflow drain" if cursor else None)
         if not objs:
             return [], cursor  # unchanged cursor => unchanged offset
         if self.spool_dir is not None:
@@ -308,6 +318,25 @@ class HttpPollTransport(PollTransport):
             if os.path.exists(path):
                 with open(path) as f:
                     return json.load(f)  # byte-identical committed pages
+            # The spool PROMISED byte-identical replay (replay_exact was
+            # True) but the committed range's file is gone — GC'd by
+            # spool_keep, deleted, or cursor-key mismatch. The live
+            # fallback below may return NON-identical bytes, so a
+            # content-addressed consumer trusting transport_replay_exact
+            # would silently violate its contract: log loudly, count the
+            # degradation, and flip replay_exact so the contract flag
+            # tells the truth from here on (r5 advice).
+            import logging
+
+            self.replay_fallbacks += 1
+            self.replay_exact = False
+            logging.getLogger(__name__).error(
+                "tweet-poll: spool file missing for committed range "
+                "(%s, %s] (%s) — REPLAY IS NO LONGER BYTE-IDENTICAL; "
+                "falling back to live re-poll. Raise spool_keep or "
+                "checkpoint-restart from a newer offset. replay_exact "
+                "is now False (fallback #%d).",
+                start_cursor, end_cursor, path, self.replay_fallbacks)
         # Fallback: best-effort range re-poll of (start, end] by id —
         # until_id is exclusive, so request until end+1; paginate like
         # poll() so a multi-page committed range replays fully.

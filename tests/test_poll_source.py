@@ -446,3 +446,67 @@ def test_stream_integration(spark, fixture_path):
     assert {r.tweet_id for r in out} == {t["id"] for t in TWEETS}
     assert all(r.final_sentiment == "positive" for r in out)  # 'fast' lexicon
     assert all(r.kafka_timestamp == 1705312800000 for r in out)
+
+
+def test_spool_miss_degrades_contract_loudly(tmp_path, caplog):
+    """ADVICE r5: spool_dir set but the committed range's spool file is
+    GONE (GC'd / deleted / key mismatch). The live fallback may serve
+    non-identical bytes, so the transport must (a) log at ERROR, (b) count
+    the degradation, and (c) flip replay_exact to False — a downstream
+    content-addressed sink trusting transport_replay_exact gets a signal
+    instead of a silent contract violation."""
+    import logging
+
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    def fake_get(url, headers=None, params=None):
+        return _FakeResponse(200, body={
+            "data": [{"id": "308", "text": "re-polled"}]})
+
+    spool = str(tmp_path / "spool")  # created empty: no spooled ranges
+    t = HttpPollTransport("tok", "q", get=fake_get, sleep=lambda s: None,
+                          now=lambda: 0, spool_dir=spool)
+    assert t.replay_exact is True
+    with caplog.at_level(logging.ERROR,
+                         logger="social_media_sentiment_analysis_spark.sources.poll"):
+        objs = t.replay("305", "310")
+    assert [o["data"]["id"] for o in objs] == ["308"]  # live fallback ran
+    assert t.replay_exact is False          # contract flag tells the truth
+    assert t.replay_fallbacks == 1
+    assert any("NO LONGER BYTE-IDENTICAL" in r.getMessage()
+               for r in caplog.records)
+
+    # a spool HIT must not degrade anything: poll+replay the same range
+    caplog.clear()
+    objs2, cur = t.poll("308", 10)
+    assert t.replay("308", cur) == objs2
+    assert t.replay_fallbacks == 1          # unchanged
+
+
+def test_first_poll_does_not_warn_about_overflow(caplog):
+    """ADVICE r5: the first poll (cursor=None) reads ONE page by design —
+    any non-empty 7-day history returns a next_token, so warning
+    'overflow drain truncated' there is spurious (and its advice wrong).
+    The warning must still fire for a REAL truncated incremental drain."""
+    import logging
+
+    from social_media_sentiment_analysis_spark.sources.poll import (
+        HttpPollTransport,
+    )
+
+    def endless_get(url, headers=None, params=None):
+        return _FakeResponse(200, body={
+            "data": [{"id": "310", "text": "x"}],
+            "meta": {"next_token": "more"}})
+
+    logger = "social_media_sentiment_analysis_spark.sources.poll"
+    t = HttpPollTransport("tok", "q", get=endless_get, sleep=lambda s: None,
+                          now=lambda: 0, max_pages=2)
+    with caplog.at_level(logging.WARNING, logger=logger):
+        t.poll(None, 10)                    # first poll: silent by design
+    assert not caplog.records
+    with caplog.at_level(logging.WARNING, logger=logger):
+        t.poll("300", 10)                   # incremental overflow: warn
+    assert any("truncated" in r.getMessage() for r in caplog.records)
