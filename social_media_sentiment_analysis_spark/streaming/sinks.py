@@ -10,7 +10,7 @@ reference's `INSERT OR IGNORE` on `tweet_id UNIQUE`
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
@@ -413,6 +413,122 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
 def read_deduped_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Current kept corpus under a ``near_dedup_sink`` root."""
     return spark.read.parquet(f"{path}/docs")
+
+
+def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            k: int = 4, w: int = 4,
+                            threshold: float = 0.5,
+                            max_fp_docs: int = 50) -> DataStreamWriter:
+    """Incremental streaming CONTAINMENT detection over a persisted
+    winnowing-fingerprint store — the streaming twin of the batch
+    ``queries/selection.py::q_winnow_containment`` (r5 verdict #5).
+
+    ``near_dedup_sink`` above dedups on MinHash bands, i.e. SYMMETRIC
+    Jaccard — a small doc pasted inside a much larger later doc has tiny
+    Jaccard and sails through. Winnowing fingerprints carry the
+    substring-match guarantee instead (any shared run of >= w+k-1 tokens
+    shares a selected fingerprint), so the asymmetric score
+    ``shared / min(|fps_a|, |fps_b|)`` catches quote farms and scraped
+    mirrors INCREMENTALLY, as each micro-batch arrives.
+
+    Per micro-batch: winnowing fingerprint sets per doc (map-side
+    shingles + one per-doc window — the batch operator, reused
+    verbatim); probe the persisted store from PRIOR batches (own
+    ``batch_id=`` partition excluded, so replays never match a doc
+    against itself) plus the within-batch pairs (lower-id-first, the
+    batch query's orientation); pairs whose containment clears
+    ``threshold`` land in ``{path}/flags``, and the batch's fingerprints
+    (with per-doc set sizes denormalized onto each row) join the store
+    under ``{path}/fps`` — both via dynamic partition overwrite keyed by
+    batch_id, so an at-least-once redelivery REPLACES its own output
+    (same exactly-once recipe as near_dedup_sink/cms_sink).
+
+    Store-side fingerprints held by more than ``max_fp_docs`` docs are
+    dropped before the probe — the batch query's universal-boilerplate
+    cap, applied to the store snapshot each batch (bounded loss, same
+    policy). State is the fingerprint index itself (~2/(w+1) of shingle
+    volume): exactly the artifact ``index_winnowing`` persists for the
+    batch path; compact it with the corpus via sources/layout.py.
+    """
+    from ..queries.selection import winnowing_window_minima
+
+    fps_path = f"{path}/fps"
+    flags_path = f"{path}/flags"
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        w_doc = Window.partitionBy(id_col)
+        fps = (winnowing_window_minima(batch, text_col, id_col, k=k, w=w)
+               .select(id_col, "fp").distinct()
+               .withColumn("n_fps", F.count(F.lit(1)).over(w_doc))
+               .localCheckpoint())  # feeds probe, within-pairs AND the write
+        contain = (F.col("shared_fps")
+                   / F.least(F.col("n_a"), F.col("n_b")))
+        flags = None
+        if _target_exists(spark, fps_path):
+            w_fp = Window.partitionBy("fp")
+            # STRICTLY-earlier batches only (not just != current): after a
+            # checkpoint-loss replay the store still holds partitions from
+            # batches the original run processed LATER; probing them would
+            # re-discover each cross-batch pair from both sides and land it
+            # in two batch partitions (duplicate flags). With <, every pair
+            # is discovered exactly once — by the LATER doc's batch — and a
+            # replayed batch rewrites exactly the flags it owned.
+            store = (spark.read.parquet(fps_path)
+                     .filter(F.col("batch_id") < F.lit(batch_id))
+                     .withColumn("__docs", F.count(F.lit(1)).over(w_fp))
+                     .filter(F.col("__docs") <= max_fp_docs)
+                     .select(F.col(id_col).alias("old_id"), "fp",
+                             F.col("n_fps").alias("old_n")))
+            cross = (fps.join(store, "fp")
+                     .filter(F.col(id_col) != F.col("old_id"))
+                     .groupBy(F.col(id_col).alias("new_id"), "old_id",
+                              F.col("n_fps").alias("new_n"), "old_n")
+                     .agg(F.count(F.lit(1)).alias("shared_fps")))
+            flags = cross.select(
+                F.least("new_id", "old_id").alias("doc_a"),
+                F.greatest("new_id", "old_id").alias("doc_b"),
+                "shared_fps",
+                F.when(F.col("new_id") < F.col("old_id"),
+                       F.col("new_n")).otherwise(F.col("old_n"))
+                .alias("n_a"),
+                F.when(F.col("new_id") < F.col("old_id"),
+                       F.col("old_n")).otherwise(F.col("new_n"))
+                .alias("n_b"))
+        a, b = fps.alias("a"), fps.alias("b")
+        within = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                  .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                           F.col(f"b.{id_col}").alias("doc_b"),
+                           F.col("a.n_fps").alias("n_a"),
+                           F.col("b.n_fps").alias("n_b"))
+                  .agg(F.count(F.lit(1)).alias("shared_fps"))
+                  .select("doc_a", "doc_b", "shared_fps", "n_a", "n_b"))
+        flags = within if flags is None else flags.unionByName(within)
+        (flags.withColumn("containment", F.round(contain, 4))
+         .filter(F.col("containment") >= threshold)
+         .select("doc_a", "doc_b", "shared_fps", "containment")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(flags_path))
+        (fps.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(fps_path))
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_containment_flags(spark: SparkSession, path: str) -> DataFrame:
+    """All containment flags under a ``winnow_containment_sink`` root."""
+    return spark.read.parquet(f"{path}/flags")
 
 
 def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,

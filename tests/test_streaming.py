@@ -807,3 +807,76 @@ def test_corrupt_state_store_fails_batch_not_silently_resets(spark, tmp_path):
           .trigger(availableNow=True).start())
     with _pytest.raises(Exception):
         q2.awaitTermination()
+
+
+def test_winnow_containment_sink_flags_pasted_doc(spark, tmp_path):
+    """Streaming winnowing containment (r5 verdict #5): a small doc pasted
+    INSIDE a larger later doc is flagged across micro-batches (tiny
+    Jaccard — the MinHash sink can't see it) and across a restart, via the
+    persisted fingerprint store; a full checkpoint-loss replay neither
+    duplicates nor self-collides flags."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        read_containment_flags, winnow_containment_sink,
+    )
+
+    small = ("the quick brown fox jumps over the lazy dog while the "
+             "spark engine shuffles partitions across the cluster nodes "
+             "and the optimizer prunes columns from every parquet scan")
+    chrome_a = ("navigation home products pricing about careers contact "
+                "sign in register subscribe to our newsletter for updates "
+                "follow us on social media channels every single day")
+    chrome_b = ("copyright two thousand twenty six all rights reserved "
+                "terms of service privacy policy cookie settings help "
+                "center community forum documentation api reference pages")
+    big = f"{chrome_a} {small} {chrome_b}"        # small doc pasted inside
+    other = ("completely different text about watermarks and stateful "
+             "aggregation semantics in structured streaming pipelines "
+             "with checkpoint recovery and exactly once delivery rules")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": small}) + "\n"
+        + json.dumps({"doc_id": 2, "text": other}) + "\n")
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": big}) + "\n")
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    out, ckpt = str(tmp_path / "contain"), str(tmp_path / "ckpt")
+
+    def run(checkpoint):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (winnow_containment_sink(stream, out, checkpoint)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(ckpt)
+    flags = read_containment_flags(spark, out).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in flags}
+    assert (1, 3) in pairs            # pasted copy caught across batches
+    assert not any(r.doc_a == 2 or r.doc_b == 2 for r in flags)
+    c13 = [r.containment for r in flags if (r.doc_a, r.doc_b) == (1, 3)]
+    assert c13[0] >= 0.5              # the small side is ~fully contained
+
+    # restart on the same checkpoint: the persisted store still catches a
+    # doc that quotes batch-1's doc 2
+    (src / "c.jsonl").write_text(
+        json.dumps({"doc_id": 5, "text": f"{chrome_a} {other}"}) + "\n")
+    _os.utime(src / "c.jsonl", (3_000_000, 3_000_000))
+    run(ckpt)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in read_containment_flags(spark, out).collect()}
+    assert (1, 3) in pairs and (2, 5) in pairs
+
+    # checkpoint-loss replay: batch partitions are dynamically overwritten
+    # and the probe skips the batch's own partition — flags don't
+    # duplicate, nothing matches itself
+    run(str(tmp_path / "ckpt2"))
+    rows = read_containment_flags(spark, out).collect()
+    assert len(rows) == len({(r.doc_a, r.doc_b) for r in rows})
+    assert {(r.doc_a, r.doc_b) for r in rows} >= {(1, 3), (2, 5)}
+    assert not any(r.doc_a == r.doc_b for r in rows)
