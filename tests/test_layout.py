@@ -507,3 +507,80 @@ class TestValidatedWrite:
         assert spark.read.parquet(out).count() == 10
         assert not [d for d in os.listdir(tmp_path)
                     if d.startswith("orders_checked.staging")]
+
+
+class TestWinnowingIndex:
+    """r5 verdict #3: the winnowing fingerprint index persisted once as a
+    bucketed catalog artifact, with the three consumers reading it back."""
+
+    @pytest.fixture(scope="class")
+    def winnow_index(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.selection import (
+            index_winnowing,
+        )
+
+        tables = index_winnowing(spark, sf_dir, prefix="t_winnow_idx")
+        yield tables
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_containment_from_index_matches_rebuild(self, spark, sf_dir,
+                                                    winnow_index):
+        from social_media_sentiment_analysis_spark.queries.selection import (
+            q_winnow_containment,
+            winnow_containment_from_index,
+        )
+
+        fps_table, stats_table = winnow_index
+        got = winnow_containment_from_index(
+            spark, fps_table, stats_table).collect()
+        want = q_winnow_containment(spark, sf_dir).collect()
+        assert got == want and len(want) > 0
+
+    def test_source_overlap_from_index_matches_rebuild(self, spark, sf_dir,
+                                                       winnow_index):
+        from social_media_sentiment_analysis_spark.queries.selection import (
+            q_source_overlap,
+            source_overlap_from_index,
+        )
+
+        fps_table, _ = winnow_index
+        got = source_overlap_from_index(spark, fps_table).collect()
+        want = q_source_overlap(spark, sf_dir).collect()
+        assert got == want and len(want) > 0
+
+    def test_fingerprints_from_index_matches_rebuild(self, spark, sf_dir,
+                                                     winnow_index):
+        from social_media_sentiment_analysis_spark.queries.selection import (
+            q_winnowing_fingerprints,
+            winnowing_fingerprints_from_index,
+        )
+
+        _, stats_table = winnow_index
+        got = winnowing_fingerprints_from_index(spark, stats_table).collect()
+        want = q_winnowing_fingerprints(spark, sf_dir).collect()
+        assert got == want and len(want) > 0
+
+    def test_index_layout_eliminates_fp_exchanges(self, spark, winnow_index):
+        """The point of bucketing by fp: the fp-frequency window and the
+        fp self-join consume the bucket layout, so NO exchange in the
+        from-index containment plan partitions on fp — the only hash
+        exchanges left are doc-keyed (size window, pair aggregate)."""
+        import re
+
+        from social_media_sentiment_analysis_spark.plans.inspect import (
+            physical_plan,
+        )
+        from social_media_sentiment_analysis_spark.queries.selection import (
+            winnow_containment_from_index,
+        )
+
+        fps_table, stats_table = winnow_index
+        plan = physical_plan(
+            winnow_containment_from_index(spark, fps_table, stats_table))
+        fp_exchanges = [
+            m for m in re.findall(
+                r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if re.search(r"\bfp#", m)]
+        assert not fp_exchanges, plan[:2000]
+        assert "Bucketed: true" in plan and "Bucketed: false" not in plan
