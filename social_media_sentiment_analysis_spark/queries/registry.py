@@ -450,9 +450,10 @@ _ALL: list[Query] = [
     Query("repetition", llmdata.q_repetition,
           llmdata.ORACLE_REPETITION,
           "repetition-ratio quality signal: duplicated-shingle fraction"),
-    Query("embed_documents", llmdata.q_embed_documents, None,
-          "hashing-trick embedding generation, pure Column (rows-only; "
-          "determinism + near-dup separation in tests)"),
+    Query("embed_documents", llmdata.q_embed_documents,
+          llmdata.ORACLE_EMBED_DOCUMENTS,
+          "hashing-trick embedding generation, pure Column — featurizer "
+          "theorems (unit norm, dim, same-text determinism) oracle-pinned"),
     Query("contamination", llmdata.q_contamination,
           llmdata.ORACLE_CONTAMINATION,
           "benchmark decontamination: broadcast n-gram overlap check"),
@@ -650,9 +651,10 @@ _ALL: list[Query] = [
           llmdata.ORACLE_CROSS_DOC_OVERLAP,
           "cross-document shingle overlap — partial-copy (substring-level) "
           "dedup manifest"),
-    Query("heavy_hitters", llmdata.q_heavy_hitters, None,
-          "count-min-sketch heavy hitters (rows-only — xxhash64; "
-          "overestimate/error bounds pinned in tests)"),
+    Query("heavy_hitters", llmdata.q_heavy_hitters,
+          llmdata.ORACLE_HEAVY_HITTERS,
+          "count-min-sketch heavy hitters — CMS theorems (overestimate-"
+          "only, e/width error bound vs exact counts) oracle-pinned"),
     Query("recommend_parts", mlqueries.q_recommend_parts, None,
           "ALS implicit-feedback part recommendations (rows-only — factor "
           "matrices; fit quality pinned in tests)"),
@@ -776,43 +778,41 @@ _ALL: list[Query] = [
 
 # The driver's correctness gate verifies the first 50 entries in registry
 # order. The front-50 ROTATES each round so successive driver gates
-# cumulatively cover the registry (r1 ∪ r2 ∪ r3 ∪ r4 gated 167 distinct
-# queries — all oracle-bearing entries that existed at the r4 gate; the two
-# post-gate round-4 additions char_entropy/training_order passed only the
-# local parity harness + the judge's independent sf0.01 run, so 167 of 169
-# oracle-bearing queries have a driver row going into round 5). Round 5:
-# gate those two plus the two NEW round-5 queries (winnowing_fingerprints,
-# zipf_slope — gate new queries the round they land), then re-verify the
-# STALEST coverage — the 29 queries whose only green row is from round 1
-# plus 17 round-2-only entries (including asof_latest_order, under a
-# BENCH_DELTA regression flag — its correctness should be re-pinned
-# alongside the perf investigation). After this gate every oracle-bearing
-# query has a driver row and none is more than three rounds stale. Local
-# harnesses still verify the full registry at 3 scale factors each round.
+# cumulatively cover the registry (after round 5, ALL 173 oracle-bearing
+# entries have a green driver row in at least one round, zero failures
+# ever). Round 6 policy, in priority order: (1) entries whose Spark plan
+# or oracle CHANGED this round — the two rows-only→invariant-oracle
+# upgrades (heavy_hitters, embed_documents: never driver-gated, their
+# oracles are new), the winnow_containment pair-stage rewrite (r5 verdict
+# #1), the five queries whose forced broadcasts were dropped for the plan
+# lint (big_orders, supplier_triangles, bm25_search, hybrid_search,
+# unigram_logprob + the shared-subroutine consumer ccnet_buckets), and
+# small_quantity_revenue whose broadcast was adjudicated; (2) the stalest
+# coverage — every remaining slot goes to the oracle-bearing queries
+# whose newest green row is oldest (round 2, then round 3,
+# alphabetically). Local harnesses still verify the full registry at 3
+# scale factors each round.
 _FRONT = [
-    # never driver-gated (added after the r4 gate ran / new in r5) — gate
-    # new queries the SAME round they land so no never-gated tail accrues
-    "char_entropy", "training_order",
-    "winnowing_fingerprints", "zipf_slope", "winnow_containment",
-    "source_overlap",
-    # last gated in round 1 — stalest coverage, all 29
-    "active_customer_segments", "basket_rules", "brand_size_revenue",
-    "customer_activity_merge", "decimal_revenue", "discount_elasticity",
-    "dup_cluster_sizes", "excess_volume_suppliers",
-    "forecast_revenue_change", "inactive_customers",
-    "late_orders_by_priority", "local_supplier_revenue", "market_share",
-    "nation_brand_profit", "order_intervals", "parts_supplier_counts",
-    "priority_rollup", "regional_revenue_share", "returned_item_losses",
-    "returnflag_priority_counts", "segment_engagement",
-    "skew_salted_revenue", "small_quantity_revenue",
-    "supplier_concentration", "supplier_triangles", "top_customers",
-    "top_order_per_customer", "top_supplier", "wealthy_inactive_customers",
-    # last gated in round 2 — 15 picked across families
-    "asof_latest_order", "author_enrichment", "contamination_spans",
-    "dedup_canonical", "dedup_clusters", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_spans", "dsir_select",
-    "knn_bruteforce", "knn_join", "pricing_summary",
-    "sessionization", "tokenizer_fertility", "word_frequency",
+    # changed this round — plan rewrites, de-hinted broadcasts, and the
+    # two new invariant oracles (never driver-gated before)
+    "heavy_hitters", "embed_documents", "winnow_containment",
+    "big_orders", "supplier_triangles", "bm25_search", "hybrid_search",
+    "unigram_logprob", "ccnet_buckets", "small_quantity_revenue",
+    # stalest: last gated in round 2
+    "cheapest_parts", "conversion_attribution",
+    "customer_order_distribution", "dedup_embedding", "error_impact",
+    "feature_drift", "gapfill_hourly", "gopher_quality", "group_sample",
+    "important_stock", "nation_trade_flows", "priority_lineitem_revenue",
+    "promo_revenue", "revenue_by_region", "running_total",
+    "shipping_priority", "sole_late_supplier", "text_stats",
+    "tfidf_keywords", "type_hour_cube", "type_share", "value_percentiles",
+    # stalest: last gated in round 3 (alphabetical prefix)
+    "asof_next_order", "bigram_logprob", "chunk_documents",
+    "corpus_datacard", "cross_doc_overlap", "customer_spend_quartiles",
+    "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
+    "fingerprints", "hourly_anomalies", "hourly_rollup",
+    "incremental_dedup", "inverted_index", "k_anonymity",
+    "label_centroids", "lang_filter",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

@@ -18,6 +18,12 @@ Pass/fail summary at the end: for each query and each 1x->10x->30x step,
 total shuffle rows must grow no faster than input rows (ratio of growth
 factors <= 1 + slack).
 
+Round 6 (VERDICT r5 #4): the probe generalizes beyond documents-only
+queries — each query declares its fact table(s) in TABLES_PER_QUERY
+(default: documents) and every listed table is inflated by key-offset
+copies (orders offsets o_orderkey AND o_custkey so customer cardinality
+scales with order volume, the shape RFM actually faces at 100 TB).
+
 Usage: python tools/shuffle_probe.py [factors_csv] [queries_csv]
 Defaults: 1,10,30 and bigram_logprob,char_entropy,dedup_spans.
 """
@@ -41,18 +47,53 @@ SRC = "/root/testdata/sf0.1"
 BASE = "/tmp/shuffle_probe"
 
 
-def inflate_documents(spark, factor: int, out_dir: str) -> int:
-    df = load_table(spark, SRC, "documents")
+# Fact table(s) each probed query scales with; every listed table gets
+# key-offset copies. Queries not listed default to ("documents",).
+TABLES_PER_QUERY = {
+    "rfm_segments": ("orders",),
+}
+
+# id columns to offset per table, so copied rows are distinct entities
+# (offsetting o_custkey too makes the CUSTOMER population scale with the
+# order volume — the cardinality RFM's quintile ranks actually face)
+ID_COLS = {
+    "documents": ("doc_id",),
+    "orders": ("o_orderkey", "o_custkey"),
+}
+
+
+def inflate_table(spark, factor: int, out_dir: str, table: str) -> int:
+    """Key-offset copies; document TEXT is additionally salted per copy
+    (alphabet rotated by copy-index — length/shingle structure preserved,
+    content distinct). Without the salt every doc gains factor-1 exact
+    twins, and any PAIRWISE query (containment, dup clustering) goes
+    quadratic by test-data construction — measuring the synthetic
+    copy-cliques, not the plan. Copies i and i+26 do collide at 30x,
+    leaving a small real-duplicate mass, which is the realistic shape."""
+    import string
+
+    df = load_table(spark, SRC, table)
     if factor > 1:
-        off = df.agg(F.max("doc_id")).first()[0] + 1
-        copies = [df.withColumn("doc_id", F.col("doc_id") + F.lit(off * i))
-                  for i in range(factor)]
+        offs = {c: df.agg(F.max(c)).first()[0] + 1 for c in ID_COLS[table]}
+        alpha = string.ascii_lowercase
+        copies = []
+        for i in range(factor):
+            c = df
+            for col, off in offs.items():
+                c = c.withColumn(col, F.col(col) + F.lit(off * i))
+            if table == "documents":
+                rot = alpha[i % 26:] + alpha[:i % 26]
+                c = c.withColumn(
+                    "text", F.translate(
+                        F.col("text"), alpha + alpha.upper(),
+                        rot + rot.upper()))
+            copies.append(c)
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
     else:
         out = df
-    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
     return out.count()
 
 
@@ -76,18 +117,22 @@ def main() -> None:
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
 
-    dirs: dict[int, tuple[str, int]] = {}
+    needed = sorted({t for n in names
+                     for t in TABLES_PER_QUERY.get(n, ("documents",))})
+    dirs: dict[int, tuple[str, dict[str, int]]] = {}
     for f in factors:
         d = f"{BASE}/x{f}"
-        rows = inflate_documents(spark, f, d)
+        rows = {t: inflate_table(spark, f, d, t) for t in needed}
         dirs[f] = (d, rows)
-        print(f"inflated x{f}: {rows} docs", file=sys.stderr)
+        print(f"inflated x{f}: {rows}", file=sys.stderr)
 
     report: dict[str, dict] = {}
     for name in names:
         report[name] = {}
+        q_tables = TABLES_PER_QUERY.get(name, ("documents",))
         for f in factors:
-            d, in_rows = dirs[f]
+            d, all_rows = dirs[f]
+            in_rows = sum(all_rows[t] for t in q_tables)
             before = set(completed_stages(ui, app_id))
             QUERIES[name].builder(spark, d) \
                 .write.format("noop").mode("overwrite").save()
