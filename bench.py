@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "curation_funnel",
     "curation_pipeline",
     "contamination",
+    "bloom_decontamination",
     "knn_bruteforce",
     "asof_latest_order",
     "sessionization",

@@ -57,6 +57,7 @@ _FACT_SIGNATURES = {
 # (ids, join keys, content hashes/fingerprints, raw vocab words).
 _UNBOUNDED_KEY = re.compile(
     r"(doc_id|event_id|user_id|tweet_id|orderkey|custkey|partkey|suppkey"
+    r"|^s$"  # the repo's conventional shingle column — content-cardinality
     r"|(^|_)(id|key|hash|fp|h|sig|word|token|term|shingle)$)")
 
 

@@ -713,6 +713,55 @@ ORDER BY doc_id
 """
 
 
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom-filter pre-probe — the
+    100 TB-scale variant of ``q_contamination``: fold the benchmark
+    shingle set into a CONSTANT-size bitmap (``operators/bloom.py`` —
+    one aggregation, shuffle bounded at bits/64 rows per partition
+    regardless of benchmark size), then pre-filter every corpus shingle
+    with map-side bitmap probes before the exact verify join. The exact
+    decon broadcasts the full benchmark shingle SET, which grows with
+    the benchmark; the bloom ships ~256 KB whatever the benchmark grows
+    to, and the probed corpus never shuffles (scan → k broadcast bitmap
+    joins → filter).
+
+    The Bloom theorem (NO false negatives) is what the oracle gates: the
+    output is the exact contaminated-doc manifest — bloom-positive
+    shingles verified against the true benchmark set — which can only
+    match the DuckDB twin's exact answer if the bitmap never dropped a
+    truly-shared shingle. A false positive merely costs verify work on a
+    non-shared shingle and cannot change the result; the pruning power
+    (~1% fp at 10 bits/key) is asserted in tests, not gated (it is
+    hash-seed-dependent).
+    """
+    from ..functions.text import clean_text, shingles_from_tokens
+    from ..operators.bloom import bloom_bitmap, bloom_probe
+
+    toked = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(clean_text(F.col("text"))).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            shingles_from_tokens(F.col("toks"), _SHINGLE_K))).alias("s"))
+    bench = (sh.filter(F.col("doc_id") % 100 == 0)
+             .select("s").distinct())
+    bitmap = bloom_bitmap(bench, "s")
+    cand = bloom_probe(sh.filter(F.col("doc_id") % 100 != 0), "s", bitmap)
+    return (
+        cand.join(F.broadcast(bench), "s")   # exact verify (same policy
+        # as q_contamination: the benchmark models a FIXED external eval
+        # suite — see the lint allowlist)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# Same exact answer as the unfiltered decon — the bloom pre-probe is
+# correct iff it is invisible in the result (no false negatives).
+ORACLE_BLOOM_DECONTAMINATION = ORACLE_CONTAMINATION
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed every document with the deterministic hashing-trick featurizer
     (functions/vectors.py::hashed_embedding), with the featurizer's

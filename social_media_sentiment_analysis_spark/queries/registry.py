@@ -457,6 +457,11 @@ _ALL: list[Query] = [
     Query("contamination", llmdata.q_contamination,
           llmdata.ORACLE_CONTAMINATION,
           "benchmark decontamination: broadcast n-gram overlap check"),
+    Query("bloom_decontamination", llmdata.q_bloom_decontamination,
+          llmdata.ORACLE_BLOOM_DECONTAMINATION,
+          "decontamination via native bloom_filter_agg pre-probe — "
+          "fixed-size bitmap broadcast, corpus never shuffles; oracle "
+          "gates the no-false-negative theorem (exact manifest parity)"),
     Query("stratified_sample", llmdata.q_stratified_sample,
           llmdata.ORACLE_STRATIFIED_SAMPLE,
           "deterministic md5-gated stratified sampling, per-source rates"),
@@ -793,8 +798,10 @@ _ALL: list[Query] = [
 # alphabetically). Local harnesses still verify the full registry at 3
 # scale factors each round.
 _FRONT = [
-    # changed this round — plan rewrites, de-hinted broadcasts, and the
-    # two new invariant oracles (never driver-gated before)
+    # changed this round — plan rewrites, de-hinted broadcasts, the two
+    # new invariant oracles (never driver-gated before), and the new
+    # bloom-probe decon (new queries gate the round they land)
+    "bloom_decontamination",
     "heavy_hitters", "embed_documents", "winnow_containment",
     "big_orders", "supplier_triangles", "bm25_search", "hybrid_search",
     "unigram_logprob", "ccnet_buckets", "small_quantity_revenue",
@@ -812,7 +819,7 @@ _FRONT = [
     "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
     "fingerprints", "hourly_anomalies", "hourly_rollup",
     "incremental_dedup", "inverted_index", "k_anonymity",
-    "label_centroids", "lang_filter",
+    "label_centroids",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

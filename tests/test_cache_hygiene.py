@@ -66,6 +66,8 @@ PERSIST_PRONE = [
     # winnow_containment / source_overlap checkpoint fingerprint tables (r5)
     "winnow_containment",
     "source_overlap",
+    # bloom_probe eagerly checkpoints the bitmap (r6)
+    "bloom_decontamination",
 ]
 
 

@@ -155,3 +155,99 @@ def test_simhash_vote_staging_matches_inline_form(spark, sf_dir):
                     simhash_from_votes(F.col("votes")).alias("staged"),
                     simhash_from_hashes(F.col("h")).alias("inline")))
     assert both.filter("staged <> inline").count() == 0
+
+
+class TestBloomDecontamination:
+    """Relational Bloom filter (operators/bloom.py) as a decon pre-probe:
+    the bitmap may only ADD verify work (false positives), never change
+    the answer."""
+
+    def test_matches_exact_decon(self, spark, sf_dir):
+        """No false negatives: the bloom-filtered pipeline's manifest is
+        row-identical to the exact broadcast-set decon."""
+        from social_media_sentiment_analysis_spark.queries.llmdata import (
+            q_bloom_decontamination, q_contamination,
+        )
+
+        got = q_bloom_decontamination(spark, sf_dir).collect()
+        want = q_contamination(spark, sf_dir).collect()
+        assert got == want and len(want) > 0
+
+    @staticmethod
+    def _shingles(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from social_media_sentiment_analysis_spark.functions.text import (
+            clean_text, shingles_from_tokens, tokens,
+        )
+        from social_media_sentiment_analysis_spark.queries.llmdata import (
+            _SHINGLE_K,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        return (load_table(spark, sf_dir, "documents")
+                .select("doc_id", F.explode(F.array_distinct(
+                    shingles_from_tokens(tokens(clean_text(F.col("text"))),
+                                         _SHINGLE_K))).alias("s")))
+
+    def test_bitmap_actually_prunes(self, spark, sf_dir):
+        """Superset of the true members, and a small one: bloom-positives
+        = true shared mass + ~1% fp of the corpus (10 bits/key)."""
+        from pyspark.sql import functions as F
+
+        from social_media_sentiment_analysis_spark.operators.bloom import (
+            bloom_bitmap, bloom_probe,
+        )
+
+        sh = self._shingles(spark, sf_dir)
+        bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct()
+        corpus = sh.filter(F.col("doc_id") % 100 != 0)
+        bitmap = bloom_bitmap(bench, "s")
+        n_corpus = corpus.count()
+        n_pass = bloom_probe(corpus, "s", bitmap).count()
+        n_true = corpus.join(bench, "s", "left_semi").count()
+        assert n_pass >= n_true                    # no false negatives
+        assert n_pass <= n_true + 0.05 * n_corpus + 50   # real pruning
+
+    def test_probe_exact_vs_reference_bloom(self, spark, sf_dir):
+        """The relational probe IS a Bloom filter: every key folded into
+        the bitmap passes its own probe (definitional no-false-negative
+        check, key-by-key, not just through the decon pipeline)."""
+        from pyspark.sql import functions as F
+
+        from social_media_sentiment_analysis_spark.operators.bloom import (
+            bloom_bitmap, bloom_probe,
+        )
+
+        sh = self._shingles(spark, sf_dir)
+        bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct()
+        bitmap = bloom_bitmap(bench, "s")
+        n_members = bench.count()
+        n_self = bloom_probe(bench, "s", bitmap).count()
+        assert n_self == n_members
+
+    def test_probe_plan_no_corpus_shuffle(self, spark, sf_dir):
+        """The probed stream never shuffles: the probe pipeline's only
+        hash exchanges belong to the bitmap build (bench distinct + slot
+        aggregate) — scan -> k broadcast joins -> filter on the corpus
+        side adds ZERO."""
+        from pyspark.sql import functions as F
+
+        from social_media_sentiment_analysis_spark.operators.bloom import (
+            bloom_bitmap, bloom_probe,
+        )
+        from social_media_sentiment_analysis_spark.plans.inspect import (
+            exchange_count, physical_plan,
+        )
+
+        sh = self._shingles(spark, sf_dir)
+        bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct()
+        probed = bloom_probe(sh.filter(F.col("doc_id") % 100 != 0), "s",
+                             bloom_bitmap(bench, "s"))
+        # the bitmap is checkpointed inside bloom_probe (built once, k
+        # consumers), so the probe plan itself carries ZERO hash
+        # exchanges: scan -> k broadcast joins -> filter
+        assert exchange_count(probed) == 0, physical_plan(probed)[:1500]
+        assert physical_plan(probed).count("BroadcastHashJoin") >= 3

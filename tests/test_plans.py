@@ -102,6 +102,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "unigram_logprob",
                             "hybrid_search",  # 1-row query-vector anchor
                             "rfm_segments",   # 1-row recency anchor
+                            "heavy_hitters",  # 1-row eps*N total anchor
+                            # 1-row bloom-bitmap anchor (map-side probe)
+                            "bloom_decontamination",
                             "feature_drift",  # 1-row min/max anchors
                             "important_stock",  # 1-row grand-total anchor
                             "dsir_select",      # 64-row log-ratio model
@@ -429,6 +432,12 @@ BROADCAST_LINT_ALLOWED = {
     # doc_id % 100 filter is only the sandbox's stand-in for that table
     "contamination": "benchmark shingle set = fixed external eval suite",
     "contamination_spans": "benchmark spans = fixed external eval suite",
+    # two hints: the verify join's benchmark set (same fixed-eval-suite
+    # reason as contamination) and the bloom bitmap — bounded at
+    # num_bits/64 rows BY CONSTRUCTION, but its localCheckpoint erases
+    # the bounding aggregate from the analyzed plan (LogicalRDD leaf)
+    "bloom_decontamination":
+        "benchmark set (fixed eval suite) + checkpointed 32k-row bitmap",
     # ~4.7k-entry constant valence lexicon (createDataFrame => LogicalRDD)
     "sentiment_enrich_relational": "constant 4.7k-entry lexicon",
     # Q17's per-part AVG groups on l_partkey AFTER the broadcast dim
