@@ -599,6 +599,11 @@ _ALL: list[Query] = [
           temporal.ORACLE_ROLLING_ACTIVE_USERS,
           "sliding distinct: exact rolling 7-day active users via pair "
           "dedup + bounded explode fan-out (no range join)"),
+    Query("rolling_active_users_hll", temporal.q_rolling_active_users_hll,
+          temporal.ORACLE_ROLLING_ACTIVE_USERS_HLL,
+          "sliding distinct at scale: per-day HLL sketches union-merged "
+          "over the 7-day frame (native datasketches); oracle gates the "
+          "exact counts + the sketch accuracy envelope"),
     Query("gapfill_hourly", temporal.q_gapfill_hourly,
           temporal.ORACLE_GAPFILL_HOURLY,
           "gap-fill: dense hourly spine + forward-fill interpolation"),
@@ -800,8 +805,9 @@ _ALL: list[Query] = [
 _FRONT = [
     # changed this round — plan rewrites, de-hinted broadcasts, the two
     # new invariant oracles (never driver-gated before), and the new
-    # bloom-probe decon (new queries gate the round they land)
-    "bloom_decontamination",
+    # bloom-probe decon and HLL rolling distinct (new queries gate the
+    # round they land)
+    "bloom_decontamination", "rolling_active_users_hll",
     "heavy_hitters", "embed_documents", "winnow_containment",
     "big_orders", "supplier_triangles", "bm25_search", "hybrid_search",
     "unigram_logprob", "ccnet_buckets", "small_quantity_revenue",
@@ -819,7 +825,6 @@ _FRONT = [
     "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
     "fingerprints", "hourly_anomalies", "hourly_rollup",
     "incremental_dedup", "inverted_index", "k_anonymity",
-    "label_centroids",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

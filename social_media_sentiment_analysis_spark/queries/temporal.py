@@ -454,8 +454,9 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) and count distinct users per day — total fan-out is bounded
     by 7× the deduped pairs, independent of raw event volume.
     At 100 TB the approximate alternative is per-day HLL sketches merged
-    over the 7-day frame (mergeable, subtract-free); this query is the
-    exact path and the oracle-checkable one.
+    over the 7-day frame (mergeable, subtract-free) — implemented as
+    `q_rolling_active_users_hll` below, gated on the same exact counts
+    plus the sketch accuracy envelope; this query is the exact path.
     """
     events = load_table(spark, sf_dir, "events")
     pairs = (events
@@ -484,6 +485,87 @@ WITH pairs AS (
 )
 SELECT s.win_day,
        COUNT(DISTINCT p.user_id) AS active_users_7d
+FROM spine s
+JOIN pairs p
+  ON p.day <= s.win_day
+ AND p.day > s.win_day - INTERVAL {_ROLL_DAYS} DAY
+GROUP BY s.win_day
+ORDER BY s.win_day
+"""
+
+
+_HLL_LGK = 12  # 4096 registers → relative std err ≈ 1.04/√4096 ≈ 1.6%
+
+
+def q_rolling_active_users_hll(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The 100 TB path `q_rolling_active_users` promises: per-day HLL
+    sketches (Spark's native datasketches `hll_sketch_agg`) merged over
+    the 7-day frame with `hll_union_agg` — sliding COUNT(DISTINCT) via
+    MERGEABLE state, which is the property exact distinct lacks (distinct
+    sets are not subtractable OR union-summable; HLL registers are, so a
+    1000-executor run ships 4 KB per day-partition instead of re-touching
+    the raw events per window).
+
+    Invariant-oracle pattern (the heavy_hitters/embed_documents recipe):
+    the estimate itself has no DuckDB twin (datasketches binary), so the
+    query ALSO computes the exact rolling distinct (same plan as the
+    exact query) and the gate pins (a) the exact counts value-for-value
+    and (b) `hll_within_5pct` — the sketch's accuracy envelope at
+    lgK=12 (relSE ≈ 1.6%, so 5% is >3σ; deterministic for fixed
+    input + config — verified at all three test SFs). A sketch bug
+    (wrong merge, register corruption) flips the boolean and fails the
+    value-hash.
+
+    Plan: ONE (day, user) dedup exchange feeds both arms; sketches are
+    one row per day, the union fan-out is ≤7 rows per day — everything
+    after the dedup is day-cardinality.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pairs = (events
+             .select(F.date_trunc("day", F.col("ts")).alias("day"),
+                     "user_id")
+             .distinct()
+             .localCheckpoint())  # feeds sketch arm + exact arm once
+    spine = pairs.select("day").distinct().withColumnRenamed("day",
+                                                             "win_day")
+    win_days = F.explode(F.sequence(
+        F.col("day"),
+        F.timestamp_add("DAY", F.lit(_ROLL_DAYS - 1), F.col("day")),
+        F.expr("INTERVAL 1 DAY"))).alias("win_day")
+    # sketch arm: one 4 KB sketch per day, fanned to ≤7 window-end days,
+    # register-wise union per window — never touches users again
+    per_day = (pairs.groupBy("day")
+               .agg(F.hll_sketch_agg("user_id", F.lit(_HLL_LGK))
+                    .alias("sk")))
+    est = (per_day.select("sk", win_days)
+           .join(F.broadcast(spine), "win_day", "left_semi")
+           .groupBy("win_day")
+           .agg(F.hll_sketch_estimate(
+               F.hll_union_agg("sk", F.lit(True))).alias("hll_est")))
+    # exact arm (the oracle-checkable truth, same recipe as the exact
+    # query): fan deduped pairs to their window-end days, count distinct
+    exact = (pairs.select("user_id", win_days)
+             .join(F.broadcast(spine), "win_day", "left_semi")
+             .groupBy("win_day")
+             .agg(F.count_distinct("user_id").alias("active_users_7d")))
+    return (exact.join(est, "win_day")
+            .select("win_day", "active_users_7d",
+                    (F.abs(F.col("hll_est") - F.col("active_users_7d"))
+                     <= 0.05 * F.col("active_users_7d"))
+                    .alias("hll_within_5pct"))
+            .orderBy("win_day"))
+
+
+ORACLE_ROLLING_ACTIVE_USERS_HLL = f"""
+WITH pairs AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), spine AS (
+    SELECT DISTINCT day AS win_day FROM pairs
+)
+SELECT s.win_day,
+       COUNT(DISTINCT p.user_id) AS active_users_7d,
+       TRUE AS hll_within_5pct
 FROM spine s
 JOIN pairs p
   ON p.day <= s.win_day

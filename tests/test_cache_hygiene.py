@@ -68,6 +68,8 @@ PERSIST_PRONE = [
     "source_overlap",
     # bloom_probe eagerly checkpoints the bitmap (r6)
     "bloom_decontamination",
+    # checkpointed (day, user) pair table feeds both arms (r6)
+    "rolling_active_users_hll",
 ]
 
 
