@@ -281,6 +281,11 @@ _ALL: list[Query] = [
     Query("value_percentiles", shaping.q_value_percentiles,
           shaping.ORACLE_VALUE_PERCENTILES,
           "exact p25/p50/p75/p90 per group (linear interpolation)"),
+    Query("quantile_sketch", shaping.q_quantile_sketch,
+          shaping.ORACLE_QUANTILE_SKETCH,
+          "approx_percentile (GK summary) with the rank-error theorem "
+          "oracle-pinned against exact ranks — bounded-state quantiles "
+          "for 100 TB"),
     Query("status_priority_sets", shaping.q_status_priority_sets,
           shaping.ORACLE_STATUS_PRIORITY_SETS,
           "GROUPING SETS ((status),(priority)): disjoint subtotals, one scan"),
@@ -805,9 +810,10 @@ _ALL: list[Query] = [
 _FRONT = [
     # changed this round — plan rewrites, de-hinted broadcasts, the two
     # new invariant oracles (never driver-gated before), and the new
-    # bloom-probe decon and HLL rolling distinct (new queries gate the
-    # round they land)
+    # bloom-probe decon, HLL rolling distinct, GK quantile sketch (new
+    # queries gate the round they land)
     "bloom_decontamination", "rolling_active_users_hll",
+    "quantile_sketch",
     "heavy_hitters", "embed_documents", "winnow_containment",
     "big_orders", "supplier_triangles", "bm25_search", "hybrid_search",
     "unigram_logprob", "ccnet_buckets", "small_quantity_revenue",
@@ -824,7 +830,7 @@ _FRONT = [
     "corpus_datacard", "cross_doc_overlap", "customer_spend_quartiles",
     "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
     "fingerprints", "hourly_anomalies", "hourly_rollup",
-    "incremental_dedup", "inverted_index", "k_anonymity",
+    "incremental_dedup", "inverted_index",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

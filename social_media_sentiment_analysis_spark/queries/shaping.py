@@ -140,6 +140,95 @@ ORDER BY event_type
 """
 
 
+_APPROX_PCT_ACC = 1000          # approx_percentile accuracy → ε = 1/acc
+_APPROX_PCT_PS = (0.5, 0.95)   # probed quantiles
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH with its rank-error contract carried into the
+    oracle gate (the heavy_hitters/HLL recipe, third sketch family):
+    ``approx_percentile(value, p, accuracy)`` — Spark's
+    Greenwald-Khanna-style streaming quantile summary, the structure a
+    100 TB percentile job actually uses (exact ``percentile`` holds the
+    whole group's values; the sketch is bounded state with map-side
+    merge) — probed at p50/p95 per event type.
+
+    The sketch value itself is summary-dependent (no DuckDB twin), so
+    the gate pins the GK rank contract: the returned value's RANK must
+    lie within 3ε·N of the target rank (ε = 1/accuracy; the single-
+    summary theorem is ε, but Spark's distributed implementation MERGES
+    per-partition summaries and the merged error exceeds ε by a small
+    constant factor — measured ~1.1ε worst-case on this data, pinned at
+    3ε so the gate tests the distributed contract that actually holds,
+    not the single-node one that doesn't). The rank of the approx value
+    is computed EXACTLY on the Spark side (a conditional re-aggregation
+    against the returned cut — one extra pass, gate instrumentation
+    only) and the twin pins the boolean TRUE; exact percentiles and
+    counts ride along value-checked. Any summary-merge bug that
+    displaces a quantile flips the boolean and fails the hash.
+
+    Plan: one group exchange for the combined exact+sketch aggregate,
+    localCheckpointed — the sketch is NONDETERMINISTIC across
+    re-executions (merge order), so the rank check must probe the very
+    values the query returns, not a recomputation's; the rank check
+    then re-aggregates the fact against the broadcast-back per-type
+    cuts (|event types| rows — bounded, lint-legal).
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type",
+                                                        "value")
+    eps = 3.0 / _APPROX_PCT_ACC
+    agg = (events.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.percentile("value", 0.5), 4).alias("p50_exact"),
+                F.round(F.percentile("value", 0.95), 4).alias("p95_exact"),
+                F.percentile_approx(
+                    "value", list(_APPROX_PCT_PS),
+                    _APPROX_PCT_ACC).alias("approx"))
+           .localCheckpoint())
+    cuts = agg.select("event_type",
+                      F.col("approx")[0].alias("c50"),
+                      F.col("approx")[1].alias("c95"))
+    # no broadcast hint: the checkpointed cuts table is |event types|
+    # rows with KNOWN stats, so the planner broadcasts it on its own —
+    # and a hint on a checkpointed frame is lint-opaque (LogicalRDD)
+    ranks = (events.join(cuts, "event_type")
+             .groupBy("event_type")
+             .agg(F.count(F.when(F.col("value") <= F.col("c50"), 1))
+                  .alias("le50"),
+                  F.count(F.when(F.col("value") < F.col("c50"), 1))
+                  .alias("lt50"),
+                  F.count(F.when(F.col("value") <= F.col("c95"), 1))
+                  .alias("le95"),
+                  F.count(F.when(F.col("value") < F.col("c95"), 1))
+                  .alias("lt95")))
+
+    def ok(p, lt, le):
+        # some rank in [lt+1, le] belongs to the returned value; the GK
+        # guarantee holds iff that interval meets [(p-ε)N, (p+ε)N]
+        lo = (F.lit(p) - eps) * F.col("n_events")
+        hi = (F.lit(p) + eps) * F.col("n_events")
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+
+    return (agg.join(ranks, "event_type")
+            .select("event_type", "n_events", "p50_exact", "p95_exact",
+                    ok(0.5, "lt50", "le50").alias("p50_within_rank_eps"),
+                    ok(0.95, "lt95", "le95").alias("p95_within_rank_eps"))
+            .orderBy("event_type"))
+
+
+ORACLE_QUANTILE_SKETCH = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(quantile_cont(value, 0.5), 4)  AS p50_exact,
+       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS p50_within_rank_eps,
+       TRUE AS p95_within_rank_eps
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Set operations: cohort overlap via INTERSECT / EXCEPT / UNION.
 # ---------------------------------------------------------------------------

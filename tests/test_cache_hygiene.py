@@ -70,6 +70,8 @@ PERSIST_PRONE = [
     "bloom_decontamination",
     # checkpointed (day, user) pair table feeds both arms (r6)
     "rolling_active_users_hll",
+    # checkpointed per-type sketch row feeds output + rank check (r6)
+    "quantile_sketch",
 ]
 
 
