@@ -531,6 +531,32 @@ def read_containment_flags(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/flags")
 
 
+def seed_containment_store(spark: SparkSession, path: str,
+                           fps_table: str = "winnow_idx_fps",
+                           stats_table: str = "winnow_idx_doc_stats",
+                           id_col: str = "doc_id") -> None:
+    """Bootstrap a ``winnow_containment_sink`` store from the PERSISTED
+    batch winnowing index (``queries/selection.py::index_winnowing``) —
+    the batch→streaming handoff: the historical corpus is fingerprinted
+    once by the batch maintenance job, and every micro-batch from then on
+    probes it incrementally instead of the stream starting blind.
+
+    The corpus lands as the ``batch_id=-1`` partition: the sink probes
+    strictly-earlier partitions, so every real batch (ids >= 0) sees the
+    seed, replays overwrite only their own partitions, and re-seeding is
+    idempotent (dynamic overwrite of the one seed partition). Per-doc set
+    sizes come from the index's stats table, denormalized onto each
+    fingerprint row exactly as the sink writes its own batches.
+    """
+    fps = spark.table(fps_table).select(id_col, "fp")
+    sizes = spark.table(stats_table).select(id_col, "n_fps")
+    (fps.join(sizes, id_col)
+     .withColumn("batch_id", F.lit(-1))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(f"{path}/fps"))
+
+
 def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,
                bins: int = 10, eps: float = 1e-6) -> DataStreamWriter:
     """Streaming distribution-drift monitor: PSI of each micro-batch

@@ -880,3 +880,58 @@ def test_winnow_containment_sink_flags_pasted_doc(spark, tmp_path):
     assert len(rows) == len({(r.doc_a, r.doc_b) for r in rows})
     assert {(r.doc_a, r.doc_b) for r in rows} >= {(1, 3), (2, 5)}
     assert not any(r.doc_a == r.doc_b for r in rows)
+
+
+def test_containment_sink_seeded_from_batch_index(spark, sf_dir, tmp_path):
+    """Batch->streaming handoff: seed the containment store from the
+    persisted winnowing index, then stream ONE new doc quoting a corpus
+    document — it must be flagged in its very first micro-batch, against
+    the seed partition (batch_id=-1), with no corpus re-ingestion."""
+    from social_media_sentiment_analysis_spark.queries.selection import (
+        index_winnowing,
+    )
+    from social_media_sentiment_analysis_spark.sources.batch import (
+        load_table,
+    )
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        read_containment_flags, seed_containment_store,
+        winnow_containment_sink,
+    )
+
+    tables = index_winnowing(spark, sf_dir, prefix="t_seed_widx")
+    try:
+        out = str(tmp_path / "contain")
+        seed_containment_store(spark, out, *tables)
+        # pick a real corpus doc and paste its text into a larger new doc
+        src_doc = (load_table(spark, sf_dir, "documents")
+                   .filter("length(text) > 200")
+                   .orderBy("doc_id").first())
+        new_id = 10_000_000
+        big = ("breaking news aggregator page header navigation links "
+               f"{src_doc.text} footer copyright subscribe newsletter "
+               "social media icons and related articles list")
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.jsonl").write_text(
+            json.dumps({"doc_id": new_id, "text": big}) + "\n")
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .json(str(src)))
+        q = (winnow_containment_sink(stream, out, str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        flags = read_containment_flags(spark, out).collect()
+        assert any(r.doc_a == src_doc.doc_id and r.doc_b == new_id
+                   and r.containment >= 0.5 for r in flags), flags
+        # re-seeding is idempotent: same store, no duplicate seed rows
+        seed_containment_store(spark, out, *tables)
+        n1 = spark.read.parquet(f"{out}/fps").filter(
+            "batch_id = -1").count()
+        seed_containment_store(spark, out, *tables)
+        n2 = spark.read.parquet(f"{out}/fps").filter(
+            "batch_id = -1").count()
+        assert n1 == n2 > 0
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
