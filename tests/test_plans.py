@@ -477,3 +477,86 @@ def test_winnow_containment_no_broadcast_hint(spark, sf_dir):
     df = q("winnow_containment", spark, sf_dir)
     analyzed = str(df._jdf.queryExecution().analyzed())
     assert "ResolvedHint" not in analyzed
+
+
+class TestBroadcastLintUnit:
+    """Unit pins for plans/lint.py on synthetic frames — the lint's own
+    contract, independent of what the registry happens to contain."""
+
+    def _docs(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        return load_table(spark, sf_dir, "documents")
+
+    def test_flags_hint_on_raw_fact_scan(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from social_media_sentiment_analysis_spark.plans.lint import (
+            broadcast_violations,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        bad = docs.select("doc_id").join(
+            F.broadcast(self._docs(spark, sf_dir).select("doc_id", "lang")),
+            "doc_id")
+        assert broadcast_violations(bad)
+
+    def test_flags_hint_on_per_doc_aggregate(self, spark, sf_dir):
+        """The winnow_containment pre-r6 shape: per-entity aggregate
+        (one row per doc) behind a forced broadcast."""
+        import pyspark.sql.functions as F
+
+        from social_media_sentiment_analysis_spark.plans.lint import (
+            broadcast_violations,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        bad = docs.select("doc_id").join(F.broadcast(sizes), "doc_id")
+        assert broadcast_violations(bad)
+
+    def test_passes_bounded_aggregate_and_dedup(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from social_media_sentiment_analysis_spark.plans.lint import (
+            broadcast_violations,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        by_source = docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"))         # bounded key: source
+        ok = docs.join(F.broadcast(by_source), "source")
+        assert broadcast_violations(ok) == []
+        langs = docs.select("lang").distinct()    # Deduplicate [lang]
+        ok2 = docs.join(F.broadcast(langs), "lang", "left_semi")
+        assert broadcast_violations(ok2) == []
+
+    def test_flags_checkpointed_frame(self, spark, sf_dir):
+        """localCheckpoint erases lineage (LogicalRDD leaf) — a hint on a
+        checkpointed frame must flag, however bounded its producer was;
+        bounded-by-construction cases go through the allowlist."""
+        import pyspark.sql.functions as F
+
+        from social_media_sentiment_analysis_spark.plans.lint import (
+            broadcast_violations,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        ck = (docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint())
+        bad = docs.join(F.broadcast(ck), "source")
+        assert broadcast_violations(bad)
+
+    def test_passes_global_limit(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from social_media_sentiment_analysis_spark.plans.lint import (
+            broadcast_violations,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        top = docs.select("doc_id").orderBy("doc_id").limit(10)
+        ok = docs.join(F.broadcast(top), "doc_id", "left_semi")
+        assert broadcast_violations(ok) == []
