@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "promo_revenue",
     "dataset_split",
     "heavy_hitters",
+    "rolling_active_users_hll",
+    "quantile_sketch",
     "excess_volume_suppliers",
     "bigram_logprob",
     "hybrid_search",
