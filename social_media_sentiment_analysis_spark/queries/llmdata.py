@@ -857,9 +857,9 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup pair graph (edges both ways:
     similarity is symmetric) — ranks the 'template' documents that many
     near-copies orbit. The iterative-numeric operator class
-    (operators/graph.py::pagerank, localCheckpoint-per-round); rows-only:
-    fixed-point float iteration has no SQL twin (analytic cases pinned in
-    tests/test_graph.py)."""
+    (operators/graph.py::pagerank, localCheckpoint-per-round); the fixed
+    10-round power iteration unrolls into a chained-CTE DuckDB oracle
+    (analytic cases additionally pinned in tests/test_graph.py)."""
     from ..operators.graph import pagerank
 
     pairs = _jaccard_pairs(spark, sf_dir)
@@ -871,6 +871,47 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("rank", 4).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
     )
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """DuckDB twin of q_doc_pagerank: the fixed iteration count lets the
+    power iteration unroll into a chain of plain CTEs (pr0..prN), sidestepping
+    the no-aggregates-in-recursive-CTE restriction. The pair graph is
+    symmetric, so the dangling set is empty and each round is exactly
+    rank' = 0.15 + 0.85 * Σ_in rank/deg — the same arithmetic the Spark
+    operator performs (operators/graph.py::pagerank with d=0). floor(x*1e4
+    + 0.5)/1e4 pins HALF_UP to match F.round."""
+    sql = _SQL_JACCARD_PAIRS + """
+, links AS (
+    SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS deg
+    FROM (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id AS u, a_id AS v FROM pairs)
+), prnodes AS (
+    SELECT DISTINCT u AS node FROM links
+), pr0 AS (
+    SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM prnodes
+)"""
+    for k in range(iterations):
+        sql += f"""
+, pr{k + 1} AS (
+    SELECT n.node,
+           0.15 + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+    FROM prnodes n
+    LEFT JOIN (
+        SELECT l.v AS node, SUM(p.rank / l.deg) AS inflow
+        FROM links l JOIN pr{k} p ON l.u = p.node
+        GROUP BY l.v
+    ) c ON n.node = c.node
+)"""
+    sql += f"""
+SELECT node, floor(rank * 10000 + 0.5) / 10000 AS rank
+FROM pr{iterations}
+ORDER BY rank DESC, node
+"""
+    return sql
+
+
+ORACLE_DOC_PAGERANK = _pagerank_oracle()
 
 
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2363,8 +2404,9 @@ def q_doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous label propagation (operators/graph.py::label_propagation)
     on the jaccard pair edges, rolled up to community sizes. Complements
     dedup_clusters (hard connectivity → keep-one-per-cluster) with the
-    soft-community view used for corpus mixing / topic balance. Rows-only
-    (iterative); clique-separation and determinism are pinned in
+    soft-community view used for corpus mixing / topic balance. The fixed
+    5-round synchronous LPA unrolls into a chained-CTE DuckDB oracle;
+    clique-separation and determinism are additionally pinned in
     tests/test_graph.py::TestLabelPropagation."""
     from ..operators.graph import label_propagation
 
@@ -2377,6 +2419,47 @@ def q_doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+def _communities_oracle(max_iter: int = 5) -> str:
+    """DuckDB twin of q_doc_communities: synchronous LPA with a fixed round
+    count unrolls to chained CTEs (lab0..labN) — one grouped count + top-1
+    per round, where ROW_NUMBER() ORDER BY COUNT(*) DESC, label ASC is
+    exactly the Spark side's min-struct((-n, label)) tie-break. Pure integer
+    arithmetic end to end, so parity is bit-exact by construction."""
+    sql = _SQL_JACCARD_PAIRS + """
+, und AS (
+    SELECT DISTINCT u, v
+    FROM (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION ALL SELECT b_id AS u, a_id AS v FROM pairs)
+    WHERE u <> v
+), lab0 AS (
+    SELECT DISTINCT u AS node, u AS label FROM und
+)"""
+    for k in range(max_iter):
+        sql += f"""
+, lab{k + 1} AS (
+    SELECT node, label FROM (
+        SELECT e.u AS node, p.label,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                   ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+        FROM und e JOIN lab{k} p ON e.v = p.node
+        GROUP BY e.u, p.label
+    ) WHERE rn = 1
+)"""
+    sql += f"""
+, comm AS (
+    SELECT label, COUNT(*) AS community_size FROM lab{max_iter} GROUP BY label
+)
+SELECT community_size, COUNT(*) AS n_communities
+FROM comm
+GROUP BY community_size
+ORDER BY community_size
+"""
+    return sql
+
+
+ORACLE_DOC_COMMUNITIES = _communities_oracle()
 
 
 # ---------------------------------------------------------------------------

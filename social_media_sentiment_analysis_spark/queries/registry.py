@@ -449,9 +449,10 @@ _ALL: list[Query] = [
     Query("fingerprints", llmdata.q_fingerprints,
           llmdata.ORACLE_FINGERPRINTS,
           "content + order-insensitive bag fingerprints"),
-    Query("doc_pagerank", llmdata.q_doc_pagerank, None,
+    Query("doc_pagerank", llmdata.q_doc_pagerank,
+          llmdata.ORACLE_DOC_PAGERANK,
           "PageRank over the near-dup graph (iterative, checkpointed "
-          "rounds; rows-only, analytic cases in tests)"),
+          "rounds; oracle = 10 unrolled power-iteration CTEs)"),
     Query("repetition", llmdata.q_repetition,
           llmdata.ORACLE_REPETITION,
           "repetition-ratio quality signal: duplicated-shingle fraction"),
@@ -635,9 +636,10 @@ _ALL: list[Query] = [
     Query("media_video_neardup", multimodal.q_media_video_neardup, None,
           "frame-level video near-dup (per-frame dHash + banded join + "
           "frame-majority verify; rows-only — decode crossing)"),
-    Query("doc_communities", llmdata.q_doc_communities, None,
+    Query("doc_communities", llmdata.q_doc_communities,
+          llmdata.ORACLE_DOC_COMMUNITIES,
           "label-propagation communities over the near-dup graph "
-          "(deterministic sync LPA; rows-only — iterative)"),
+          "(deterministic sync LPA; oracle = 5 unrolled LPA-round CTEs)"),
     Query("knn_pq", mlqueries.q_knn_pq, None,
           "product-quantization ANN: per-subspace codebooks, codes table, "
           "asymmetric-distance top-k (rows-only — fitted codebooks)"),
