@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "zipf_slope",
     "winnow_containment",
     "source_overlap",
+    # round 6 (continuation): exact-substring dedup as a corpus rewrite
+    "dedup_rewrite",
 ]
 
 

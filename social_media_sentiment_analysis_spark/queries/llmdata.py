@@ -570,6 +570,101 @@ FROM chunked
 ORDER BY doc_id, chunk_id
 """
 
+_REWRITE_CHUNK = 6  # tokens per non-overlapping rewrite chunk
+
+
+def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a REWRITE, not a detector: cut every
+    non-overlapping {_REWRITE_CHUNK}-token chunk whose identical content
+    already appeared earlier in global (doc_id, chunk_id) order, then
+    reassemble each document from its surviving chunks — the
+    remove-all-but-first policy of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (their suffix-array cut step),
+    approximated at chunk granularity with relational ops only.
+    Complements q_dedup_spans (detection) and the doc-level dedup_*
+    family (whole-document drop).
+
+    Plan: chunking is map-side (transform over a sequence of offsets,
+    one posexplode); first-occurrence marking is ONE window
+    (row_number over md5(chunk), ordered by the globally-unique
+    (doc_id, chunk_id) — deterministic, no self-join); reassembly is one
+    groupBy(doc_id) whose collect_list sorts by chunk_id and drops the
+    cut chunks in Column space. Two content exchanges total — hash(h)
+    then doc_id — the same linear profile as exact dedup; no broadcast
+    of anything corpus-derived, no all-pairs stage. At 100 TB each
+    h-group is tiny (duplicate multiplicity), so the window state is
+    bounded; skewed boilerplate chunks are the one hot spot and they cap
+    at the duplicate count of a single 6-gram.
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("cleaned_text") != "").select(
+        "doc_id", tokens(F.col("cleaned_text")).alias("toks"))
+    n = F.size("toks")
+    chunk_arrays = F.transform(
+        F.sequence(F.lit(0),
+                   F.floor((n - F.lit(1)) / F.lit(_REWRITE_CHUNK))),
+        lambda i: F.slice(F.col("toks"),
+                          i * _REWRITE_CHUNK + 1, _REWRITE_CHUNK))
+    rows = (docs
+            .select("doc_id",
+                    F.posexplode(chunk_arrays).alias("chunk_id", "chunk"))
+            .select("doc_id", "chunk_id",
+                    F.size("chunk").cast("long").alias("n_toks"),
+                    F.concat_ws(" ", F.col("chunk")).alias("txt")))
+    w = Window.partitionBy(F.md5("txt")).orderBy("doc_id", "chunk_id")
+    marked = rows.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.array_sort(
+        F.collect_list(F.struct("chunk_id", "rn", "txt")))
+    rebuilt = F.array_join(
+        F.filter(
+            F.transform(kept_struct,
+                        lambda s: F.when(s["rn"] == 1, s["txt"])),
+            lambda t: t.isNotNull()),
+        " ")
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("rn") == 1, F.col("n_toks"))),
+                     F.lit(0)).alias("kept_tokens"),
+                 F.md5(rebuilt).alias("rebuilt_fp"))
+            .orderBy("doc_id"))
+
+
+ORACLE_DEDUP_REWRITE = _SQL_DOCS + f"""
+, toked AS (
+    SELECT doc_id, string_split(cleaned_text, ' ') AS toks
+    FROM docs
+    WHERE cleaned_text <> ''
+), chunked AS (
+    SELECT doc_id,
+           i AS chunk_id,
+           len(toks[(i * {_REWRITE_CHUNK} + 1):((i + 1) * {_REWRITE_CHUNK})])
+               AS n_toks,
+           array_to_string(
+               toks[(i * {_REWRITE_CHUNK} + 1):((i + 1) * {_REWRITE_CHUNK})],
+               ' ') AS txt
+    FROM toked,
+         LATERAL unnest(range(0,
+             CAST(floor((len(toks) - 1) / {_REWRITE_CHUNK}) AS BIGINT) + 1))
+         AS t(i)
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY txt
+                              ORDER BY doc_id, chunk_id) AS rn
+    FROM chunked
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_toks END), 0) AS BIGINT)
+           AS kept_tokens,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN txt END, ' '
+                               ORDER BY chunk_id), '')) AS rebuilt_fp
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content + order-insensitive bag fingerprints per document."""

@@ -737,6 +737,11 @@ _ALL: list[Query] = [
           selection.ORACLE_DEDUP_SPANS,
           "cross-doc duplicated-span detection (positional shingle table "
           "+ island merge — suffix-array-lite substring dedup)"),
+    Query("dedup_rewrite", llmdata.q_dedup_rewrite,
+          llmdata.ORACLE_DEDUP_REWRITE,
+          "exact-substring dedup as a rewrite: drop every chunk whose "
+          "content appeared earlier in global order, reassemble docs "
+          "(Lee et al. remove-all-but-first at chunk granularity)"),
     Query("group_sample", selection.q_group_sample,
           selection.ORACLE_GROUP_SAMPLE,
           "deterministic k-per-group sample via md5 shuffle order"),

@@ -251,3 +251,60 @@ class TestBloomDecontamination:
         # exchanges: scan -> k broadcast joins -> filter
         assert exchange_count(probed) == 0, physical_plan(probed)[:1500]
         assert physical_plan(probed).count("BroadcastHashJoin") >= 3
+
+
+class TestDedupRewrite:
+    """Semantic pins for q_dedup_rewrite (exact-substring dedup as a
+    rewrite; the oracle-parity gate covers the full value contract, these
+    pin the remove-all-but-first policy itself)."""
+
+    def _result(self, spark, sf_dir):
+        from social_media_sentiment_analysis_spark.queries.llmdata import (
+            q_dedup_rewrite,
+        )
+        return q_dedup_rewrite(spark, sf_dir).toPandas()
+
+    def test_kept_equals_global_distinct_chunks(self, spark, sf_dir):
+        """Σ n_kept == count of DISTINCT chunk texts corpus-wide: the
+        remove-all-but-first policy keeps exactly one survivor per
+        distinct chunk content."""
+        from social_media_sentiment_analysis_spark.queries.llmdata import (
+            _REWRITE_CHUNK, _docs,
+        )
+        from social_media_sentiment_analysis_spark.functions.text import tokens
+
+        res = self._result(spark, sf_dir)
+        docs = _docs(spark, sf_dir).filter(F.col("cleaned_text") != "") \
+            .select(tokens(F.col("cleaned_text")).alias("toks"))
+        n = F.size("toks")
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(_REWRITE_CHUNK))),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("toks"), i * _REWRITE_CHUNK + 1,
+                             _REWRITE_CHUNK)))
+        distinct_chunks = (docs.select(F.explode(chunks).alias("txt"))
+                           .distinct().count())
+        assert int(res["n_kept"].sum()) == distinct_chunks
+
+    def test_rewrite_is_idempotent_and_cuts_something(self, spark, sf_dir):
+        res = self._result(spark, sf_dir)
+        assert (res["n_kept"] <= res["n_chunks"]).all()
+        assert (res["n_kept"] >= 0).all()
+        # the synthetic corpus has cross-doc duplicate chunks by design
+        assert (res["n_kept"] < res["n_chunks"]).any()
+        # every doc row is present exactly once
+        assert res["doc_id"].is_unique
+
+    def test_plan_shape_two_content_exchanges_no_join(self, spark, sf_dir):
+        """Chunking map-side; one window exchange on md5(txt); one
+        reassembly exchange on doc_id (+ the presentation sort's range
+        exchange). No join anywhere."""
+        from social_media_sentiment_analysis_spark.plans.inspect import (
+            exchange_count, physical_plan,
+        )
+        from social_media_sentiment_analysis_spark.queries.llmdata import (
+            q_dedup_rewrite,
+        )
+        plan = physical_plan(q_dedup_rewrite(spark, sf_dir))
+        assert "Join" not in plan, plan[:1500]
+        assert exchange_count(q_dedup_rewrite(spark, sf_dir)) <= 3, plan[:1500]
