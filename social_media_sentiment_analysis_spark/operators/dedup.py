@@ -58,6 +58,29 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
     return df.join(keepers, on=id_col, how="left_semi")
 
 
+def chunk_rows(df: DataFrame, text_col: str, id_col: str,
+               k: int) -> DataFrame:
+    """(id, chunk_id, n_toks, txt): every non-overlapping k-token chunk of
+    every non-empty document, in document order (last chunk ragged).
+    Entirely map-side (transform over a sequence of offsets, one
+    posexplode) — the shared chunker behind the exact-substring rewrite
+    (batch ``queries/llmdata.py::q_dedup_rewrite`` and the streaming
+    ``streaming/sinks.py::rewrite_dedup_sink`` consume identical rows, so
+    batch and incremental policies provably act on the same chunk set)."""
+    docs = (df.filter(F.col(text_col) != "")
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("toks")))
+    n = F.size("toks")
+    chunk_arrays = F.transform(
+        F.sequence(F.lit(0), F.floor((n - F.lit(1)) / F.lit(k))),
+        lambda i: F.slice(F.col("toks"), i * k + 1, k))
+    return (docs
+            .select(id_col,
+                    F.posexplode(chunk_arrays).alias("chunk_id", "chunk"))
+            .select(id_col, "chunk_id",
+                    F.size("chunk").cast("long").alias("n_toks"),
+                    F.concat_ws(" ", F.col("chunk")).alias("txt")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -596,20 +596,8 @@ def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded; skewed boilerplate chunks are the one hot spot and they cap
     at the duplicate count of a single 6-gram.
     """
-    docs = _docs(spark, sf_dir).filter(F.col("cleaned_text") != "").select(
-        "doc_id", tokens(F.col("cleaned_text")).alias("toks"))
-    n = F.size("toks")
-    chunk_arrays = F.transform(
-        F.sequence(F.lit(0),
-                   F.floor((n - F.lit(1)) / F.lit(_REWRITE_CHUNK))),
-        lambda i: F.slice(F.col("toks"),
-                          i * _REWRITE_CHUNK + 1, _REWRITE_CHUNK))
-    rows = (docs
-            .select("doc_id",
-                    F.posexplode(chunk_arrays).alias("chunk_id", "chunk"))
-            .select("doc_id", "chunk_id",
-                    F.size("chunk").cast("long").alias("n_toks"),
-                    F.concat_ws(" ", F.col("chunk")).alias("txt")))
+    rows = dd.chunk_rows(_docs(spark, sf_dir), "cleaned_text", "doc_id",
+                         _REWRITE_CHUNK)
     w = Window.partitionBy(F.md5("txt")).orderBy("doc_id", "chunk_id")
     marked = rows.withColumn("rn", F.row_number().over(w))
     kept_struct = F.array_sort(

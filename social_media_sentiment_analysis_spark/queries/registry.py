@@ -817,8 +817,9 @@ _ALL: list[Query] = [
 _FRONT = [
     # changed this round — plan rewrites, de-hinted broadcasts, the two
     # new invariant oracles (never driver-gated before), and the new
-    # bloom-probe decon, HLL rolling distinct, GK quantile sketch (new
-    # queries gate the round they land)
+    # bloom-probe decon, HLL rolling distinct, GK quantile sketch, and
+    # the exact-substring rewrite (new queries gate the round they land)
+    "dedup_rewrite",
     "bloom_decontamination", "rolling_active_users_hll",
     "quantile_sketch",
     "heavy_hitters", "embed_documents", "winnow_containment",
@@ -837,7 +838,7 @@ _FRONT = [
     "corpus_datacard", "cross_doc_overlap", "customer_spend_quartiles",
     "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
     "fingerprints", "hourly_anomalies", "hourly_rollup",
-    "incremental_dedup", "inverted_index",
+    "incremental_dedup",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

@@ -415,6 +415,97 @@ def read_deduped_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/docs")
 
 
+def rewrite_dedup_sink(df: DataFrame, path: str, checkpoint: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       chunk_k: int = 6) -> DataStreamWriter:
+    """Incremental exact-substring dedup as a REWRITE — the streaming twin
+    of ``queries/llmdata.py::q_dedup_rewrite``: every non-overlapping
+    ``chunk_k``-token chunk whose content already appeared in ANY earlier
+    micro-batch (or earlier in this batch, by (id, chunk_id) order) is cut,
+    and each document is re-emitted assembled from its surviving chunks.
+    ``near_dedup_sink`` drops whole near-duplicate documents; this rewrites
+    partial copies — quote-farms, boilerplate headers, re-pastes — the way
+    an ingest pipeline dedups against everything it has ever kept.
+
+    Per micro-batch: chunk rows are map-side (``operators/dedup.py::
+    chunk_rows`` — the SAME chunker the batch query uses, so incremental
+    and batch policies act on identical chunk sets); within-batch first
+    occurrences are one row_number window over md5(txt); the cross-batch
+    probe is a left_anti join against the persisted fingerprint store
+    EXCLUDING the current batch's own partition. Cleaned docs and the
+    batch's new fingerprints land in ``batch_id=`` partitions with dynamic
+    partition overwrite — a replayed batch REPLACES its own output and
+    never drops a chunk as a duplicate of itself (exactly-once contents on
+    at-least-once delivery, the ``near_dedup_sink``/``cms_sink`` recipe).
+
+    State is the chunk-fingerprint store: one ~32-byte row per DISTINCT
+    chunk ever kept — the same index a batch rewrite would persist, shared
+    and pruned with the corpus. The store probe is a fingerprint-keyed
+    anti-join, linear per batch; nothing corpus-derived is broadcast.
+    """
+    from ..operators.dedup import chunk_rows
+
+    docs_path = f"{path}/docs"
+    fps_path = f"{path}/chunks"
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        rows = chunk_rows(batch, text_col, id_col, chunk_k) \
+            .withColumn("h", F.md5("txt"))
+        w = Window.partitionBy("h").orderBy(id_col, "chunk_id")
+        marked = rows.withColumn(
+            "keep", F.row_number().over(w) == 1)
+        if _target_exists(spark, fps_path):  # absent only on first batch
+            store = (spark.read.parquet(fps_path)
+                     .filter(F.col("batch_id") != F.lit(batch_id))
+                     .select("h").distinct()
+                     .withColumn("__seen", F.lit(True)))
+            marked = (marked.join(store, "h", "left")
+                      .withColumn(
+                          "keep",
+                          F.col("keep") & F.col("__seen").isNull())
+                      .drop("__seen"))
+        # one action materializes the marked table for both consumers
+        # (cleaned docs AND the new-fingerprint append)
+        marked = marked.localCheckpoint()
+        kept_struct = F.array_sort(
+            F.collect_list(F.struct("chunk_id", "keep", "txt")))
+        rebuilt = F.array_join(
+            F.filter(
+                F.transform(kept_struct,
+                            lambda s: F.when(s["keep"], s["txt"])),
+                lambda t: t.isNotNull()),
+            " ")
+        cleaned = (marked.groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_chunks"),
+                        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                        F.coalesce(
+                            F.sum(F.when(F.col("keep"), F.col("n_toks"))),
+                            F.lit(0)).alias("kept_tokens"),
+                        rebuilt.alias("cleaned_text"))
+                   .withColumn("batch_id", F.lit(batch_id)))
+        (cleaned.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(docs_path))
+        (marked.filter("keep").select("h").distinct()
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(fps_path))
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_rewritten_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Current cleaned corpus under a ``rewrite_dedup_sink`` root."""
+    return spark.read.parquet(f"{path}/docs")
+
+
 def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
                             text_col: str = "text", id_col: str = "doc_id",
                             k: int = 4, w: int = 4,

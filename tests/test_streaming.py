@@ -935,3 +935,71 @@ def test_containment_sink_seeded_from_batch_index(spark, sf_dir, tmp_path):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rewrite_dedup_sink_cuts_previously_seen_chunks(spark, tmp_path):
+    """Streaming exact-substring REWRITE: a chunk re-pasted in a later
+    micro-batch is cut from the later doc (the doc itself survives,
+    reassembled from its fresh chunks); a within-batch repeat loses to the
+    lower (id, chunk_id); a restart on the same checkpoint keeps the
+    fingerprint store; a full replay is byte-identical (dynamic partition
+    overwrite + own-partition exclusion)."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        read_rewritten_corpus, rewrite_dedup_sink,
+    )
+
+    c1 = "alpha beta gamma delta epsilon zeta"          # chunk A (6 tokens)
+    c2 = "one two three four five six"                  # chunk B
+    c3 = "red orange yellow green blue indigo"          # chunk C
+    c4 = "mercury venus earth mars jupiter saturn"      # chunk D
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": f"{c1} {c2}"}) + "\n"
+        + json.dumps({"doc_id": 2, "text": c3}) + "\n")
+    # doc 3 re-pastes chunk A and adds fresh chunk D; doc 4 repeats D
+    # in the same batch (loses to doc 3's earlier occurrence)
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": f"{c1} {c4}"}) + "\n"
+        + json.dumps({"doc_id": 4, "text": c4}) + "\n")
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    out, ckpt = str(tmp_path / "rw"), str(tmp_path / "ckpt")
+
+    def run(ck):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (rewrite_dedup_sink(stream, out, ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(ckpt)
+    rows = {r.doc_id: r for r in read_rewritten_corpus(spark, out).collect()}
+    assert rows[1].cleaned_text == f"{c1} {c2}" and rows[1].n_kept == 2
+    assert rows[2].cleaned_text == c3
+    assert rows[3].cleaned_text == c4                  # chunk A cut
+    assert (rows[3].n_chunks, rows[3].n_kept) == (2, 1)
+    assert rows[4].cleaned_text == "" and rows[4].n_kept == 0
+
+    # restart on the same checkpoint: only the new file is processed and
+    # the persisted store still cuts a re-paste of batch-1 content
+    (src / "c.jsonl").write_text(
+        json.dumps({"doc_id": 5, "text": f"{c3} {c2}"}) + "\n")
+    _os.utime(src / "c.jsonl", (3_000_000, 3_000_000))
+    run(ckpt)
+    rows = {r.doc_id: r for r in read_rewritten_corpus(spark, out).collect()}
+    assert rows[5].cleaned_text == "" and rows[5].kept_tokens == 0
+    assert len(rows) == 5
+
+    # full replay (checkpoint loss): batch partitions are dynamically
+    # overwritten and the probe skips the batch's own partition — the
+    # cleaned corpus is identical, nothing self-collides or duplicates
+    before = sorted((r.doc_id, r.cleaned_text, r.n_kept)
+                    for r in read_rewritten_corpus(spark, out).collect())
+    run(str(tmp_path / "ckpt2"))
+    after = sorted((r.doc_id, r.cleaned_text, r.n_kept)
+                   for r in read_rewritten_corpus(spark, out).collect())
+    assert after == before
