@@ -367,3 +367,34 @@ def test_winnowing_shared_substring_guarantee(spark):
     for r in rows:
         fps[r.doc_id].add(r.fp)
     assert fps[0] & fps[1], "shared w+k-1-token substring must collide"
+
+
+@pytest.mark.slow
+@given(st.lists(ASCII_TEXT, min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=9))
+@settings(**SETTINGS)
+def test_chunk_rows_partitions_the_token_stream(spark, texts, k):
+    """chunk_rows is a PARTITION of each doc's token stream: chunks
+    concatenated in chunk_id order reproduce the tokenized doc exactly;
+    every chunk but the last has exactly k tokens, the last has 1..k —
+    the invariant both the batch rewrite and the streaming sink rely on
+    for their first-occurrence policies to be well-defined."""
+    from social_media_sentiment_analysis_spark.operators.dedup import (
+        chunk_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, t string")
+    rows = chunk_rows(df, "t", "doc_id", k).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        rebuilt = " ".join(r.txt for r in rs).split(" ")
+        # every chunk's token count is k except a ragged last
+        for r in rs[:-1]:
+            assert r.n_toks == k
+        assert 1 <= rs[-1].n_toks <= k
+        assert sum(r.n_toks for r in rs) == len(rebuilt)
