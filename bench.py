@@ -86,7 +86,9 @@ BENCH_QUERIES = [
     "winnow_containment",
     "source_overlap",
     # round 6 (continuation): exact-substring dedup as a corpus rewrite
+    # and the sketch-state member of the streaming=batch family
     "dedup_rewrite",
+    "streaming_rolling_distinct_hll",
 ]
 
 

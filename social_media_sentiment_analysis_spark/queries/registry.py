@@ -610,6 +610,13 @@ _ALL: list[Query] = [
           "sliding distinct at scale: per-day HLL sketches union-merged "
           "over the 7-day frame (native datasketches); oracle gates the "
           "exact counts + the sketch accuracy envelope"),
+    Query("streaming_rolling_distinct_hll",
+          temporal.q_streaming_rolling_distinct_hll,
+          temporal.ORACLE_ROLLING_ACTIVE_USERS_HLL,
+          "sliding 7-day distinct whose per-day HLL state is built by "
+          "structured streaming (registers merge across micro-batches), "
+          "window-unioned in batch — fourth streaming=batch gate member, "
+          "first with mergeable-sketch state; shares the batch oracle"),
     Query("gapfill_hourly", temporal.q_gapfill_hourly,
           temporal.ORACLE_GAPFILL_HOURLY,
           "gap-fill: dense hourly spine + forward-fill interpolation"),
@@ -819,7 +826,7 @@ _FRONT = [
     # new invariant oracles (never driver-gated before), and the new
     # bloom-probe decon, HLL rolling distinct, GK quantile sketch, and
     # the exact-substring rewrite (new queries gate the round they land)
-    "dedup_rewrite",
+    "dedup_rewrite", "streaming_rolling_distinct_hll",
     "bloom_decontamination", "rolling_active_users_hll",
     "quantile_sketch",
     "heavy_hitters", "embed_documents", "winnow_containment",
@@ -838,7 +845,6 @@ _FRONT = [
     "corpus_datacard", "cross_doc_overlap", "customer_spend_quartiles",
     "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
     "fingerprints", "hourly_anomalies", "hourly_rollup",
-    "incremental_dedup",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

@@ -575,6 +575,69 @@ ORDER BY s.win_day
 """
 
 
+def q_streaming_rolling_distinct_hll(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Sliding 7-day COUNT(DISTINCT) where the per-day state is built by
+    STRUCTURED STREAMING: events stream micro-batched into per-day HLL
+    sketches (``hll_sketch_agg`` — registers merge across micro-batches,
+    so the streaming state is |days| × 4 KB regardless of event volume),
+    drained, then window-unioned and estimated in batch exactly like
+    ``q_rolling_active_users_hll``. This is the only sliding-distinct
+    that works on an unbounded stream at 100 TB: exact distinct state
+    grows with users seen, sketch registers don't.
+
+    Fourth member of the streaming=batch gate family, and the first with
+    MERGEABLE-SKETCH state (the other three are sum/count rollups).
+    Shares ORACLE_ROLLING_ACTIVE_USERS_HLL with the batch query — the
+    exact arm (computed batch-side from the same parquet) is pinned
+    value-for-value and the sketch arm through the same
+    ``hll_within_5pct`` accuracy envelope (>3σ at lgK=12, deterministic
+    for fixed input + config), so one oracle pins two independent plans:
+    a sketch-merge bug ANYWHERE across micro-batch boundaries flips the
+    boolean and fails the value hash.
+    """
+    from ..sources.batch import load_events_stream
+    from ..streaming.pipeline import drain_stream_to_df
+
+    stream = load_events_stream(spark, sf_dir)
+    # duplicates are irrelevant to HLL (insert is idempotent), so the
+    # stream needs no (day, user) dedup exchange — register merge absorbs
+    # re-deliveries and micro-batch boundaries alike
+    per_day_sk = (stream
+                  .select(F.date_trunc("day", F.col("ts")).alias("day"),
+                          "user_id")
+                  .groupBy("day")
+                  .agg(F.hll_sketch_agg("user_id", F.lit(_HLL_LGK))
+                       .alias("sk")))
+    per_day = drain_stream_to_df(per_day_sk, "stream_hll_day")
+
+    pairs = (load_table(spark, sf_dir, "events")
+             .select(F.date_trunc("day", F.col("ts")).alias("day"),
+                     "user_id")
+             .distinct())
+    spine = pairs.select("day").distinct().withColumnRenamed("day",
+                                                             "win_day")
+    win_days = F.explode(F.sequence(
+        F.col("day"),
+        F.timestamp_add("DAY", F.lit(_ROLL_DAYS - 1), F.col("day")),
+        F.expr("INTERVAL 1 DAY"))).alias("win_day")
+    est = (per_day.select("sk", win_days)
+           .join(F.broadcast(spine), "win_day", "left_semi")
+           .groupBy("win_day")
+           .agg(F.hll_sketch_estimate(
+               F.hll_union_agg("sk", F.lit(True))).alias("hll_est")))
+    exact = (pairs.select("user_id", win_days)
+             .join(F.broadcast(spine), "win_day", "left_semi")
+             .groupBy("win_day")
+             .agg(F.count_distinct("user_id").alias("active_users_7d")))
+    return (exact.join(est, "win_day")
+            .select("win_day", "active_users_7d",
+                    (F.abs(F.col("hll_est") - F.col("active_users_7d"))
+                     <= 0.05 * F.col("active_users_7d"))
+                    .alias("hll_within_5pct"))
+            .orderBy("win_day"))
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build from a changelog: each user's event_type
     acts as the tracked attribute; consecutive changes become validity
