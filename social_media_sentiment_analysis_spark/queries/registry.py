@@ -817,7 +817,12 @@ _ALL: list[Query] = [
 # lint (big_orders, supplier_triangles, bm25_search, hybrid_search,
 # unigram_logprob + the shared-subroutine consumer ccnet_buckets), and
 # small_quantity_revenue whose broadcast was adjudicated; (2) the stalest
-# coverage — every remaining slot goes to the oracle-bearing queries
+# coverage — every remaining slot goes to the oracle-bearing queries.
+# Continuation session: the two NEW queries (dedup_rewrite,
+# streaming_rolling_distinct_hll) take the head per the new-queries-gate-
+# the-round-they-land rule, displacing the two last stale-round-3 slots
+# (inverted_index, incremental_dedup — both already green in r3 and
+# re-swept locally at sf0.01 this round).
 # whose newest green row is oldest (round 2, then round 3,
 # alphabetically). Local harnesses still verify the full registry at 3
 # scale factors each round.

@@ -614,7 +614,8 @@ def q_streaming_rolling_distinct_hll(spark: SparkSession,
     pairs = (load_table(spark, sf_dir, "events")
              .select(F.date_trunc("day", F.col("ts")).alias("day"),
                      "user_id")
-             .distinct())
+             .distinct()
+             .localCheckpoint())  # feeds spine + exact arm + semi-join once
     spine = pairs.select("day").distinct().withColumnRenamed("day",
                                                              "win_day")
     win_days = F.explode(F.sequence(
