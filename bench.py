@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # and the sketch-state member of the streaming=batch family
     "dedup_rewrite",
     "streaming_rolling_distinct_hll",
+    "streaming_reservoir_sample",
 ]
 
 

@@ -1961,6 +1961,66 @@ def q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESERVOIR_K = 100
+
+
+def q_streaming_reservoir_sample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Bounded uniform sample maintained by STRUCTURED STREAMING: the
+    documents table consumed as a micro-batched file stream through
+    ``streaming/sinks.py::reservoir_sample_sink`` (bottom-k by md5(id) —
+    k-row state, order/duplicate/replay-insensitive by algebra), then the
+    final store read back and ranked. Fifth member of the streaming=batch
+    gate family; its state class is a bounded PRIORITY SAMPLE (the other
+    members carry rollup, sketch-register, and window state).
+
+    The oracle is the batch formulation of the same sample —
+    ``ORDER BY md5(id) LIMIT k`` — so the gate proves the incremental
+    maintenance converges to the batch answer exactly: a merge bug that
+    ever evicts a lower-priority row for a higher one breaks the hash.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.batch import load_table_stream
+    from ..streaming.sinks import (
+        read_reservoir_sample, reservoir_sample_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="reservoir_")
+    try:
+        src = load_table_stream(spark, sf_dir, "documents") \
+            .select("doc_id", "source", "lang", "n_chars")
+        q = (reservoir_sample_sink(src, f"{root}/sample", f"{root}/ckpt",
+                                   k=_RESERVOIR_K)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        res = read_reservoir_sample(
+            spark, f"{root}/sample").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    w = Window.orderBy("__h")
+    return (res
+            .withColumn("pick_rank",
+                        F.row_number().over(w).cast("long"))
+            .select("doc_id", "source", "lang", "n_chars", "pick_rank")
+            .orderBy("pick_rank"))
+
+
+ORACLE_STREAMING_RESERVOIR_SAMPLE = f"""
+SELECT doc_id, source, lang, n_chars, pick_rank
+FROM (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS BIGINT)
+             AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= {_RESERVOIR_K}
+ORDER BY pick_rank
+"""
+
+
 ORACLE_SOURCE_SAMPLE = f"""
 SELECT doc_id, source, lang, n_chars, pick_rank
 FROM (

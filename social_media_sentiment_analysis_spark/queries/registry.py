@@ -483,6 +483,14 @@ _ALL: list[Query] = [
           llmdata.ORACLE_SOURCE_SAMPLE,
           "deterministic k-per-group sampling via hash-rank window "
           "(reservoir-sample twin)"),
+    Query("streaming_reservoir_sample",
+          llmdata.q_streaming_reservoir_sample,
+          llmdata.ORACLE_STREAMING_RESERVOIR_SAMPLE,
+          "bounded uniform sample maintained incrementally by a "
+          "bottom-k-priority foreachBatch sink (k-row state, replay-"
+          "insensitive by algebra); gate proves convergence to the "
+          "batch ORDER BY md5 LIMIT k answer — fifth streaming=batch "
+          "member, priority-sample state class"),
     Query("source_mix", llmdata.q_source_mix,
           llmdata.ORACLE_SOURCE_MIX,
           "token-budget source mixing: computed rates, md5-gated, "
@@ -832,6 +840,7 @@ _FRONT = [
     # bloom-probe decon, HLL rolling distinct, GK quantile sketch, and
     # the exact-substring rewrite (new queries gate the round they land)
     "dedup_rewrite", "streaming_rolling_distinct_hll",
+    "streaming_reservoir_sample",
     "bloom_decontamination", "rolling_active_users_hll",
     "quantile_sketch",
     "heavy_hitters", "embed_documents", "winnow_containment",
@@ -849,7 +858,7 @@ _FRONT = [
     "asof_next_order", "bigram_logprob", "chunk_documents",
     "corpus_datacard", "cross_doc_overlap", "customer_spend_quartiles",
     "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
-    "fingerprints", "hourly_anomalies", "hourly_rollup",
+    "fingerprints", "hourly_anomalies",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

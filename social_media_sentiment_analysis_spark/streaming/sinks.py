@@ -506,6 +506,49 @@ def read_rewritten_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/docs")
 
 
+def reservoir_sample_sink(df: DataFrame, path: str, checkpoint: str,
+                          id_col: str = "doc_id",
+                          k: int = 100) -> DataStreamWriter:
+    """Bounded uniform sample of an unbounded stream: keep the k rows with
+    the smallest md5(id) seen so far — the bottom-k / priority-sample
+    formulation of reservoir sampling. Because each row's priority is a
+    pure function of its key, the maintained sample is a *deterministic
+    function of the distinct ids ingested*: order-independent, mergeable
+    (bottom-k of a union = bottom-k of bottom-ks), and duplicate- and
+    replay-insensitive WITHOUT any batch_id bookkeeping — re-delivering a
+    row is a no-op by algebra, not by machinery. After draining a bounded
+    source the sample is byte-equal to the batch `ORDER BY md5(id) LIMIT
+    k` answer, which is the oracle contract the registry twin
+    (``queries/llmdata.py::q_streaming_reservoir_sample``) gates.
+
+    State is exactly k rows (a few KB); per batch the work is one
+    union-with-store + TakeOrdered(k) — at 100 TB/day the sample never
+    grows and the store never needs compaction or pruning.
+    """
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cand = batch.withColumn(
+            "__h", F.md5(F.col(id_col).cast("string")))
+        if _target_exists(spark, path):
+            cand = cand.unionByName(spark.read.parquet(path))
+        top = (cand.dropDuplicates([id_col])
+               .orderBy("__h").limit(k)
+               # materialize before overwriting the store the plan reads
+               .localCheckpoint())
+        top.write.mode("overwrite").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_reservoir_sample(spark: SparkSession, path: str) -> DataFrame:
+    """Current k-row sample under a ``reservoir_sample_sink`` store."""
+    return spark.read.parquet(path)
+
+
 def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
                             text_col: str = "text", id_col: str = "doc_id",
                             k: int = 4, w: int = 4,

@@ -136,6 +136,9 @@ _GLOBAL_WINDOW_BOUNDED = {
     # distributed-ranking offsets table: P rows (one per shuffle partition)
     "customer_spend_quartiles", "rfm_segments", "vocab_growth",
     "training_order",
+    # presentation rank over the k-row reservoir store (k=100 regardless
+    # of corpus size — the sink's state bound IS the window's input bound)
+    "streaming_reservoir_sample",
 }
 
 

@@ -1003,3 +1003,57 @@ def test_rewrite_dedup_sink_cuts_previously_seen_chunks(spark, tmp_path):
     after = sorted((r.doc_id, r.cleaned_text, r.n_kept)
                    for r in read_rewritten_corpus(spark, out).collect())
     assert after == before
+
+
+def test_reservoir_sample_sink_converges_to_batch_bottom_k(spark, tmp_path):
+    """Streaming priority sample: maintained across micro-batches with
+    k-row state, the final store equals the batch bottom-k-by-md5 answer
+    regardless of arrival order; re-delivered rows and a full checkpoint-
+    loss replay change nothing (priorities are key-pure, so bottom-k is
+    idempotent by algebra)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        read_reservoir_sample, reservoir_sample_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # 30 docs split across 3 files; file b re-delivers two of file a's
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"doc_id": i}) for i in range(10)))
+    (src / "b.jsonl").write_text(
+        "\n".join(json.dumps({"doc_id": i}) for i in [0, 5] +
+                  list(range(10, 20))))
+    (src / "c.jsonl").write_text(
+        "\n".join(json.dumps({"doc_id": i}) for i in range(20, 30)))
+    for i, f in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        _os.utime(src / f, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    store, ckpt = str(tmp_path / "sample"), str(tmp_path / "ckpt")
+
+    def run(ck):
+        stream = (spark.readStream.schema("doc_id long")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (reservoir_sample_sink(stream, store, ck, k=7)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(ckpt)
+    got = sorted(r.doc_id for r in read_reservoir_sample(spark, store)
+                 .collect())
+    batch = spark.createDataFrame([(i,) for i in range(30)],
+                                  "doc_id long")
+    want = sorted(r.doc_id for r in batch
+                  .orderBy(F.md5(F.col("doc_id").cast("string")))
+                  .limit(7).collect())
+    assert got == want and len(got) == 7
+
+    # full replay on a fresh checkpoint: same store, still exactly k
+    # distinct rows — no duplicate ids, no evictions of lower priorities
+    run(str(tmp_path / "ckpt2"))
+    again = sorted(r.doc_id for r in read_reservoir_sample(spark, store)
+                   .collect())
+    assert again == want
