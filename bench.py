@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dedup_rewrite",
     "streaming_rolling_distinct_hll",
     "streaming_reservoir_sample",
+    "streaming_heavy_hitters",
 ]
 
 

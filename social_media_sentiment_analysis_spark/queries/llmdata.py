@@ -2108,6 +2108,71 @@ LIMIT 10
 """
 
 
+def q_streaming_heavy_hitters(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Heavy hitters whose count-min sketch is maintained INCREMENTALLY by
+    structured streaming: the documents stream feeds
+    ``streaming/sinks.py::cms_sink`` (one ≤ depth×width-cell sketch per
+    micro-batch, ``batch_id=`` partitions, replay-idempotent), the live
+    sketch is the cell-wise sum (``read_cms`` — CMS mergeability is what
+    makes the incremental form correct), and the drained sketch is probed
+    exactly like the batch ``q_heavy_hitters``. Sixth member of the
+    streaming=batch gate family; state class: mergeable COUNTER GRID.
+
+    Shares ORACLE_HEAVY_HITTERS: the invariant pair brackets the merge —
+    a lost or replayed-without-overwrite batch breaks ``overestimates``
+    (under-count) or ``within_bound`` (double-count inflates est-true
+    past ε·N for the top words), so cross-micro-batch merge bugs fail
+    the value hash even though the estimate itself has no SQL twin.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.cms import (
+        DEFAULT_DEPTH, DEFAULT_WIDTH, cms_estimate,
+    )
+    from ..sources.batch import load_table_stream
+    from ..streaming.sinks import cms_sink, read_cms
+
+    word_arr = F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                        lambda t: t != F.lit(""))
+    root = tempfile.mkdtemp(prefix="cms_stream_")
+    try:
+        src_words = (load_table_stream(spark, sf_dir, "documents")
+                     .filter(F.col("lang") == "en")
+                     .select(F.explode(word_arr).alias("word")))
+        q = (cms_sink(src_words, "word", f"{root}/cms", f"{root}/ckpt",
+                      depth=DEFAULT_DEPTH, width=DEFAULT_WIDTH)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        sketch = read_cms(spark, f"{root}/cms").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    words = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("lang") == "en")
+             .select(F.explode(word_arr).alias("word")))
+    true_counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    eps = 2.718281828459045 / DEFAULT_WIDTH
+    return (
+        true_counts
+        .join(cms_estimate(sketch, words, "word",
+                           depth=DEFAULT_DEPTH, width=DEFAULT_WIDTH),
+              "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word", "true_count",
+            (F.col("est_count") >= F.col("true_count"))
+            .alias("overestimates"),
+            ((F.col("est_count") - F.col("true_count"))
+             <= F.lit(eps) * F.col("n_total")).alias("within_bound"))
+        .orderBy(F.desc("true_count"), "word")
+        .limit(10)
+    )
+
+
 _XDOC_SHINGLE_K = 8
 _XDOC_SHARED_FRAC = 0.5
 

@@ -687,6 +687,13 @@ _ALL: list[Query] = [
           llmdata.ORACLE_HEAVY_HITTERS,
           "count-min-sketch heavy hitters — CMS theorems (overestimate-"
           "only, e/width error bound vs exact counts) oracle-pinned"),
+    Query("streaming_heavy_hitters", llmdata.q_streaming_heavy_hitters,
+          llmdata.ORACLE_HEAVY_HITTERS,
+          "heavy hitters whose CMS is maintained incrementally by the "
+          "streaming cms_sink (per-batch sketch partitions, cell-wise "
+          "merge); shares the batch oracle — the invariant pair brackets "
+          "cross-micro-batch merge bugs (sixth streaming=batch member, "
+          "counter-grid state)"),
     Query("recommend_parts", mlqueries.q_recommend_parts, None,
           "ALS implicit-feedback part recommendations (rows-only — factor "
           "matrices; fit quality pinned in tests)"),
@@ -840,7 +847,7 @@ _FRONT = [
     # bloom-probe decon, HLL rolling distinct, GK quantile sketch, and
     # the exact-substring rewrite (new queries gate the round they land)
     "dedup_rewrite", "streaming_rolling_distinct_hll",
-    "streaming_reservoir_sample",
+    "streaming_reservoir_sample", "streaming_heavy_hitters",
     "bloom_decontamination", "rolling_active_users_hll",
     "quantile_sketch",
     "heavy_hitters", "embed_documents", "winnow_containment",
@@ -858,7 +865,7 @@ _FRONT = [
     "asof_next_order", "bigram_logprob", "chunk_documents",
     "corpus_datacard", "cross_doc_overlap", "customer_spend_quartiles",
     "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
-    "fingerprints", "hourly_anomalies",
+    "fingerprints",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}
