@@ -103,6 +103,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "hybrid_search",  # 1-row query-vector anchor
                             "rfm_segments",   # 1-row recency anchor
                             "heavy_hitters",  # 1-row eps*N total anchor
+                            # same 1-row eps*N anchor, streamed CMS twin
+                            "streaming_heavy_hitters",
                             # 1-row bloom-bitmap anchor (map-side probe)
                             "bloom_decontamination",
                             "feature_drift",  # 1-row min/max anchors
@@ -441,6 +443,11 @@ BROADCAST_LINT_ALLOWED = {
     # the bounding aggregate from the analyzed plan (LogicalRDD leaf)
     "bloom_decontamination":
         "benchmark set (fixed eval suite) + checkpointed 32k-row bitmap",
+    # the drained CMS is <= depth*width = 4096 cells BY CONSTRUCTION (the
+    # sketch's whole point is corpus-size-independence), but like the
+    # bloom bitmap its localCheckpoint erases the bounding aggregate from
+    # the analyzed plan (LogicalRDD leaf), so the lint cannot prove it
+    "streaming_heavy_hitters": "checkpointed <=4096-cell CMS sketch",
     # ~4.7k-entry constant valence lexicon (createDataFrame => LogicalRDD)
     "sentiment_enrich_relational": "constant 4.7k-entry lexicon",
     # Q17's per-part AVG groups on l_partkey AFTER the broadcast dim
