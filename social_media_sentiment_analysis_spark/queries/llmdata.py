@@ -178,23 +178,122 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH and SimHash near-dup (hash-based; rows-only checks)
+# MinHash-LSH and SimHash near-dup (r6 verdict #4: both carry their
+# correctness contracts INTO the oracle gate — minhash pair-by-pair
+# against the exhaustive exact answer, simhash via invariant theorems)
 # ---------------------------------------------------------------------------
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        dd.minhash_near_duplicates(
-            _docs(spark, sf_dir), "cleaned_text", "doc_id", threshold=0.5)
-        .orderBy("a_id", "b_id")
-    )
+    """MinHash+LSH near-dup pairs, FULLY oracle-gated (upgraded from
+    rows-only, r6 verdict #4): the DuckDB twin computes the EXHAUSTIVE
+    exact-Jaccard pair set (unblocked postings self-join — no LSH, no
+    prefix blocking) at the same rounded threshold, so pair-by-pair
+    parity proves two things at once about the banded path: ZERO false
+    positives (the exact-verify stage works) and FULL RECALL on this
+    corpus (no true pair ever slips through the 8x4 banding — measured
+    exact at sf0.001/0.01/0.1 before pinning). xxhash64 has no DuckDB
+    twin, but it doesn't need one: the hashes only propose candidates,
+    and the emitted SET is what the gate compares.
+
+    The final filter cuts on round(j, 4) like every other jaccard query
+    so both engines cut at identical boundaries."""
+    docs = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, "cleaned_text", "doc_id")
+    cands = dd.lsh_candidates(sigs, "doc_id")
+    pairs = dd.jaccard_verify(docs, cands, "cleaned_text", "doc_id",
+                              threshold=-1.0)   # cut on the ROUNDED value
+    return (pairs.withColumn("jaccard", F.round("jaccard", 4))
+            .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+            .orderBy("a_id", "b_id"))
+
+
+# Exhaustive ground truth: postings self-join (two docs with jaccard > 0
+# share a shingle), inter from the postings match, union from the two set
+# sizes. No blocking anywhere — this is the full-recall referee for the
+# banded Spark path.
+ORACLE_DEDUP_MINHASH = _SQL_DOCS + f"""
+, toked AS (
+    SELECT doc_id, string_split(cleaned_text, ' ') AS toks FROM docs
+), sets_ AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) < {_SHINGLE_K}
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct([
+                    array_to_string(toks[i:i+{_SHINGLE_K}-1], ' ')
+                    for i in range(1, len(toks) - {_SHINGLE_K} + 2)])
+           END AS sh
+    FROM toked
+), sizes AS (
+    SELECT doc_id, len(sh) AS n FROM sets_
+), post AS (
+    SELECT doc_id, unnest(sh) AS s FROM sets_
+), shared AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+    FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(inter / (sa.n + sb.n - inter), 4) >= {_JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+_SIMHASH_MAX_HAMMING = 14
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        dd.simhash_near_duplicates(
-            _docs(spark, sf_dir), "cleaned_text", "doc_id")
-        .orderBy("a_id", "b_id")
-    )
+    """SimHash near-dup with its theorems carried into the oracle gate
+    (upgraded from rows-only, r6 verdict #4). Hamming distance over
+    xxhash64-seeded fingerprints has no DuckDB twin, so the gate pins
+    what IS provable: (1) identical cleaned_text implies identical
+    simhash implies hamming 0 implies the pair MUST be emitted —
+    ``all_text_dup_pairs_emitted``, checked against the SQL-exact
+    duplicate-pair count ``n_text_dup_pairs`` the twin recomputes
+    independently; (2) the verify stage's bound — no emitted pair above
+    max_hamming; (3) output canonical form — a_id < b_id, no duplicate
+    pairs. The DuckDB twin recomputes the exact count and pins the three
+    theorem booleans literally TRUE (the heavy_hitters/embed_documents
+    recipe, r5 verdict #7)."""
+    docs = _docs(spark, sf_dir)
+    emitted = dd.simhash_near_duplicates(
+        docs, "cleaned_text", "doc_id").localCheckpoint()
+    ids = docs.select("doc_id", "cleaned_text")
+    same = (ids.toDF("a_id", "t").join(ids.toDF("b_id", "t"), "t")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id"))
+    n_dup = same.agg(
+        F.count(F.lit(1)).alias("n_text_dup_pairs"))
+    all_emitted = (same.join(emitted, ["a_id", "b_id"], "left_anti")
+                   .agg((F.count(F.lit(1)) == 0)
+                        .alias("all_text_dup_pairs_emitted")))
+    h_ok = emitted.agg(
+        F.coalesce(F.every(F.col("hamming") <= _SIMHASH_MAX_HAMMING),
+                   F.lit(True)).alias("max_hamming_within_bound"))
+    canonical = emitted.agg(
+        (F.coalesce(F.every(F.col("a_id") < F.col("b_id")), F.lit(True))
+         & (F.count(F.lit(1))
+            == F.count_distinct(F.col("a_id"), F.col("b_id"))))
+        .alias("pairs_canonical"))
+    return (n_dup.crossJoin(all_emitted).crossJoin(h_ok)
+            .crossJoin(canonical))
+
+
+ORACLE_DEDUP_SIMHASH = _SQL_DOCS + """
+, grp AS (
+    SELECT cleaned_text, COUNT(*) AS c FROM docs
+    GROUP BY cleaned_text HAVING COUNT(*) >= 2
+)
+SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+           AS n_text_dup_pairs,
+       TRUE AS all_text_dup_pairs_emitted,
+       TRUE AS max_hamming_within_bound,
+       TRUE AS pairs_canonical
+FROM grp
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -402,12 +402,16 @@ _ALL: list[Query] = [
           llmdata.ORACLE_DEDUP_CANONICAL,
           "keeper election per near-dup cluster (longest doc, "
           "deterministic tiebreak) with dropped-volume accounting"),
-    Query("dedup_minhash", llmdata.q_dedup_minhash, None,
-          "near-dup pairs: MinHash sigs → banded LSH → Jaccard verify "
-          "(xxhash64-based; rows-only check, parity vs ngram in tests)"),
-    Query("dedup_simhash", llmdata.q_dedup_simhash, None,
-          "near-dup pairs: 64-bit SimHash, 16-bit bands, hamming verify "
-          "(rows-only check)"),
+    Query("dedup_minhash", llmdata.q_dedup_minhash,
+          llmdata.ORACLE_DEDUP_MINHASH,
+          "near-dup pairs: MinHash sigs → banded LSH → Jaccard verify, "
+          "pair-by-pair vs the EXHAUSTIVE exact-Jaccard answer (proves "
+          "zero false positives AND full banding recall on this corpus)"),
+    Query("dedup_simhash", llmdata.q_dedup_simhash,
+          llmdata.ORACLE_DEDUP_SIMHASH,
+          "64-bit SimHash banded near-dup with theorem gate: exact "
+          "text-dup pair count + identical-text-pairs-emitted / "
+          "hamming-bound / canonical-form invariants pinned TRUE"),
     Query("dedup_levenshtein", llmdata.q_dedup_levenshtein,
           llmdata.ORACLE_DEDUP_LEVENSHTEIN,
           "near-dup pairs: edit distance on 80-char heads, prefix-blocked"),

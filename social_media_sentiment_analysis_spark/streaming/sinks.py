@@ -329,6 +329,24 @@ def quarantine_sink(df: DataFrame, main_path: str, late_path: str,
     )
 
 
+def _band_store_probe(spark: SparkSession, bands_location: str,
+                      batch_id: int) -> DataFrame | None:
+    """The band-store probe side for ``near_dedup_sink``'s micro-batch N:
+    strictly-earlier partitions of the (band, band_hash)-bucketed store.
+    Separated out so tests can pin the probe PLAN: the store arrives
+    pre-shuffled (Bucketed scan, zero exchanges on this side) and
+    partition-pruned to ``batch_id < N`` — per-batch probe cost never
+    re-shuffles history (r6 verdict #1)."""
+    from ..sources.layout import open_store
+
+    table = open_store(spark, bands_location, ["band", "band_hash"])
+    if table is None:
+        return None
+    return (spark.table(table)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("band", "band_hash"))
+
+
 def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_hashes: int = 32, num_bands: int = 8,
@@ -345,21 +363,30 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
     algebra, ``operators/dedup.py::band_keys``); a doc is dropped if any
     band key collides with (a) the persisted band store from PRIOR batches
     or (b) a lower-id doc in the same batch (bucket-min keeper). Survivors
-    and their band keys land in ``batch_id=`` partitions with dynamic
-    partition overwrite, so a replayed batch REPLACES its own output —
-    exactly-once contents on at-least-once delivery, same recipe as
-    ``cms_sink``. The probe excludes the current batch's own partition, so
-    a replay after a partial write never drops a doc as a dup of itself.
+    land in ``batch_id=`` partitions; their band keys join the band STORE —
+    an external catalog table bucketed+sorted by band_hash
+    (``sources/layout.py::replace_store_partition``), so the store side of
+    the probe semi-join is exchange-free however large history grows: the
+    per-batch cost is the batch's own shuffle plus a pruned bucketed scan,
+    never a full-store exchange (r6 verdict #1). Writes keep the replay
+    contract: a replayed batch REPLACES its own partition, and stale
+    FUTURE partitions left by a divergent checkpoint-loss re-batching are
+    swept before writing (``drop_stale_partitions``), so the probe's
+    strictly-earlier filter is sound under any re-batching.
 
     State is the band-key table: ``num_bands`` small rows per KEPT doc —
     at 100 TB that's the dedup index a batch pipeline would persist anyway,
-    pruned with the corpus (compact via ``sources/layout.py``). Candidate
-    semantics are LSH-level (no exact-Jaccard verify inside the sink: a
-    false-positive band collision drops a non-dup with probability bounded
-    by the band parameters; run the batch verifier over the kept corpus
-    where that matters).
+    pruned with the corpus (fold old partitions with
+    ``sources/layout.py::compact_store``). Candidate semantics are
+    LSH-level (no exact-Jaccard verify inside the sink: a false-positive
+    band collision drops a non-dup with probability bounded by the band
+    parameters; run the batch verifier over the kept corpus where that
+    matters).
     """
     from ..operators.dedup import band_keys, minhash_signatures
+    from ..sources.layout import (
+        drop_stale_partitions, replace_store_partition,
+    )
 
     docs_path = f"{path}/docs"
     bands_path = f"{path}/bands"
@@ -371,11 +398,9 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
                                   num_hashes=num_hashes, shingle_k=shingle_k)
         keys = band_keys(sigs, id_col, num_bands=num_bands,
                          rows_per_band=rows_per_band).cache()
+        store = _band_store_probe(spark, bands_path, batch_id)
         dropped = None
-        if _target_exists(spark, bands_path):  # absent only on first batch
-            store = (spark.read.parquet(bands_path)
-                     .filter(F.col("batch_id") != F.lit(batch_id))
-                     .select("band", "band_hash"))
+        if store is not None:      # store absent only on the first batch
             dropped = (keys.join(store, ["band", "band_hash"], "left_semi")
                        .select(id_col).distinct())
         survivors_keys = keys if dropped is None else keys.join(
@@ -388,18 +413,19 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
         losers = (survivors_keys.join(bucket_min, ["band", "band_hash"])
                   .filter(F.col(id_col) > F.col("__keeper"))
                   .select(id_col).distinct())
+        # materialized: the band-store append below must not re-read the
+        # store it is appending to through this lineage
         kept_ids = (survivors_keys.select(id_col).distinct()
-                    .join(losers, id_col, "left_anti"))
+                    .join(losers, id_col, "left_anti").localCheckpoint())
+        drop_stale_partitions(spark, docs_path, batch_id)
         kept = batch.join(kept_ids, id_col, "left_semi") \
             .withColumn("batch_id", F.lit(batch_id))
         (kept.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(docs_path))
-        (keys.join(kept_ids, id_col, "left_semi")
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(bands_path))
+        replace_store_partition(
+            spark, keys.join(kept_ids, id_col, "left_semi"),
+            bands_path, batch_id, ["band", "band_hash"])
         batch.unpersist()
         keys.unpersist()
 
@@ -440,10 +466,24 @@ def rewrite_dedup_sink(df: DataFrame, path: str, checkpoint: str,
 
     State is the chunk-fingerprint store: one ~32-byte row per DISTINCT
     chunk ever kept — the same index a batch rewrite would persist, shared
-    and pruned with the corpus. The store probe is a fingerprint-keyed
-    anti-join, linear per batch; nothing corpus-derived is broadcast.
+    and pruned with the corpus, held as an external catalog table
+    bucketed+sorted by the fingerprint (``sources/layout.py``) so the
+    per-batch probe's store side is a pruned bucketed scan with ZERO
+    exchanges — history never re-shuffles (r6 verdict #1). Nothing
+    corpus-derived is broadcast. Replay: a replayed batch replaces its
+    own partitions, and stale FUTURE partitions from a divergent
+    checkpoint-loss re-batching are swept before writing, so a full
+    replay converges to the same corpus under ANY re-batching (the
+    strictly-earlier probe plus the sweep make the rebuild
+    self-consistent). A doc re-delivered in a LATER batch lands mostly
+    emptied (its chunks are history); ``read_rewritten_corpus`` returns
+    the EARLIEST batch's row per doc, so at-least-once cross-batch
+    redelivery never duplicates a doc downstream.
     """
     from ..operators.dedup import chunk_rows
+    from ..sources.layout import (
+        drop_stale_partitions, replace_store_partition,
+    )
 
     docs_path = f"{path}/docs"
     fps_path = f"{path}/chunks"
@@ -456,12 +496,10 @@ def rewrite_dedup_sink(df: DataFrame, path: str, checkpoint: str,
         w = Window.partitionBy("h").orderBy(id_col, "chunk_id")
         marked = rows.withColumn(
             "keep", F.row_number().over(w) == 1)
-        if _target_exists(spark, fps_path):  # absent only on first batch
-            store = (spark.read.parquet(fps_path)
-                     .filter(F.col("batch_id") != F.lit(batch_id))
-                     .select("h").distinct()
-                     .withColumn("__seen", F.lit(True)))
-            marked = (marked.join(store, "h", "left")
+        store = _chunk_store_probe(spark, fps_path, batch_id)
+        if store is not None:      # store absent only on the first batch
+            marked = (marked.join(store.withColumn("__seen", F.lit(True)),
+                                  "h", "left")
                       .withColumn(
                           "keep",
                           F.col("keep") & F.col("__seen").isNull())
@@ -485,14 +523,13 @@ def rewrite_dedup_sink(df: DataFrame, path: str, checkpoint: str,
                             F.lit(0)).alias("kept_tokens"),
                         rebuilt.alias("cleaned_text"))
                    .withColumn("batch_id", F.lit(batch_id)))
+        drop_stale_partitions(spark, docs_path, batch_id)
         (cleaned.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(docs_path))
-        (marked.filter("keep").select("h").distinct()
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(fps_path))
+        replace_store_partition(
+            spark, marked.filter("keep").select("h").distinct(),
+            fps_path, batch_id, "h")
 
     return (
         df.writeStream.foreachBatch(update)
@@ -501,9 +538,33 @@ def rewrite_dedup_sink(df: DataFrame, path: str, checkpoint: str,
     )
 
 
-def read_rewritten_corpus(spark: SparkSession, path: str) -> DataFrame:
-    """Current cleaned corpus under a ``rewrite_dedup_sink`` root."""
-    return spark.read.parquet(f"{path}/docs")
+def _chunk_store_probe(spark: SparkSession, chunks_location: str,
+                       batch_id: int) -> DataFrame | None:
+    """The chunk-fingerprint probe side for ``rewrite_dedup_sink``'s
+    micro-batch N: distinct fingerprints from strictly-earlier partitions.
+    Over the bucketed-by-h store table both the DISTINCT and the probe
+    join's store side run WITHOUT an exchange (tests pin the plan)."""
+    from ..sources.layout import open_store
+
+    table = open_store(spark, chunks_location, "h")
+    if table is None:
+        return None
+    return (spark.table(table)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("h").distinct())
+
+
+def read_rewritten_corpus(spark: SparkSession, path: str,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Current cleaned corpus under a ``rewrite_dedup_sink`` root. A doc
+    re-delivered in a LATER micro-batch was chunk-deduped against history
+    including its own first copy (so that row is mostly empty); first-
+    occurrence semantics keep the EARLIEST batch's row per doc — one row
+    per doc under at-least-once cross-batch redelivery."""
+    docs = spark.read.parquet(f"{path}/docs")
+    w = Window.partitionBy(id_col).orderBy("batch_id")
+    return (docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
 
 
 def reservoir_sample_sink(df: DataFrame, path: str, checkpoint: str,
@@ -515,27 +576,36 @@ def reservoir_sample_sink(df: DataFrame, path: str, checkpoint: str,
     pure function of its key, the maintained sample is a *deterministic
     function of the distinct ids ingested*: order-independent, mergeable
     (bottom-k of a union = bottom-k of bottom-ks), and duplicate- and
-    replay-insensitive WITHOUT any batch_id bookkeeping — re-delivering a
-    row is a no-op by algebra, not by machinery. After draining a bounded
+    replay-insensitive by algebra — re-delivering a row changes nothing
+    because its priority is already determined. After draining a bounded
     source the sample is byte-equal to the batch `ORDER BY md5(id) LIMIT
     k` answer, which is the oracle contract the registry twin
     (``queries/llmdata.py::q_streaming_reservoir_sample``) gates.
 
-    State is exactly k rows (a few KB); per batch the work is one
-    union-with-store + TakeOrdered(k) — at 100 TB/day the sample never
-    grows and the store never needs compaction or pruning.
+    Each batch writes its OWN bottom-k to a ``batch_id=`` partition with
+    dynamic overwrite; the live sample is bottom-k over the union of the
+    per-batch partitions (bottom-k of bottom-ks = global bottom-k — the
+    merge leg of the same algebra). No read-modify-overwrite of a single
+    store ever happens, so there is no crash window in which earlier
+    low-priority rows can be lost: a crash mid-batch leaves every
+    committed partition intact and the replay overwrites only its own
+    (closes the r6 ADVICE finding on the previous in-place overwrite).
+    State is k rows per batch partition — a few KB each; fold old
+    partitions via the read-side merge + a rewrite if batch count grows
+    unwieldy.
     """
+    from ..sources.layout import drop_stale_partitions
+
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        cand = batch.withColumn(
-            "__h", F.md5(F.col(id_col).cast("string")))
-        if _target_exists(spark, path):
-            cand = cand.unionByName(spark.read.parquet(path))
-        top = (cand.dropDuplicates([id_col])
+        top = (batch.dropDuplicates([id_col])
+               .withColumn("__h", F.md5(F.col(id_col).cast("string")))
                .orderBy("__h").limit(k)
-               # materialize before overwriting the store the plan reads
-               .localCheckpoint())
-        top.write.mode("overwrite").parquet(path)
+               .withColumn("batch_id", F.lit(batch_id)))
+        drop_stale_partitions(spark, path, batch_id)
+        (top.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(path))
 
     return (
         df.writeStream.foreachBatch(update)
@@ -544,9 +614,17 @@ def reservoir_sample_sink(df: DataFrame, path: str, checkpoint: str,
     )
 
 
-def read_reservoir_sample(spark: SparkSession, path: str) -> DataFrame:
-    """Current k-row sample under a ``reservoir_sample_sink`` store."""
-    return spark.read.parquet(path)
+def read_reservoir_sample(spark: SparkSession, path: str,
+                          id_col: str = "doc_id",
+                          k: int = 100) -> DataFrame:
+    """Current k-row sample under a ``reservoir_sample_sink`` store:
+    bottom-k of the union of the per-batch bottom-k partitions.
+    Duplicates across batches collapse on the key first — a re-delivered
+    row is a no-op by algebra."""
+    return (spark.read.parquet(path)
+            .dropDuplicates([id_col])
+            .orderBy("__h").limit(k)
+            .drop("batch_id"))
 
 
 def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
@@ -580,14 +658,26 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
 
     Store-side fingerprints held by more than ``max_fp_docs`` docs are
     dropped before the probe — the batch query's universal-boilerplate
-    cap, applied to the store snapshot each batch (bounded loss, same
-    policy). State is the fingerprint index itself (~2/(w+1) of shingle
-    volume): exactly the artifact ``index_winnowing`` persists for the
-    batch path; compact it with the corpus via sources/layout.py.
+    cap. The cap reads a per-fp STATS store (``{path}/fp_stats``: one
+    (fp, n_docs) delta row per batch, summed at probe time) maintained
+    incrementally next to the fingerprint store — never a window over
+    the full fingerprint history (r6 verdict #2). Both stores are
+    external catalog tables bucketed+sorted by fp
+    (``sources/layout.py``), so the stats rollup, the hot-fp anti-join
+    AND the store side of the probe join all run WITHOUT an exchange:
+    per-batch probe cost is the batch's own shuffle plus pruned bucketed
+    scans, independent of how history is distributed (r6 verdict #1).
+    State is the fingerprint index itself (~2/(w+1) of shingle volume):
+    exactly the artifact ``index_winnowing`` persists for the batch
+    path; fold old partitions with ``sources/layout.py::compact_store``.
     """
     from ..queries.selection import winnowing_window_minima
+    from ..sources.layout import (
+        drop_stale_partitions, replace_store_partition,
+    )
 
     fps_path = f"{path}/fps"
+    stats_path = f"{path}/fp_stats"
     flags_path = f"{path}/flags"
 
     def update(batch: DataFrame, batch_id: int) -> None:
@@ -601,21 +691,9 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
         contain = (F.col("shared_fps")
                    / F.least(F.col("n_a"), F.col("n_b")))
         flags = None
-        if _target_exists(spark, fps_path):
-            w_fp = Window.partitionBy("fp")
-            # STRICTLY-earlier batches only (not just != current): after a
-            # checkpoint-loss replay the store still holds partitions from
-            # batches the original run processed LATER; probing them would
-            # re-discover each cross-batch pair from both sides and land it
-            # in two batch partitions (duplicate flags). With <, every pair
-            # is discovered exactly once — by the LATER doc's batch — and a
-            # replayed batch rewrites exactly the flags it owned.
-            store = (spark.read.parquet(fps_path)
-                     .filter(F.col("batch_id") < F.lit(batch_id))
-                     .withColumn("__docs", F.count(F.lit(1)).over(w_fp))
-                     .filter(F.col("__docs") <= max_fp_docs)
-                     .select(F.col(id_col).alias("old_id"), "fp",
-                             F.col("n_fps").alias("old_n")))
+        store = _fp_store_probe(spark, fps_path, stats_path, batch_id,
+                                max_fp_docs, id_col)
+        if store is not None:      # store absent only on the first batch
             cross = (fps.join(store, "fp")
                      .filter(F.col(id_col) != F.col("old_id"))
                      .groupBy(F.col(id_col).alias("new_id"), "old_id",
@@ -641,6 +719,7 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
                   .agg(F.count(F.lit(1)).alias("shared_fps"))
                   .select("doc_a", "doc_b", "shared_fps", "n_a", "n_b"))
         flags = within if flags is None else flags.unionByName(within)
+        drop_stale_partitions(spark, flags_path, batch_id)
         (flags.withColumn("containment", F.round(contain, 4))
          .filter(F.col("containment") >= threshold)
          .select("doc_a", "doc_b", "shared_fps", "containment")
@@ -648,16 +727,61 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(flags_path))
-        (fps.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(fps_path))
+        replace_store_partition(spark, fps, fps_path, batch_id, "fp")
+        replace_store_partition(
+            spark,
+            fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")),
+            stats_path, batch_id, "fp")
 
     return (
         df.writeStream.foreachBatch(update)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def _fp_store_probe(spark: SparkSession, fps_location: str,
+                    stats_location: str, batch_id: int,
+                    max_fp_docs: int, id_col: str) -> DataFrame | None:
+    """The fingerprint-store probe side for ``winnow_containment_sink``'s
+    micro-batch N. STRICTLY-earlier batches only (not just != current):
+    after a checkpoint-loss replay the store could hold partitions from
+    batches the original run processed LATER; probing them would
+    re-discover each cross-batch pair from both sides and land it in two
+    batch partitions (duplicate flags). With <, every pair is discovered
+    exactly once — by the LATER doc's batch — and a replayed batch
+    rewrites exactly the flags it owned (the write path additionally
+    sweeps stale future partitions, so this is belt and braces).
+
+    The hot-fp cap (universal boilerplate held by > max_fp_docs docs)
+    reads the incrementally-maintained stats store: per-fp doc-count
+    deltas summed over strictly-earlier partitions — over the
+    bucketed-by-fp layout the rollup, the anti-join and the store scan
+    are all exchange-free (tests pin the plan)."""
+    from ..sources.layout import open_store
+
+    table = open_store(spark, fps_location, "fp")
+    if table is None:
+        return None
+    store = (spark.table(table)
+             .filter(F.col("batch_id") < F.lit(batch_id)))
+    stats_table = open_store(spark, stats_location, "fp")
+    if stats_table is not None:
+        hot = (spark.table(stats_table)
+               .filter(F.col("batch_id") < F.lit(batch_id))
+               .groupBy("fp").agg(F.sum("n_docs").alias("__docs"))
+               .filter(F.col("__docs") > max_fp_docs)
+               .select("fp"))
+        store = store.join(hot, "fp", "left_anti")
+    else:
+        # stats store absent (store predates it): the window fallback —
+        # over the bucketed-by-fp scan this is still exchange-free, but
+        # scans (doc, fp) rows instead of per-fp stats
+        w_fp = Window.partitionBy("fp")
+        store = (store.withColumn("__docs", F.count(F.lit(1)).over(w_fp))
+                 .filter(F.col("__docs") <= max_fp_docs).drop("__docs"))
+    return store.select(F.col(id_col).alias("old_id"), "fp",
+                        F.col("n_fps").alias("old_n"))
 
 
 def read_containment_flags(spark: SparkSession, path: str) -> DataFrame:
@@ -675,20 +799,24 @@ def seed_containment_store(spark: SparkSession, path: str,
     once by the batch maintenance job, and every micro-batch from then on
     probes it incrementally instead of the stream starting blind.
 
-    The corpus lands as the ``batch_id=-1`` partition: the sink probes
+    The corpus lands as the ``batch_id=-1`` partition of BOTH sink
+    stores (fingerprints + per-fp doc-count stats): the sink probes
     strictly-earlier partitions, so every real batch (ids >= 0) sees the
     seed, replays overwrite only their own partitions, and re-seeding is
-    idempotent (dynamic overwrite of the one seed partition). Per-doc set
-    sizes come from the index's stats table, denormalized onto each
+    idempotent (a negative batch id replaces only its exact partition —
+    ``sources/layout.py::replace_store_partition``). Per-doc set sizes
+    come from the index's stats table, denormalized onto each
     fingerprint row exactly as the sink writes its own batches.
     """
+    from ..sources.layout import replace_store_partition
+
     fps = spark.table(fps_table).select(id_col, "fp")
     sizes = spark.table(stats_table).select(id_col, "n_fps")
-    (fps.join(sizes, id_col)
-     .withColumn("batch_id", F.lit(-1))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("batch_id").parquet(f"{path}/fps"))
+    replace_store_partition(spark, fps.join(sizes, id_col),
+                            f"{path}/fps", -1, "fp")
+    replace_store_partition(
+        spark, fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")),
+        f"{path}/fp_stats", -1, "fp")
 
 
 def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,

@@ -1042,8 +1042,8 @@ def test_reservoir_sample_sink_converges_to_batch_bottom_k(spark, tmp_path):
         q.awaitTermination()
 
     run(ckpt)
-    got = sorted(r.doc_id for r in read_reservoir_sample(spark, store)
-                 .collect())
+    got = sorted(r.doc_id for r in
+                 read_reservoir_sample(spark, store, k=7).collect())
     batch = spark.createDataFrame([(i,) for i in range(30)],
                                   "doc_id long")
     want = sorted(r.doc_id for r in batch
@@ -1054,6 +1054,181 @@ def test_reservoir_sample_sink_converges_to_batch_bottom_k(spark, tmp_path):
     # full replay on a fresh checkpoint: same store, still exactly k
     # distinct rows — no duplicate ids, no evictions of lower priorities
     run(str(tmp_path / "ckpt2"))
-    again = sorted(r.doc_id for r in read_reservoir_sample(spark, store)
-                   .collect())
+    again = sorted(r.doc_id for r in
+                   read_reservoir_sample(spark, store, k=7).collect())
     assert again == want
+
+
+def test_sink_store_probes_read_bucketed_exchange_free(spark, tmp_path):
+    """r6 verdict #1: the store side of every incremental dedup sink's
+    per-batch probe must be a pruned BUCKETED scan with zero exchanges —
+    joining a micro-batch against the store must never re-shuffle history.
+    Each probe is joined against a (deliberately non-bucketed) stand-in
+    micro-batch exactly as the sink joins it, and the physical plan must
+    show exactly ONE Exchange: the batch side's. Broadcast is disabled so
+    a small store can't pass by being broadcast (broadcasting history is
+    the scale bug this layout exists to prevent)."""
+    import os as _os
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        _band_store_probe, _chunk_store_probe, _fp_store_probe,
+        near_dedup_sink, rewrite_dedup_sink, winnow_containment_sink,
+    )
+
+    filler = ("structured streaming maintains incremental state across "
+              "micro batches while the optimizer prunes partitions and "
+              "buckets colocate the join keys for every probe")
+    texts = [f"doc number {i} says {filler} variant {i}" for i in range(3)]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, t in enumerate(texts):
+        f = src / f"{i}.jsonl"
+        f.write_text(json.dumps({"doc_id": i + 1, "text": t}) + "\n")
+        _os.utime(f, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    def drain(build):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = build(stream).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    nd = str(tmp_path / "nd")
+    rw = str(tmp_path / "rw")
+    wc = str(tmp_path / "wc")
+    drain(lambda s: near_dedup_sink(s, nd, str(tmp_path / "ck1")))
+    drain(lambda s: rewrite_dedup_sink(s, rw, str(tmp_path / "ck2")))
+    drain(lambda s: winnow_containment_sink(s, wc, str(tmp_path / "ck3")))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bands = _band_store_probe(spark, f"{nd}/bands", 3)
+        chunks = _chunk_store_probe(spark, f"{rw}/chunks", 3)
+        fps = _fp_store_probe(spark, f"{wc}/fps", f"{wc}/fp_stats",
+                              3, 50, "doc_id")
+        cases = {
+            "bands": spark.read.parquet(f"{nd}/bands/batch_id=0")
+                     .join(bands, ["band", "band_hash"], "left_semi"),
+            "chunks": spark.read.parquet(f"{rw}/chunks/batch_id=0")
+                      .join(chunks.withColumn("__seen", F.lit(True)),
+                            "h", "left"),
+            "fps": spark.read.parquet(f"{wc}/fps/batch_id=0")
+                   .join(fps, "fp"),
+        }
+        for name, probe_join in cases.items():
+            plan = probe_join._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, (name, plan)
+            n_exchange = len(_re.findall(r"\bExchange\b", plan))
+            assert n_exchange == 1, (name, n_exchange, plan)
+            # the store scan is partition-pruned to strictly-earlier batches
+            assert "batch_id" in plan, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_compact_store_preserves_decisions_and_plan(spark, tmp_path):
+    """r6 verdict #5: folding committed batch partitions into the seed
+    partition must change NOTHING a probe or reader can observe — same
+    probe fingerprints, same cleaned corpus, same bucketed exchange-free
+    plan — while shrinking the partition count; and a new batch arriving
+    after compaction still dedups against the folded history."""
+    import os as _os
+    import re as _re
+
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        compact_store,
+    )
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        _chunk_store_probe, read_rewritten_corpus, rewrite_dedup_sink,
+    )
+
+    c1 = "alpha beta gamma delta epsilon zeta"
+    c2 = "one two three four five six"
+    c3 = "red orange yellow green blue indigo"
+    c4 = "mercury venus earth mars jupiter saturn"
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, (did, text) in enumerate([(1, f"{c1} {c2}"), (2, c3),
+                                     (3, f"{c1} {c4}")]):
+        f = src / f"{i}.jsonl"
+        f.write_text(json.dumps({"doc_id": did, "text": text}) + "\n")
+        _os.utime(f, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    out, ckpt = str(tmp_path / "rw"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (rewrite_dedup_sink(stream, out, ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    chunks = f"{out}/chunks"
+    corpus_before = sorted(
+        (r.doc_id, r.cleaned_text, r.n_kept)
+        for r in read_rewritten_corpus(spark, out).collect())
+    probe_before = sorted(
+        r.h for r in _chunk_store_probe(spark, chunks, 99).collect())
+
+    # every batch < 3 is committed (availableNow drained) — fold them
+    parts_before, parts_after = compact_store(spark, chunks, "h",
+                                              upto_batch_id=3)
+    assert parts_before == 3 and parts_after == 1
+
+    probe_after = sorted(
+        r.h for r in _chunk_store_probe(spark, chunks, 99).collect())
+    assert probe_after == probe_before
+    plan = (_chunk_store_probe(spark, chunks, 99)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Bucketed: true" in plan and not _re.search(r"\bExchange\b", plan)
+
+    # a post-compaction batch still dedups against the folded history
+    f = src / "3.jsonl"
+    f.write_text(json.dumps({"doc_id": 9, "text": f"{c2} {c1}"}) + "\n")
+    _os.utime(f, (4_000_000, 4_000_000))
+    run()
+    rows = {r.doc_id: r for r in read_rewritten_corpus(spark, out).collect()}
+    assert rows[9].cleaned_text == "" and rows[9].n_kept == 0
+    assert sorted((r.doc_id, r.cleaned_text, r.n_kept)
+                  for r in rows.values() if r.doc_id != 9) == corpus_before
+
+
+def test_rewrite_corpus_single_row_on_cross_batch_redelivery(spark,
+                                                             tmp_path):
+    """r6 ADVICE: a doc re-delivered in a LATER micro-batch must not
+    surface twice from read_rewritten_corpus — first-occurrence semantics
+    keep the earliest batch's (full) row, not the later (emptied) copy."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        read_rewritten_corpus, rewrite_dedup_sink,
+    )
+
+    text1 = "alpha beta gamma delta epsilon zeta one two three four five six"
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": text1}) + "\n"
+        + json.dumps({"doc_id": 2,
+                      "text": "red orange yellow green blue indigo"}) + "\n")
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": text1}) + "\n")   # redelivered
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    out = str(tmp_path / "rw")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (rewrite_dedup_sink(stream, out, str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = read_rewritten_corpus(spark, out).collect()
+    assert len(rows) == 2                       # one row per doc, not three
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].cleaned_text == text1       # the EARLIEST (full) copy
+    assert by_id[1].n_kept == 2
