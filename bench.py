@@ -137,6 +137,19 @@ def _isolated_rerun(name: str, passes: int = 3) -> float:
     return round(best, 3)
 
 
+def _isolated_baseline(sf: float) -> dict | None:
+    """The committed once-per-round isolated-protocol baseline
+    (``tools/bench_isolated.py`` → BENCH_ISOLATED.json), if present and
+    recorded at this scale factor."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "BENCH_ISOLATED.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    return data if data.get("sf") == sf else None
+
+
 def _write_delta(timings: dict[str, float], sf: float) -> None:
     """BENCH_DELTA.json: machine-readable per-query ratio vs the latest
     recorded round, so cross-round regressions are a jq away instead of a
@@ -147,21 +160,24 @@ def _write_delta(timings: dict[str, float], sf: float) -> None:
 
     Every ``regression`` flag is AUTO-ADJUDICATED in the same run: the
     query is re-timed in an isolated fresh session (min of 3 warmed
-    passes, ``_isolated_rerun``) and the entry gains ``isolated_sec`` /
-    ``isolated_ratio`` plus an ``adjudication`` verdict — "confirmed"
-    when even the isolated ratio stays above the band, else
-    "environmental?". The trailing "?" is deliberate (r5 advice): the
-    isolated rerun and the in-sweep baseline do NOT share a protocol
-    (isolation removes contamination the baseline paid), so a clean
-    isolated ratio is evidence, not proof — a regression that only
-    manifests under in-sweep conditions still deserves a look. The
-    verdict is advisory; "confirmed" is the only load-bearing value."""
+    passes, ``_isolated_rerun``). When the committed isolated-protocol
+    baseline exists (``BENCH_ISOLATED.json``, recorded once per round by
+    ``tools/bench_isolated.py`` — r6 verdict #3), the verdict compares
+    isolated-vs-ISOLATED — the same protocol on both sides, so a
+    host-throttled sweep cannot manufacture or mask a regression:
+    "confirmed" iff the same-protocol ratio clears the band, else
+    "environmental (isolated-vs-isolated clean)". Without the baseline
+    the old asymmetric comparison runs and the verdict keeps its
+    advisory "environmental?" spelling (isolation removes contamination
+    the in-sweep baseline paid, so a clean ratio is evidence, not
+    proof). "confirmed" is the only load-bearing value either way."""
     prior = _prior_round_json()
     if prior is None:
         return
     fname, prev = prior
     if prev.get("sf") is not None and prev["sf"] != sf:
         return
+    iso_base = _isolated_baseline(sf)
     prev_q = prev.get("queries", {})
     delta = {}
     for name, sec in timings.items():
@@ -189,14 +205,28 @@ def _write_delta(timings: dict[str, float], sf: float) -> None:
         iso = _isolated_rerun(name)
         entry["isolated_sec"] = iso
         entry["isolated_ratio"] = round(iso / entry["prev_sec"], 3)
-        # "environmental?" is advisory (protocol asymmetry — see docstring)
-        entry["adjudication"] = (
-            "environmental?" if entry["isolated_ratio"] <= 1.2
-            else "confirmed")
+        base_sec = (iso_base or {}).get("queries", {}).get(name)
+        if base_sec:
+            # same-protocol comparison: isolated rerun vs the committed
+            # isolated baseline — symmetric, host-drift-proof
+            entry["isolated_baseline_sec"] = base_sec
+            entry["isolated_vs_isolated_ratio"] = round(iso / base_sec, 3)
+            entry["adjudication"] = (
+                "confirmed" if entry["isolated_vs_isolated_ratio"] > 1.2
+                else "environmental (isolated-vs-isolated clean)")
+        else:
+            # no baseline: asymmetric comparison, advisory verdict only
+            entry["adjudication"] = (
+                "environmental?" if entry["isolated_ratio"] <= 1.2
+                else "confirmed")
     shared = [d["ratio"] for d in delta.values() if d["ratio"]]
     out = {
         "baseline": fname,
         "passes": N_PASSES,
+        "isolated_baseline": (
+            {"file": "BENCH_ISOLATED.json", "sf": iso_base["sf"],
+             "n_queries": len(iso_base["queries"])}
+            if iso_base else None),
         "shared_query_total_ratio": round(
             sum(timings[n] for n in timings if delta[n]["ratio"])
             / max(sum(prev_q[n] for n in timings if delta[n]["ratio"]), 1e-9),

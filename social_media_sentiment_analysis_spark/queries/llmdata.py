@@ -278,8 +278,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.count(F.lit(1))
             == F.count_distinct(F.col("a_id"), F.col("b_id"))))
         .alias("pairs_canonical"))
-    return (n_dup.crossJoin(all_emitted).crossJoin(h_ok)
-            .crossJoin(canonical))
+    # 1-row theorem scalars: broadcast anchors (the heavy_hitters pattern
+    # — bounded subtrees, lint-clean; never corpus-sized)
+    return (n_dup.crossJoin(F.broadcast(all_emitted))
+            .crossJoin(F.broadcast(h_ok))
+            .crossJoin(F.broadcast(canonical)))
 
 
 ORACLE_DEDUP_SIMHASH = _SQL_DOCS + """

@@ -826,50 +826,43 @@ _ALL: list[Query] = [
 
 # The driver's correctness gate verifies the first 50 entries in registry
 # order. The front-50 ROTATES each round so successive driver gates
-# cumulatively cover the registry (after round 5, ALL 173 oracle-bearing
-# entries have a green driver row in at least one round, zero failures
-# ever). Round 6 policy, in priority order: (1) entries whose Spark plan
-# or oracle CHANGED this round — the two rows-only→invariant-oracle
-# upgrades (heavy_hitters, embed_documents: never driver-gated, their
-# oracles are new), the winnow_containment pair-stage rewrite (r5 verdict
-# #1), the five queries whose forced broadcasts were dropped for the plan
-# lint (big_orders, supplier_triangles, bm25_search, hybrid_search,
-# unigram_logprob + the shared-subroutine consumer ccnet_buckets), and
-# small_quantity_revenue whose broadcast was adjudicated; (2) the stalest
-# coverage — every remaining slot goes to the oracle-bearing queries.
-# Continuation session: the two NEW queries (dedup_rewrite,
-# streaming_rolling_distinct_hll) take the head per the new-queries-gate-
-# the-round-they-land rule, displacing the two last stale-round-3 slots
-# (inverted_index, incremental_dedup — both already green in r3 and
-# re-swept locally at sf0.01 this round).
-# whose newest green row is oldest (round 2, then round 3,
-# alphabetically). Local harnesses still verify the full registry at 3
-# scale factors each round.
+# cumulatively cover the registry (cumulative through round 6: every
+# oracle-bearing entry except doc_pagerank/doc_communities has a green
+# driver row in at least one round, zero gate failures ever). Round 7
+# policy, in priority order:
+# (1) entries whose Spark query or oracle CHANGED this round —
+#     streaming_reservoir_sample (the sink now keeps per-batch bottom-k
+#     partitions merged on read) and the two rows-only→oracle upgrades
+#     dedup_minhash (full exhaustive-Jaccard oracle) and dedup_simhash
+#     (theorem-invariant oracle), both never oracle-gated before;
+# (2) the two never-gated entries doc_pagerank / doc_communities (added
+#     with oracles before the rotation policy existed and skipped by
+#     every front-50 since — the cumulative-coverage gap);
+# (3) stalest-first — all 35 rows whose newest green row is round 3,
+#     then the round-4 rows in alphabetical order until the list holds
+#     exactly 50. Local harnesses still verify the full registry at 3
+#     scale factors each round.
 _FRONT = [
-    # changed this round — plan rewrites, de-hinted broadcasts, the two
-    # new invariant oracles (never driver-gated before), and the new
-    # bloom-probe decon, HLL rolling distinct, GK quantile sketch, and
-    # the exact-substring rewrite (new queries gate the round they land)
-    "dedup_rewrite", "streaming_rolling_distinct_hll",
-    "streaming_reservoir_sample", "streaming_heavy_hitters",
-    "bloom_decontamination", "rolling_active_users_hll",
-    "quantile_sketch",
-    "heavy_hitters", "embed_documents", "winnow_containment",
-    "big_orders", "supplier_triangles", "bm25_search", "hybrid_search",
-    "unigram_logprob", "ccnet_buckets", "small_quantity_revenue",
-    # stalest: last gated in round 2
-    "cheapest_parts", "conversion_attribution",
-    "customer_order_distribution", "dedup_embedding", "error_impact",
-    "feature_drift", "gapfill_hourly", "gopher_quality", "group_sample",
-    "important_stock", "nation_trade_flows", "priority_lineitem_revenue",
-    "promo_revenue", "revenue_by_region", "running_total",
-    "shipping_priority", "sole_late_supplier", "text_stats",
-    "tfidf_keywords", "type_hour_cube", "type_share", "value_percentiles",
-    # stalest: last gated in round 3 (alphabetical prefix)
-    "asof_next_order", "bigram_logprob", "chunk_documents",
-    "corpus_datacard", "cross_doc_overlap", "customer_spend_quartiles",
-    "dataset_split", "dedup_levenshtein", "event_pattern_match", "export",
-    "fingerprints",
+    # changed this round (new/changed oracles gate the round they land)
+    "streaming_reservoir_sample", "dedup_minhash", "dedup_simhash",
+    # never driver-gated (cumulative-coverage gap)
+    "doc_pagerank", "doc_communities",
+    # stalest: last gated in round 3
+    "hourly_anomalies", "hourly_rollup", "incremental_dedup",
+    "inverted_index", "k_anonymity", "label_centroids", "lang_filter",
+    "media_dedup", "media_metadata", "mixture_weights", "moving_average",
+    "negative_samples", "oov_rate", "pack_sequences", "pii_redact",
+    "pmi_collocations", "quantize_embeddings", "recent_negative",
+    "recent_tweets", "retention_cohorts", "rfm_segments", "scd2_history",
+    "sentiment_enrich", "sentiment_enrich_relational", "sentiment_summary",
+    "sentiment_total", "session_funnel", "source_mix", "stratified_sample",
+    "streaming_hourly_rollup", "streaming_segment_engagement",
+    "streaming_sentiment_summary", "trailing_window", "vocab_growth",
+    "zipf_exponent",
+    # stalest: last gated in round 4 (alphabetical prefix)
+    "ab_test", "above_avg_orders", "cohort_ltv", "cohort_overlap",
+    "common_paths", "contamination", "conversion_latency",
+    "cumulative_unique_users", "curation_funnel", "curation_pipeline",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

@@ -290,9 +290,43 @@ def _bucket_cols(bucket_cols: str | list[str]) -> list[str]:
     return [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
 
 
+def _write_store_meta(spark: SparkSession, location: str,
+                      bucket_cols: list[str], n_buckets: int) -> None:
+    """Persist the bucket spec next to the data (underscore-prefixed, so
+    scans ignore it). Bucket metadata otherwise lives only in the session
+    catalog; re-registering after a restart with a DIFFERENT spec than
+    the files were written with would make bucketed reads silently wrong
+    — the meta file makes re-registration self-describing."""
+    import json as _json
+
+    jvm, fs = _hadoop_fs(spark, location)
+    path = jvm.org.apache.hadoop.fs.Path(f"{location}/_store_meta.json")
+    out = fs.create(path, True)
+    out.write(bytearray(_json.dumps(
+        {"bucket_cols": bucket_cols, "n_buckets": n_buckets}).encode()))
+    out.close()
+
+
+def _read_store_meta(spark: SparkSession, location: str) -> dict | None:
+    import json as _json
+
+    jvm, fs = _hadoop_fs(spark, location)
+    path = jvm.org.apache.hadoop.fs.Path(f"{location}/_store_meta.json")
+    if not fs.exists(path):
+        return None
+    content = jvm.org.apache.commons.io.IOUtils.toString(
+        fs.open(path), "UTF-8")
+    return _json.loads(content)
+
+
 def _register_store(spark: SparkSession, table: str, location: str,
                     schema, bucket_cols: str | list[str],
                     n_buckets: int) -> None:
+    # the on-disk meta (written at creation) is authoritative over the
+    # caller's arguments: files are physically bucketed by it
+    meta = _read_store_meta(spark, location)
+    if meta:
+        bucket_cols, n_buckets = meta["bucket_cols"], meta["n_buckets"]
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                      for f in schema.fields if f.name != "batch_id")
     bc = ", ".join(_bucket_cols(bucket_cols))
@@ -300,7 +334,7 @@ def _register_store(spark: SparkSession, table: str, location: str,
         f"CREATE TABLE {table} ({cols}, batch_id int) USING parquet "
         f"PARTITIONED BY (batch_id) CLUSTERED BY ({bc}) "
         f"SORTED BY ({bc}) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{location}'")
+        f"LOCATION \'{location}\'")
     # adopt whatever batch_id= partitions already exist on disk
     spark.sql(f"MSCK REPAIR TABLE {table}")
 
@@ -387,6 +421,7 @@ def replace_store_partition(spark: SparkSession, df: DataFrame,
         (out.write.partitionBy("batch_id")
          .bucketBy(n_buckets, *bc).sortBy(*bc)
          .option("path", location).saveAsTable(store_table_name(location)))
+        _write_store_meta(spark, location, bc, n_buckets)
         return store_table_name(location)
     drop_stale_partitions(spark, location, batch_id, table=table)
     out = out.select(*spark.table(table).columns)   # align append order

@@ -59,3 +59,50 @@ def observed(df, name: str, *metrics):
     obs = Observation(name)
     cols = list(metrics) or []
     return df.observe(obs, F.count(F.lit(1)).alias("rows"), *cols), obs
+
+
+class StateMetricsRecorder(StreamingQueryListener):
+    """Per-batch state-store metrics from progress events — the
+    bounded-state soak surface (r6 verdict #7): a watermarked stateful
+    query on a long processingTime schedule must show ``numRowsRemoved``
+    firing (watermark GC is real, not just configured) and
+    ``numRowsTotal`` plateauing; monotone growth here is the canonical
+    leaked-state bug that only appears under multi-trigger schedules,
+    never in single-drain availableNow tests.
+
+    Records one dict per progress event: batch id, the engine watermark,
+    and per-operator rows total/updated/removed. Read ``records`` after
+    the query stops (listener delivery is async — poll briefly)."""
+
+    def __init__(self) -> None:
+        self.records: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        try:
+            watermark = (p.eventTime or {}).get("watermark")
+        except Exception:
+            watermark = None
+        ops = []
+        for so in (p.stateOperators or []):
+            ops.append({
+                "operator": so.operatorName,
+                "numRowsTotal": so.numRowsTotal,
+                "numRowsUpdated": so.numRowsUpdated,
+                "numRowsRemoved": so.numRowsRemoved,
+            })
+        self.records.append({
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "watermark": watermark,
+            "state": ops,
+        })
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass

@@ -350,8 +350,8 @@ def _band_store_probe(spark: SparkSession, bands_location: str,
 def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_hashes: int = 32, num_bands: int = 8,
-                    rows_per_band: int = 4,
-                    shingle_k: int = 3) -> DataStreamWriter:
+                    rows_per_band: int = 4, shingle_k: int = 3,
+                    store_buckets: int = 16) -> DataStreamWriter:
     """Incremental streaming NEAR-duplicate dedup (MinHash+LSH band store).
 
     The streaming twin of ``operators/dedup.py::minhash_near_duplicates``,
@@ -425,7 +425,8 @@ def near_dedup_sink(df: DataFrame, path: str, checkpoint: str,
          .partitionBy("batch_id").parquet(docs_path))
         replace_store_partition(
             spark, keys.join(kept_ids, id_col, "left_semi"),
-            bands_path, batch_id, ["band", "band_hash"])
+            bands_path, batch_id, ["band", "band_hash"],
+            n_buckets=store_buckets)
         batch.unpersist()
         keys.unpersist()
 
@@ -443,7 +444,8 @@ def read_deduped_corpus(spark: SparkSession, path: str) -> DataFrame:
 
 def rewrite_dedup_sink(df: DataFrame, path: str, checkpoint: str,
                        text_col: str = "text", id_col: str = "doc_id",
-                       chunk_k: int = 6) -> DataStreamWriter:
+                       chunk_k: int = 6,
+                       store_buckets: int = 16) -> DataStreamWriter:
     """Incremental exact-substring dedup as a REWRITE — the streaming twin
     of ``queries/llmdata.py::q_dedup_rewrite``: every non-overlapping
     ``chunk_k``-token chunk whose content already appeared in ANY earlier
@@ -529,7 +531,7 @@ def rewrite_dedup_sink(df: DataFrame, path: str, checkpoint: str,
          .partitionBy("batch_id").parquet(docs_path))
         replace_store_partition(
             spark, marked.filter("keep").select("h").distinct(),
-            fps_path, batch_id, "h")
+            fps_path, batch_id, "h", n_buckets=store_buckets)
 
     return (
         df.writeStream.foreachBatch(update)
@@ -631,7 +633,8 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
                             text_col: str = "text", id_col: str = "doc_id",
                             k: int = 4, w: int = 4,
                             threshold: float = 0.5,
-                            max_fp_docs: int = 50) -> DataStreamWriter:
+                            max_fp_docs: int = 50,
+                            store_buckets: int = 16) -> DataStreamWriter:
     """Incremental streaming CONTAINMENT detection over a persisted
     winnowing-fingerprint store — the streaming twin of the batch
     ``queries/selection.py::q_winnow_containment`` (r5 verdict #5).
@@ -727,11 +730,12 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(flags_path))
-        replace_store_partition(spark, fps, fps_path, batch_id, "fp")
+        replace_store_partition(spark, fps, fps_path, batch_id, "fp",
+                                n_buckets=store_buckets)
         replace_store_partition(
             spark,
             fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")),
-            stats_path, batch_id, "fp")
+            stats_path, batch_id, "fp", n_buckets=store_buckets)
 
     return (
         df.writeStream.foreachBatch(update)

@@ -82,10 +82,23 @@ class TestMinHashLSH:
 
 class TestSimHash:
     def test_recall_of_planted_dups(self, spark, sf_dir, planted_pairs):
-        got = {(r["a_id"], r["b_id"])
-               for r in q_dedup_simhash(spark, sf_dir).collect()}
+        # the registry query now returns the theorem-invariant row
+        # (r6 verdict #4); the raw pair recall rides the operator
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "cleaned_text", clean_text(F.col("text")))
+        got = {(r["a_id"], r["b_id"]) for r in dd.simhash_near_duplicates(
+            docs, "cleaned_text", "doc_id").collect()}
         missing = planted_pairs - got
         assert not missing, f"simhash missed {missing}"
+
+    def test_invariant_row_theorems_hold(self, spark, sf_dir):
+        row = q_dedup_simhash(spark, sf_dir).collect()
+        assert len(row) == 1
+        r = row[0]
+        assert r["all_text_dup_pairs_emitted"] is True
+        assert r["max_hamming_within_bound"] is True
+        assert r["pairs_canonical"] is True
+        assert r["n_text_dup_pairs"] >= 0
 
     def test_identical_texts_zero_hamming(self, spark):
         df = spark.createDataFrame(

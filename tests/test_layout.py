@@ -584,3 +584,65 @@ class TestWinnowingIndex:
             if re.search(r"\bfp#", m)]
         assert not fp_exchanges, plan[:2000]
         assert "Bucketed: true" in plan and "Bucketed: false" not in plan
+
+
+class TestIncrementalBucketedStore:
+    def test_reregistration_honors_on_disk_bucket_spec(self, spark,
+                                                       tmp_path):
+        """A fresh session re-registering a store from its files must use
+        the bucket spec the files were WRITTEN with (_store_meta.json),
+        never the caller's default — a mismatched registration would make
+        bucketed reads silently wrong."""
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            open_store, replace_store_partition, store_table_name,
+        )
+
+        loc = str(tmp_path / "store")
+        df = spark.range(100).select(
+            F.md5(F.col("id").cast("string")).alias("h"),
+            F.col("id").alias("doc_id"))
+        replace_store_partition(spark, df, loc, 0, "h", n_buckets=4)
+        table = store_table_name(loc)
+        # simulate a session restart: catalog entry gone, files remain
+        spark.sql(f"DROP TABLE {table}")
+        got = open_store(spark, loc, "h", n_buckets=16)  # wrong default
+        assert got == table
+        create = spark.sql(f"SHOW CREATE TABLE {table}").first()[0]
+        assert "4 BUCKETS" in create, create
+        # and the data still reads back whole through the table
+        assert spark.table(table).count() == 100
+        spark.sql(f"DROP TABLE {table}")
+
+    def test_replace_is_idempotent_and_sweeps_stale(self, spark, tmp_path):
+        """Re-writing batch N replaces its partition exactly; partitions
+        above N (stale futures from a divergent replay) are swept; seed
+        partitions (batch_id=-1) replace only themselves."""
+        from social_media_sentiment_analysis_spark.sources.layout import (
+            replace_store_partition, store_table_name,
+        )
+
+        loc = str(tmp_path / "store")
+
+        def mk(lo, hi):
+            return spark.range(lo, hi).select(
+                F.md5(F.col("id").cast("string")).alias("h"),
+                F.col("id").alias("doc_id"))
+
+        replace_store_partition(spark, mk(0, 10), loc, 0, "h", n_buckets=4)
+        replace_store_partition(spark, mk(10, 20), loc, 1, "h", n_buckets=4)
+        replace_store_partition(spark, mk(20, 30), loc, 2, "h", n_buckets=4)
+        table = store_table_name(loc)
+        assert spark.table(table).count() == 30
+        # seed replaces only itself, twice — idempotent, batches untouched
+        replace_store_partition(spark, mk(100, 140), loc, -1, "h",
+                                n_buckets=4)
+        replace_store_partition(spark, mk(100, 140), loc, -1, "h",
+                                n_buckets=4)
+        assert spark.table(table).count() == 70
+        # replaying batch 1 replaces its own partition AND sweeps batch 2
+        replace_store_partition(spark, mk(10, 15), loc, 1, "h", n_buckets=4)
+        left = {r.batch_id for r in
+                spark.table(table).select("batch_id").distinct().collect()}
+        assert left == {-1, 0, 1}
+        assert spark.table(table).count() == 40 + 10 + 5
+        spark.sql(f"DROP TABLE {table}")
