@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "streaming_rolling_distinct_hll",
     "streaming_reservoir_sample",
     "streaming_heavy_hitters",
+    # round 7: the vector-state streaming=batch member
+    "streaming_dedup_embedding",
 ]
 
 

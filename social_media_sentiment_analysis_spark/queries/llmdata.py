@@ -344,6 +344,67 @@ LIMIT {_EMB_TOPK}
 """
 
 
+def q_streaming_dedup_embedding(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Embedding near-dup flags maintained by STRUCTURED STREAMING — the
+    seventh streaming=batch gate member, and the first with VECTOR state:
+    the embeddings table consumed as a micro-batched file stream through
+    ``streaming/sinks.py::embedding_dedup_sink`` (persisted vector store
+    bucketed by the blocking key; per batch: store probe on the block +
+    exact zip_with cosine verify + within-batch pairs), then the flag
+    store read back.
+
+    Every qualifying pair is discovered exactly once — by the later
+    batch, or within its batch — so the flag SET is independent of how
+    the stream was batched, and the oracle is simply the batch
+    formulation: ALL within-label pairs at rounded cosine >=
+    {_EMB_SIM_THRESHOLD} (the ``dedup_embedding`` oracle minus its
+    presentation top-k). A probe that misses the store, double-counts a
+    replay, or breaks the cosine algebra breaks the hash.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.batch import load_table_stream
+    from ..streaming.sinks import (
+        embedding_dedup_sink, read_embedding_flags,
+    )
+
+    root = tempfile.mkdtemp(prefix="embdedup_")
+    try:
+        src = load_table_stream(spark, sf_dir, "embeddings") \
+            .select("vec_id", "label", "embedding")
+        q = (embedding_dedup_sink(src, f"{root}/store", f"{root}/ckpt",
+                                  threshold=_EMB_SIM_THRESHOLD)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        res = (read_embedding_flags(spark, f"{root}/store")
+               .select("a_id", "b_id", "cosine")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res.orderBy("a_id", "b_id")
+
+
+ORACLE_STREAMING_DEDUP_EMBEDDING = f"""
+WITH dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, cosine
+FROM dots
+WHERE cosine >= {_EMB_SIM_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0 (excluded from results)."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -415,6 +415,12 @@ _ALL: list[Query] = [
     Query("dedup_levenshtein", llmdata.q_dedup_levenshtein,
           llmdata.ORACLE_DEDUP_LEVENSHTEIN,
           "near-dup pairs: edit distance on 80-char heads, prefix-blocked"),
+    Query("streaming_dedup_embedding", llmdata.q_streaming_dedup_embedding,
+          llmdata.ORACLE_STREAMING_DEDUP_EMBEDDING,
+          "STREAMING embedding near-dup flags via a persisted bucketed "
+          "vector store (block probe + exact zip_with cosine): flag set "
+          "equals the batch answer regardless of batching — seventh "
+          "streaming=batch gate member, first with vector state"),
     Query("embedding_norm_stats", llmdata.q_embedding_norm_stats,
           llmdata.ORACLE_EMBEDDING_NORM_STATS,
           "per-label L2-norm profile via higher-order array fold (no UDF)"),
@@ -844,6 +850,7 @@ _ALL: list[Query] = [
 #     scale factors each round.
 _FRONT = [
     # changed this round (new/changed oracles gate the round they land)
+    "streaming_dedup_embedding",
     "streaming_reservoir_sample", "dedup_minhash", "dedup_simhash",
     # never driver-gated (cumulative-coverage gap)
     "doc_pagerank", "doc_communities",
@@ -862,7 +869,7 @@ _FRONT = [
     # stalest: last gated in round 4 (alphabetical prefix)
     "ab_test", "above_avg_orders", "cohort_ltv", "cohort_overlap",
     "common_paths", "contamination", "conversion_latency",
-    "cumulative_unique_users", "curation_funnel", "curation_pipeline",
+    "cumulative_unique_users", "curation_funnel",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

@@ -823,6 +823,110 @@ def seed_containment_store(spark: SparkSession, path: str,
         f"{path}/fp_stats", -1, "fp")
 
 
+def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         block_col: str = "label",
+                         threshold: float = 0.95,
+                         store_buckets: int = 16) -> DataStreamWriter:
+    """Incremental EMBEDDING near-dup flags over a persisted vector store
+    — the streaming twin of the batch ``queries/llmdata.py::
+    q_dedup_embedding``, and the vector-space member of the incremental
+    dedup sink family (text twins: ``near_dedup_sink`` on MinHash bands,
+    ``winnow_containment_sink`` on substring fingerprints).
+
+    Per micro-batch: join the batch's vectors against the persisted
+    store from STRICTLY-earlier batches on the blocking key (never
+    all-pairs), exact-cosine-verify in Column space (zip_with dot — no
+    UDF), add within-batch lower-id-first pairs, and write qualifying
+    (a_id < b_id, cosine) flags to a ``batch_id=`` partition. The batch's
+    own vectors then join the store. Every qualifying pair is discovered
+    exactly once — by the later batch, or within its batch — so the FLAG
+    SET equals the batch query's answer regardless of how the stream was
+    batched: that is the oracle contract the registry twin gates.
+
+    The vector store is bucketed by the blocking key
+    (``sources/layout.py``), so the probe's store side is a pruned
+    bucketed scan with zero exchanges — same layout contract as the text
+    sinks. Here the block is the embeddings table's ``label``; at corpus
+    scale pass an LSH bucket column (``operators/similarity.
+    hyperplane_bucket``) as ``block_col`` — same store, same plan, recall
+    becomes the banding probability instead of exact. Replay: replace-
+    own-partition + stale-future sweep, the family recipe.
+    """
+    from ..functions.vectors import cosine_similarity
+    from ..sources.layout import (
+        drop_stale_partitions, replace_store_partition,
+    )
+
+    vec_path = f"{path}/vectors"
+    flags_path = f"{path}/flags"
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur = (batch.dropDuplicates([id_col])
+               .select(id_col, block_col, vec_col).localCheckpoint())
+        flags = None
+        store = _vector_store_probe(spark, vec_path, batch_id,
+                                    id_col, block_col, vec_col)
+        if store is not None:      # store absent only on the first batch
+            flags = (cur.toDF("new_id", "__block", "new_vec")
+                     .join(store, "__block")
+                     .filter(F.col("new_id") != F.col("old_id"))
+                     .withColumn("cosine", F.round(cosine_similarity(
+                         F.col("new_vec"), F.col("old_vec")), 4))
+                     .filter(F.col("cosine") >= threshold)
+                     .select(F.least("new_id", "old_id").alias("a_id"),
+                             F.greatest("new_id", "old_id").alias("b_id"),
+                             "cosine"))
+        a = cur.toDF("a_id", "__block", "a_vec")
+        b = cur.toDF("b_id", "__block2", "b_vec")
+        within = (a.join(b, (F.col("__block") == F.col("__block2"))
+                         & (F.col("a_id") < F.col("b_id")))
+                  .withColumn("cosine", F.round(cosine_similarity(
+                      F.col("a_vec"), F.col("b_vec")), 4))
+                  .filter(F.col("cosine") >= threshold)
+                  .select("a_id", "b_id", "cosine"))
+        flags = within if flags is None else flags.unionByName(within)
+        drop_stale_partitions(spark, flags_path, batch_id)
+        (flags.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(flags_path))
+        replace_store_partition(spark, cur, vec_path, batch_id, block_col,
+                                n_buckets=store_buckets)
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def _vector_store_probe(spark: SparkSession, vec_location: str,
+                        batch_id: int, id_col: str, block_col: str,
+                        vec_col: str) -> DataFrame | None:
+    """The vector-store probe side for ``embedding_dedup_sink``'s
+    micro-batch N: strictly-earlier partitions of the bucketed-by-block
+    store, renamed for the probe join. Bucketed scan, zero exchanges on
+    this side (the family plan contract)."""
+    from ..sources.layout import open_store
+
+    table = open_store(spark, vec_location, block_col)
+    if table is None:
+        return None
+    return (spark.table(table)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select(F.col(id_col).alias("old_id"),
+                    F.col(block_col).alias("__block"),
+                    F.col(vec_col).alias("old_vec")))
+
+
+def read_embedding_flags(spark: SparkSession, path: str) -> DataFrame:
+    """All near-dup flags under an ``embedding_dedup_sink`` root."""
+    return spark.read.parquet(f"{path}/flags")
+
+
 def drift_sink(df: DataFrame, value_col: str, path: str, checkpoint: str,
                bins: int = 10, eps: float = 1e-6) -> DataStreamWriter:
     """Streaming distribution-drift monitor: PSI of each micro-batch

@@ -1317,3 +1317,73 @@ def test_processing_time_soak_bounds_state(spark, tmp_path):
     # the engine watermark actually advanced across the run
     marks = [r["watermark"] for r in rec.records if r["watermark"]]
     assert marks and max(marks) > min(marks)
+
+
+def test_embedding_dedup_sink_flags_cross_batch_neardups(spark, tmp_path):
+    """Streaming embedding near-dup (vector state): a later batch's vector
+    that is near-parallel to an earlier batch's (same block) is flagged
+    via the persisted vector store; orthogonal vectors are not; a full
+    checkpoint-loss replay neither duplicates nor self-collides flags;
+    and the store probe reads bucketed with zero store-side exchanges."""
+    import os as _os
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        _vector_store_probe, embedding_dedup_sink, read_embedding_flags,
+    )
+
+    def row(vid, label, vec):
+        return json.dumps({"vec_id": vid, "label": label, "embedding": vec})
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        row(1, "x", [1.0, 0.0, 0.0, 0.0]) + "\n"
+        + row(2, "x", [0.0, 1.0, 0.0, 0.0]) + "\n")       # orthogonal to 1
+    (src / "b.jsonl").write_text(
+        row(3, "x", [0.999, 0.04, 0.0, 0.0]) + "\n"       # near-dup of 1
+        + row(4, "y", [1.0, 0.0, 0.0, 0.0]) + "\n")       # same dir, other block
+    (src / "c.jsonl").write_text(
+        row(5, "y", [0.998, 0.06, 0.0, 0.0]) + "\n"       # near-dup of 4 (cross)
+        + row(6, "y", [0.997, 0.07, 0.0, 0.0]) + "\n")    # near-dup of 5 (within)
+    for i, f in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        _os.utime(src / f, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+
+    out = str(tmp_path / "emb")
+
+    def run(ck):
+        stream = (spark.readStream
+                  .schema("vec_id long, label string, "
+                          "embedding array<double>")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (embedding_dedup_sink(stream, out, ck, threshold=0.95)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    flags = read_embedding_flags(spark, out).collect()
+    pairs = {(r.a_id, r.b_id) for r in flags}
+    assert pairs == {(1, 3), (4, 5), (5, 6), (4, 6)}, pairs
+    assert all(r.cosine >= 0.95 for r in flags)
+
+    # checkpoint-loss replay: same flag set, no duplicate rows
+    run(str(tmp_path / "ck2"))
+    flags = read_embedding_flags(spark, out).collect()
+    assert len(flags) == len({(r.a_id, r.b_id) for r in flags}) == 4
+
+    # plan contract: the store probe side is a pruned bucketed scan with
+    # zero exchanges; the only Exchange in a probe join is the batch side
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = _vector_store_probe(spark, f"{out}/vectors", 3,
+                                    "vec_id", "label", "embedding")
+        join = (spark.read.parquet(f"{out}/vectors/batch_id=0")
+                .withColumnRenamed("label", "__block").join(probe, "__block"))
+        plan = join._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert len(_re.findall(r"\bExchange\b", plan)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
