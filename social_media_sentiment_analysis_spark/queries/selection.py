@@ -846,6 +846,41 @@ def index_winnowing(spark: SparkSession, sf_dir: str,
     return fps_table, stats_table
 
 
+def index_winnowing_append(spark: SparkSession, new_docs: DataFrame,
+                           prefix: str = "winnow_idx",
+                           num_buckets: int = _WINNOW_IDX_BUCKETS,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> tuple[str, str]:
+    """Incremental maintenance of the persisted winnowing index: shingle
+    and fingerprint ONLY the new documents, then APPEND their rows to the
+    bucketed ``{prefix}_fps`` table (same bucket spec — appended files are
+    physically bucketed identically, so index consumers keep their
+    zero-fp-exchange plans) and to the per-doc stats table. Cost is
+    O(new docs); the full rebuild (``index_winnowing``) stays the
+    from-scratch/backfill path.
+
+    Caller contract: ``new_docs`` carries ids not already in the index —
+    the same append-only ingest contract the corpus itself has (a re-fed
+    doc would double its rows in BOTH artifacts; dedup upstream, e.g. via
+    the keyed idempotent sink). Append == rebuild parity is pinned by
+    ``tests/test_layout.py``. Returns the two table names.
+    """
+    stream = (winnowing_window_minima(new_docs, text_col, id_col,
+                                      k=_WINNOW_K, w=_WINNOW_W)
+              .localCheckpoint())
+    src = new_docs.select(id_col, "source")
+    fps_table, stats_table = f"{prefix}_fps", f"{prefix}_doc_stats"
+    (stream.select(id_col, "fp").distinct().join(src, id_col)
+     .write.mode("append").bucketBy(num_buckets, "fp").sortBy("fp")
+     .saveAsTable(fps_table))
+    (stream.groupBy(id_col)
+     .agg(F.count(F.lit(1)).alias("n_windows"),
+          F.count_distinct("fp").alias("n_fps"))
+     .join(src, id_col)
+     .write.mode("append").saveAsTable(stats_table))
+    return fps_table, stats_table
+
+
 def winnow_containment_from_index(spark: SparkSession,
                                   fps_table: str = "winnow_idx_fps",
                                   stats_table: str = "winnow_idx_doc_stats",

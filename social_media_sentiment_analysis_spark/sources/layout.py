@@ -432,7 +432,8 @@ def replace_store_partition(spark: SparkSession, df: DataFrame,
 
 def compact_store(spark: SparkSession, location: str,
                   bucket_cols: str | list[str], upto_batch_id: int,
-                  n_buckets: int = STORE_BUCKETS) -> tuple[int, int]:
+                  n_buckets: int = STORE_BUCKETS,
+                  sum_cols: tuple[str, ...] = ()) -> tuple[int, int]:
     """Maintenance op (r6 verdict #5): fold every COMMITTED partition
     (``0 <= batch_id < upto_batch_id``, plus any existing ``batch_id=-1``
     seed) into one ``batch_id=-1`` partition, preserving bucketing.
@@ -447,7 +448,16 @@ def compact_store(spark: SparkSession, location: str,
     own-partition overwrite, and -1 < every real id keeps the folded
     history visible to every probe. The rewrite stages into a sibling
     directory and swaps in on success (rename = commit), so a crash
-    mid-compaction leaves the original store intact."""
+    mid-compaction leaves the original store intact.
+
+    ``sum_cols``: for DELTA stores whose probe SUMS per-key contributions
+    (the winnow sink's ``(fp, n_docs)`` stats store), pass the additive
+    columns — the fold then also merges folded rows by the bucket key
+    (groupBy + sum), so the compacted store's row count is bounded by
+    DISTINCT keys instead of batches x keys-per-batch. Probe-equivalent
+    by the monoid law: sum over deltas == sum over merged deltas. Only
+    valid when every non-key, non-additive column is absent — the
+    function raises otherwise rather than silently dropping data."""
     import os
     import shutil
     import uuid
@@ -461,6 +471,15 @@ def compact_store(spark: SparkSession, location: str,
         "batch_id",
         F.when(F.col("batch_id") < upto_batch_id, F.lit(-1))
         .otherwise(F.col("batch_id")).cast("int"))
+    if sum_cols:
+        extra = [c for c in folded.columns
+                 if c not in (*bc, *sum_cols, "batch_id")]
+        if extra:
+            raise ValueError(
+                f"compact_store(sum_cols=...) would drop columns {extra}; "
+                f"a delta store may only carry its key and additive cols")
+        folded = (folded.groupBy(*bc, "batch_id")
+                  .agg(*[F.sum(c).alias(c) for c in sum_cols]))
     tag = uuid.uuid4().hex[:8]
     staging = f"{location.rstrip('/')}.compacting-{tag}"
     tmp_table = f"{table}_compact_{tag}"

@@ -655,9 +655,11 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
     batch query's orientation); pairs whose containment clears
     ``threshold`` land in ``{path}/flags``, and the batch's fingerprints
     (with per-doc set sizes denormalized onto each row) join the store
-    under ``{path}/fps`` — both via dynamic partition overwrite keyed by
-    batch_id, so an at-least-once redelivery REPLACES its own output
-    (same exactly-once recipe as near_dedup_sink/cms_sink).
+    under ``{path}/fps`` — all three writes replace their own
+    ``batch_id=`` partition and sweep stale future partitions first
+    (``drop_stale_partitions``), so an at-least-once redelivery REPLACES
+    its own output and a divergent checkpoint-loss re-batching
+    self-heals (same exactly-once recipe as near_dedup_sink/cms_sink).
 
     Store-side fingerprints held by more than ``max_fp_docs`` docs are
     dropped before the probe — the batch query's universal-boilerplate
@@ -672,7 +674,9 @@ def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,
     scans, independent of how history is distributed (r6 verdict #1).
     State is the fingerprint index itself (~2/(w+1) of shingle volume):
     exactly the artifact ``index_winnowing`` persists for the batch
-    path; fold old partitions with ``sources/layout.py::compact_store``.
+    path; fold old partitions with ``sources/layout.py::compact_store``
+    (the stats store additionally merge-compacts via ``sum_cols`` — one
+    row per distinct fp).
     """
     from ..queries.selection import winnowing_window_minima
     from ..sources.layout import (

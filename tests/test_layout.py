@@ -646,3 +646,76 @@ class TestIncrementalBucketedStore:
         assert left == {-1, 0, 1}
         assert spark.table(table).count() == 40 + 10 + 5
         spark.sql(f"DROP TABLE {table}")
+
+
+class TestIncrementalWinnowIndex:
+    def test_append_equals_rebuild(self, spark, sf_dir):
+        """Incremental index maintenance: building the winnowing index on
+        half the corpus and appending the other half must be
+        indistinguishable from the full rebuild — same containment pairs,
+        same per-doc stats, and the appended files keep the bucketed
+        zero-fp-exchange plan."""
+        import re
+
+        from social_media_sentiment_analysis_spark.plans.inspect import (
+            physical_plan,
+        )
+        from social_media_sentiment_analysis_spark.queries.selection import (
+            index_winnowing, index_winnowing_append,
+            winnow_containment_from_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+        first = docs.filter(F.col("doc_id") <= mid)
+        rest = docs.filter(F.col("doc_id") > mid)
+
+        full = index_winnowing(spark, sf_dir, prefix="t_full_widx")
+        try:
+            # incremental: seed with the first half via the rebuild path
+            # (pointed at a temp view of the subset), then append the rest
+            inc_fps, inc_stats = "t_inc_widx_fps", "t_inc_widx_doc_stats"
+            from social_media_sentiment_analysis_spark.queries import (
+                selection as sel,
+            )
+            stream = sel.winnowing_window_minima(
+                first, "text", "doc_id", k=sel._WINNOW_K, w=sel._WINNOW_W
+            ).localCheckpoint()
+            src = first.select("doc_id", "source")
+            from social_media_sentiment_analysis_spark.sources.layout import (
+                write_bucketed,
+            )
+            write_bucketed(
+                stream.select("doc_id", "fp").distinct().join(src, "doc_id"),
+                inc_fps, "fp", num_buckets=16, sort_col="fp")
+            (stream.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_windows"),
+                  F.count_distinct("fp").alias("n_fps"))
+             .join(src, "doc_id")
+             .write.mode("overwrite").saveAsTable(inc_stats))
+            index_winnowing_append(spark, rest, prefix="t_inc_widx")
+
+            try:
+                want = sorted(map(tuple, winnow_containment_from_index(
+                    spark, *full).collect()))
+                got = sorted(map(tuple, winnow_containment_from_index(
+                    spark, inc_fps, inc_stats).collect()))
+                assert got == want and want            # identical pairs
+                # stats identical too
+                a = sorted(map(tuple, spark.table(full[1]).collect()))
+                b = sorted(map(tuple, spark.table(inc_stats).collect()))
+                assert a == b
+                # appended files keep the bucketed zero-fp-exchange plan
+                plan = physical_plan(winnow_containment_from_index(
+                    spark, inc_fps, inc_stats))
+                fp_ex = [m for m in re.findall(
+                    r"Exchange hashpartitioning\(([^)]*)\)", plan)
+                    if re.search(r"\bfp#", m)]
+                assert not fp_ex
+                assert "Bucketed: true" in plan
+            finally:
+                spark.sql(f"DROP TABLE IF EXISTS {inc_fps}")
+                spark.sql(f"DROP TABLE IF EXISTS {inc_stats}")
+        finally:
+            for t in full:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1387,3 +1387,61 @@ def test_embedding_dedup_sink_flags_cross_batch_neardups(spark, tmp_path):
         assert len(_re.findall(r"\bExchange\b", plan)) == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_compact_stats_store_with_merge_preserves_flags(spark, tmp_path):
+    """Compacting the winnow sink's (fp, n_docs) DELTA store with the
+    monoid merge (sum per fp) must leave the next batch's flags identical
+    — sum over deltas == sum over merged deltas — while bounding the
+    store's rows by distinct fps."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        compact_store,
+    )
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        read_containment_flags, winnow_containment_sink,
+    )
+
+    small = ("the quick brown fox jumps over the lazy dog while the "
+             "spark engine shuffles partitions across the cluster nodes "
+             "and the optimizer prunes columns from every parquet scan")
+    other = ("completely different text about watermarks and stateful "
+             "aggregation semantics in structured streaming pipelines "
+             "with checkpoint recovery and exactly once delivery rules")
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(json.dumps({"doc_id": 1, "text": small}))
+    (src / "b.jsonl").write_text(json.dumps({"doc_id": 2, "text": other}))
+    _os.utime(src / "a.jsonl", (1_000_000, 1_000_000))
+    _os.utime(src / "b.jsonl", (2_000_000, 2_000_000))
+
+    out, ckpt = str(tmp_path / "wc"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (winnow_containment_sink(stream, out, ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    # fold both stores' committed batches (0, 1); stats store with merge
+    compact_store(spark, f"{out}/fps", "fp", upto_batch_id=2)
+    n_stats_rows_before = spark.read.parquet(f"{out}/fp_stats").count()
+    compact_store(spark, f"{out}/fp_stats", "fp", upto_batch_id=2,
+                  sum_cols=("n_docs",))
+    merged = spark.read.parquet(f"{out}/fp_stats")
+    assert merged.count() == merged.select("fp").distinct().count()
+    assert merged.count() <= n_stats_rows_before
+
+    # batch 2: a doc quoting doc 1 must still be flagged via the folded
+    # stores (probe reads the -1 partitions + merged stats)
+    (src / "c.jsonl").write_text(
+        json.dumps({"doc_id": 9,
+                    "text": f"header menu login {small} footer legal"}))
+    _os.utime(src / "c.jsonl", (3_000_000, 3_000_000))
+    run()
+    pairs = {(r.doc_a, r.doc_b)
+             for r in read_containment_flags(spark, out).collect()}
+    assert (1, 9) in pairs, pairs
