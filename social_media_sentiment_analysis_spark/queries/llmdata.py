@@ -620,23 +620,90 @@ ORDER BY stage
 """
 
 
+_SKETCH_RSD = 0.05          # approx_count_distinct default relative std dev
+_SKETCH_PCT_ACC = 1000      # approx_percentile accuracy → ε = 1/acc
+_SKETCH_PS = (0.5, 0.95, 0.99)
+
+
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based profile per event_type: HLL distinct users
-    (approx_count_distinct) + t-digest value quantiles (approx_percentile).
-    Sketches merge associatively, so this is one map-side-combining shuffle
-    at any scale — the exact versions (distinct shuffle / global sort) are
-    the queries to avoid at 100 TB. Rows-only for the driver (sketch error
-    is implementation-defined); accuracy vs exact is asserted in tests."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.approx_percentile("value", F.array(
-                F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("value_quantiles"),
-        )
-        .orderBy("event_type")
-    )
+    """Sketch-based profile per event_type with BOTH sketches' error
+    contracts carried into the oracle gate (upgraded from rows-only —
+    r6 verdict #4's recipe extended to the last sketch family): HLL++
+    distinct users (``approx_count_distinct``, a different implementation
+    than the ``hll_sketch_agg`` the rolling-distinct gate covers) and
+    approx_percentile value quantiles. Sketches merge associatively, so
+    the profile is one map-side-combining shuffle at any scale — the
+    exact versions (distinct shuffle / global sort) are the queries to
+    avoid at 100 TB.
+
+    Gate contract: ``exact_users`` is recomputed exactly by the DuckDB
+    twin; ``hll_within_3rsd`` pins |approx − exact| ≤ 3·rsd·exact (the
+    HLL++ standard-error envelope at the default rsd=0.05 — a >3σ miss
+    means a merge/register bug, not noise); the three quantile booleans
+    pin the GK rank contract at 3ε·N exactly as ``quantile_sketch`` does
+    (probing p99 too, which that gate doesn't). The sketch aggregate is
+    localCheckpointed — sketch values are merge-order-nondeterministic,
+    so the rank probe must test the very values the query returns."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value")
+    agg = (events.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("exact_users"),
+                F.approx_count_distinct(
+                    "user_id", _SKETCH_RSD).alias("__approx_users"),
+                F.percentile_approx(
+                    "value", list(_SKETCH_PS),
+                    _SKETCH_PCT_ACC).alias("__qs"))
+           .localCheckpoint())
+    cuts = agg.select("event_type", "n_events", "exact_users",
+                      "__approx_users",
+                      *[F.col("__qs")[i].alias(f"__c{i}")
+                        for i in range(len(_SKETCH_PS))])
+    rank_aggs = []
+    for i in range(len(_SKETCH_PS)):
+        rank_aggs += [
+            F.count(F.when(F.col("value") < F.col(f"__c{i}"), 1))
+            .alias(f"__lt{i}"),
+            F.count(F.when(F.col("value") <= F.col(f"__c{i}"), 1))
+            .alias(f"__le{i}")]
+    ranks = (events.join(cuts, "event_type")
+             .groupBy("event_type").agg(*rank_aggs))
+    eps = 3.0 / _SKETCH_PCT_ACC
+
+    def rank_ok(i: int):
+        # some rank in [lt+1, le] belongs to the returned value; GK holds
+        # iff that interval meets [(p-ε)N, (p+ε)N] — byte-for-byte the
+        # criterion quantile_sketch gates (queries/shaping.py::ok)
+        p = _SKETCH_PS[i]
+        lo = (F.lit(p) - eps) * F.col("n_events")
+        hi = (F.lit(p) + eps) * F.col("n_events")
+        return (F.col(f"__le{i}") >= lo) & (F.col(f"__lt{i}") <= hi)
+
+    hll_ok = (F.abs(F.col("__approx_users") - F.col("exact_users"))
+              <= F.lit(3 * _SKETCH_RSD) * F.col("exact_users"))
+    return (cuts.join(ranks, "event_type")
+            .select("event_type",
+                    F.col("n_events"),
+                    F.col("exact_users"),
+                    hll_ok.alias("hll_within_3rsd"),
+                    rank_ok(0).alias("p50_rank_ok"),
+                    rank_ok(1).alias("p95_rank_ok"),
+                    rank_ok(2).alias("p99_rank_ok"))
+            .orderBy("event_type"))
+
+
+ORACLE_SKETCH_PROFILE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_3rsd,
+       TRUE AS p50_rank_ok,
+       TRUE AS p95_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 _SAMPLE_HEX_DIGITS = ("0", "1")  # 2/16 of the md5 space ≈ 12.5 %

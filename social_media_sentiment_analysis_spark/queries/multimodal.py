@@ -168,23 +168,86 @@ ORDER BY modality
 """
 
 
+_PHASH_MAX_HAMMING = 6
+
+
 def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash (dHash) near-duplicate pairs per modality, rolled up
-    to a per-modality pair count + mean hamming distance. Rows-only for the
-    driver (the decode→hash crossing has no SQL twin); pair-level recall
-    against byte-identical and one-byte-perturbed payloads is pinned in
-    tests/test_multimodal.py::TestPhash."""
+    """Perceptual-hash (dHash) near-dup with its theorems carried into
+    the oracle gate (upgraded from rows-only — the dedup_simhash recipe,
+    r6 verdict #4, applied to the media modality). The decode→hash
+    crossing has no SQL twin, so the gate pins what IS provable, per
+    modality: (1) byte-identical payloads imply identical dHash imply
+    hamming 0 imply the pair MUST be emitted —
+    ``all_identical_pairs_emitted``, anchored on the SQL-exact
+    identical-payload pair count the DuckDB twin recomputes
+    independently (payload = UTF-8 text bytes, so md5(text) groups
+    within modality ARE the identical payloads); (2) the verify bound —
+    no emitted pair above max_hamming; (3) canonical output (a < b, no
+    duplicate pairs). Pair-level recall against one-byte-perturbed
+    payloads stays pinned in tests/test_multimodal.py::TestPhash."""
     from ..operators.multimodal import phash_near_duplicates
 
-    pairs = phash_near_duplicates(_media(spark, sf_dir))
-    return (
-        pairs.groupBy("modality")
-        .agg(
-            F.count(F.lit(1)).alias("dup_pairs"),
-            F.round(F.avg("hamming"), 4).alias("avg_hamming"),
-        )
-        .orderBy("modality")
-    )
+    media = _media(spark, sf_dir)
+    emitted = phash_near_duplicates(
+        media, max_hamming=_PHASH_MAX_HAMMING).localCheckpoint()
+    keyed = media.select("modality", "media_id",
+                         F.md5(F.col("payload")).alias("__h"))
+    same = (keyed.toDF("modality", "a_id", "__h")
+            .join(keyed.toDF("__m2", "b_id", "__h"),
+                  ["__h"])
+            .filter((F.col("modality") == F.col("__m2"))
+                    & (F.col("a_id") < F.col("b_id")))
+            .select("modality", "a_id", "b_id"))
+    modalities = media.select("modality").distinct()
+    n_dup = (same.groupBy("modality")
+             .agg(F.count(F.lit(1)).alias("n_identical_payload_pairs")))
+    missing = (same.join(emitted.select("a_id", "b_id"),
+                         ["a_id", "b_id"], "left_anti")
+               .groupBy("modality")
+               .agg(F.count(F.lit(1)).alias("__missing")))
+    stats = (emitted.groupBy("modality")
+             .agg(F.every(F.col("hamming") <= _PHASH_MAX_HAMMING)
+                  .alias("__h_ok"),
+                  (F.every(F.col("a_id") < F.col("b_id"))
+                   & (F.count(F.lit(1))
+                      == F.count_distinct(F.col("a_id"), F.col("b_id"))))
+                  .alias("__canon")))
+    return (modalities
+            .join(n_dup, "modality", "left")
+            .join(missing, "modality", "left")
+            .join(stats, "modality", "left")
+            .select(
+                "modality",
+                F.coalesce("n_identical_payload_pairs", F.lit(0))
+                .alias("n_identical_payload_pairs"),
+                (F.coalesce("__missing", F.lit(0)) == 0)
+                .alias("all_identical_pairs_emitted"),
+                F.coalesce("__h_ok", F.lit(True))
+                .alias("max_hamming_within_bound"),
+                F.coalesce("__canon", F.lit(True)).alias("pairs_canonical"))
+            .orderBy("modality"))
+
+
+ORACLE_MEDIA_PHASH = """
+WITH media AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         md5(text) AS fp
+  FROM documents
+), grp AS (
+  SELECT modality, fp, COUNT(*) AS c FROM media GROUP BY 1, 2
+)
+SELECT modality,
+       CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+           AS n_identical_payload_pairs,
+       TRUE AS all_identical_pairs_emitted,
+       TRUE AS max_hamming_within_bound,
+       TRUE AS pairs_canonical
+FROM grp
+GROUP BY modality
+ORDER BY modality
+"""
 
 
 def q_media_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -559,9 +559,12 @@ _ALL: list[Query] = [
           llmdata.ORACLE_INCREMENTAL_DEDUP,
           "incremental batch-vs-corpus fingerprint dedup: shuffled hash "
           "probe + within-batch rank, per-source accounting"),
-    Query("sketch_profile", llmdata.q_sketch_profile, None,
-          "HLL distinct + t-digest quantiles per group (rows-only; "
-          "accuracy-vs-exact asserted in tests)"),
+    Query("sketch_profile", llmdata.q_sketch_profile,
+          llmdata.ORACLE_SKETCH_PROFILE,
+          "HLL++ distinct + approx-percentile quantiles per group with "
+          "BOTH error contracts in the gate: exact distincts recomputed "
+          "by the twin, 3·rsd HLL envelope + 3ε·N GK rank booleans "
+          "(incl. p99) pinned TRUE"),
     # --- MLlib path (fitted models; rows-only, accuracy asserted in tests) ---
     Query("knn_ivf", mlqueries.q_knn_ivf, None,
           "IVF ANN: KMeans cells + partition-pruned probe + exact rerank "
@@ -674,9 +677,11 @@ _ALL: list[Query] = [
     Query("media_audio_neardup", multimodal.q_media_audio_neardup, None,
           "segment-level audio near-dup (per-window dHash + positional "
           "banded join + segment-majority verify; rows-only)"),
-    Query("media_phash", multimodal.q_media_phash, None,
-          "perceptual-hash (dHash) near-dup pairs via banded LSH join "
-          "(rows-only; recall pinned in tests)"),
+    Query("media_phash", multimodal.q_media_phash,
+          multimodal.ORACLE_MEDIA_PHASH,
+          "perceptual-hash (dHash) media near-dup with theorem gate: "
+          "exact identical-payload pair count per modality + "
+          "emitted/hamming-bound/canonical invariants pinned TRUE"),
     # --- tokenizer training + sequence assembly ---
     Query("tfidf_keywords", tokenization.q_tfidf_keywords,
           tokenization.ORACLE_TFIDF_KEYWORDS,
@@ -846,11 +851,14 @@ _ALL: list[Query] = [
 #     every front-50 since — the cumulative-coverage gap);
 # (3) stalest-first — all 35 rows whose newest green row is round 3,
 #     then the round-4 rows in alphabetical order until the list holds
-#     exactly 50. Local harnesses still verify the full registry at 3
+#     exactly 50 (the continuation session's three additional upgrades —
+#     streaming_dedup_embedding, media_phash, sketch_profile — displaced
+#     the last three round-4 alphabetical slots, which rotate next
+#     round). Local harnesses still verify the full registry at 3
 #     scale factors each round.
 _FRONT = [
     # changed this round (new/changed oracles gate the round they land)
-    "streaming_dedup_embedding",
+    "streaming_dedup_embedding", "media_phash", "sketch_profile",
     "streaming_reservoir_sample", "dedup_minhash", "dedup_simhash",
     # never driver-gated (cumulative-coverage gap)
     "doc_pagerank", "doc_communities",
@@ -869,7 +877,6 @@ _FRONT = [
     # stalest: last gated in round 4 (alphabetical prefix)
     "ab_test", "above_avg_orders", "cohort_ltv", "cohort_overlap",
     "common_paths", "contamination", "conversion_latency",
-    "cumulative_unique_users", "curation_funnel",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

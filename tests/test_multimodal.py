@@ -248,10 +248,15 @@ class TestPhash:
 
         df = QUERIES["media_phash"].builder(spark, sf_dir)
         assert [f.name for f in df.schema.fields] == [
-            "modality", "dup_pairs", "avg_hamming"]
+            "modality", "n_identical_payload_pairs",
+            "all_identical_pairs_emitted", "max_hamming_within_bound",
+            "pairs_canonical"]
         for r in df.collect():
             assert r.modality in ("image", "audio", "video")
-            assert r.dup_pairs >= 0
+            assert r.n_identical_payload_pairs >= 0
+            assert r.all_identical_pairs_emitted is True
+            assert r.max_hamming_within_bound is True
+            assert r.pairs_canonical is True
 
 
 class TestMediaAlignment:
