@@ -19,24 +19,82 @@ from ..ml.lsh import minhash_text_pairs
 from ..sources.batch import load_table
 
 
+_IVF_RECALL_FLOOR = 6        # of 10 — measured 7/9/8 at the three SFs
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 neighbors of vec_id=0: KMeans coarse quantizer,
-    probe the 4 of 8 cells nearest the query, exact cosine rerank within.
-    Same query convention as knn_bruteforce/knn_ann (vec_id=0 excluded).
+    """IVF ANN with its contract carried into the oracle gate (upgraded
+    from rows-only, the r6-verdict-#4 recipe applied to the ANN family):
+    KMeans coarse quantizer, probe 4 of 8 cells nearest the query, exact
+    cosine rerank within — the approximate path whose pruning is the
+    whole point at scale. The gate pins:
+
+    - ``exact_top10_ids``: the EXACT answer (the knn_bruteforce scoring,
+      round(cosine,4) DESC then id), sorted — the DuckDB twin recomputes
+      it value-for-value;
+    - ``full_probe_equals_exact``: probing ALL cells must reproduce the
+      exact top-k — a theorem about the IVF machinery (assignment +
+      per-cell rerank + global k add no approximation; only pruning
+      does), so any bug in the cell pipeline flips it;
+    - ``recall_at_10_ok``: the pruned 4-of-8 probe finds ≥
+      {_IVF_RECALL_FLOOR}/10 of the exact set (measured 7-9 on the
+      fixture; the floor leaves seed/partitioning headroom).
 
     max_iter=8 on the quantizer: an IVF coarse quantizer needs rough
-    Voronoi cells, not converged centroids — recall is governed by n_probe
-    and the within-cell exact rerank (FAISS trains its coarse quantizers
-    with ~10 iterations for the same reason). Measured: identical top-k at
-    8 vs 20 iterations, fit time ~3x lower (each extra iteration is a full
-    Spark job over the training set)."""
+    Voronoi cells, not converged centroids — recall is governed by
+    n_probe and the within-cell exact rerank (FAISS trains its coarse
+    quantizers with ~10 iterations for the same reason)."""
+    from ..operators import similarity as sim
+
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     corpus = emb.filter(F.col("vec_id") != 0)
     model = fit_ivf(emb, "embedding", k=8, seed=7, max_iter=8)
-    assigned = assign_clusters(corpus, "embedding", model)
-    return ivf_topk(assigned, model, qvec, "embedding", "vec_id",
-                    k=10, n_probe=4)
+    assigned = assign_clusters(corpus, "embedding", model).localCheckpoint()
+    ann = ivf_topk(assigned, model, qvec, "embedding", "vec_id",
+                   k=10, n_probe=4).localCheckpoint()
+    full = ivf_topk(assigned, model, qvec, "embedding", "vec_id",
+                    k=10, n_probe=8)
+    exact = sim.brute_force_topk(corpus, qvec, "embedding", "vec_id",
+                                 k=10).localCheckpoint()
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    exact_ids = exact.agg(
+        F.sort_array(F.collect_list("vec_id")).alias("exact_top10_ids"))
+    fp_mismatch = (full.select("vec_id")
+                   .exceptAll(exact.select("vec_id"))
+                   .unionAll(exact.select("vec_id")
+                             .exceptAll(full.select("vec_id"))))
+    fp_eq = fp_mismatch.agg(
+        (F.count(F.lit(1)) == 0).alias("full_probe_equals_exact"))
+    hits = (ann.join(exact.select("vec_id"), "vec_id", "left_semi")
+            .agg((F.count(F.lit(1)) >= _IVF_RECALL_FLOOR)
+                 .alias("recall_at_10_ok")))
+    # 1-row theorem scalars: broadcast anchors (the dedup_simhash pattern)
+    return (n_corpus.crossJoin(F.broadcast(exact_ids))
+            .crossJoin(F.broadcast(fp_eq))
+            .crossJoin(F.broadcast(hits)))
+
+
+ORACLE_KNN_IVF = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))),
+           4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+), topk AS (
+    SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+)
+SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 0) AS n_corpus,
+       (SELECT list_sort(list(vec_id)) FROM topk) AS exact_top10_ids,
+       TRUE AS full_probe_equals_exact,
+       TRUE AS recall_at_10_ok
+"""
 
 
 def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:

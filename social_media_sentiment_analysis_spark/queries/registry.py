@@ -566,9 +566,11 @@ _ALL: list[Query] = [
           "by the twin, 3·rsd HLL envelope + 3ε·N GK rank booleans "
           "(incl. p99) pinned TRUE"),
     # --- MLlib path (fitted models; rows-only, accuracy asserted in tests) ---
-    Query("knn_ivf", mlqueries.q_knn_ivf, None,
-          "IVF ANN: KMeans cells + partition-pruned probe + exact rerank "
-          "(rows-only; recall vs brute force in tests)"),
+    Query("knn_ivf", mlqueries.q_knn_ivf,
+          mlqueries.ORACLE_KNN_IVF,
+          "IVF ANN with contract gate: exact top-10 recomputed by the "
+          "twin, full-probe==exact theorem + pruned-probe recall floor "
+          "pinned TRUE"),
     Query("dedup_minhash_mllib", mlqueries.q_dedup_minhash_mllib, None,
           "MinHashLSH approxSimilarityJoin near-dup pairs (rows-only; "
           "agreement vs exact Jaccard in tests)"),
@@ -851,14 +853,15 @@ _ALL: list[Query] = [
 #     every front-50 since — the cumulative-coverage gap);
 # (3) stalest-first — all 35 rows whose newest green row is round 3,
 #     then the round-4 rows in alphabetical order until the list holds
-#     exactly 50 (the continuation session's three additional upgrades —
-#     streaming_dedup_embedding, media_phash, sketch_profile — displaced
-#     the last three round-4 alphabetical slots, which rotate next
-#     round). Local harnesses still verify the full registry at 3
+#     exactly 50 (the continuation session's four additional upgrades —
+#     streaming_dedup_embedding, media_phash, sketch_profile, knn_ivf —
+#     displaced the last four round-4 alphabetical slots, which rotate
+#     next round). Local harnesses still verify the full registry at 3
 #     scale factors each round.
 _FRONT = [
     # changed this round (new/changed oracles gate the round they land)
     "streaming_dedup_embedding", "media_phash", "sketch_profile",
+    "knn_ivf",
     "streaming_reservoir_sample", "dedup_minhash", "dedup_simhash",
     # never driver-gated (cumulative-coverage gap)
     "doc_pagerank", "doc_communities",
@@ -876,7 +879,7 @@ _FRONT = [
     "zipf_exponent",
     # stalest: last gated in round 4 (alphabetical prefix)
     "ab_test", "above_avg_orders", "cohort_ltv", "cohort_overlap",
-    "common_paths", "contamination", "conversion_latency",
+    "common_paths", "contamination",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

@@ -106,8 +106,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             # same 1-row eps*N anchor, streamed CMS twin
                             "streaming_heavy_hitters",
                             # 1-row theorem-boolean scalars crossjoined
-                            # into the single invariant row (r7 oracle)
+                            # into the single invariant row (r7 oracles)
                             "dedup_simhash",
+                            "knn_ivf",
                             # 1-row bloom-bitmap anchor (map-side probe)
                             "bloom_decontamination",
                             "feature_drift",  # 1-row min/max anchors
