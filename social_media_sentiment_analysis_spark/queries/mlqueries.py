@@ -58,8 +58,13 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim.brute_force_topk(corpus, qvec, "embedding", "vec_id",
                                  k=10).localCheckpoint()
     n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # comma-joined string, not an array column: array encodings differ
+    # between the two engines' pandas bridges (numpy array vs list), which
+    # breaks the driver's repr-based value hash — same serialization
+    # convention as inverted_index's postings column
     exact_ids = exact.agg(
-        F.sort_array(F.collect_list("vec_id")).alias("exact_top10_ids"))
+        F.array_join(F.sort_array(F.collect_list("vec_id")), ",")
+        .alias("exact_top10_ids"))
     fp_mismatch = (full.select("vec_id")
                    .exceptAll(exact.select("vec_id"))
                    .unionAll(exact.select("vec_id")
@@ -91,7 +96,8 @@ scored AS (
     SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 )
 SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 0) AS n_corpus,
-       (SELECT list_sort(list(vec_id)) FROM topk) AS exact_top10_ids,
+       (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM topk)
+           AS exact_top10_ids,
        TRUE AS full_probe_equals_exact,
        TRUE AS recall_at_10_ok
 """

@@ -647,25 +647,35 @@ _ALL: list[Query] = [
     Query("media_metadata", multimodal.q_media_metadata,
           multimodal.ORACLE_MEDIA_METADATA,
           "per-modality metadata rollup, payload stays opaque/columnar"),
-    Query("media_frames", multimodal.q_media_frames, None,
+    Query("media_frames", multimodal.q_media_frames,
+          multimodal.ORACLE_MEDIA_FRAMES,
           "video frame sampling (mapInPandas row expansion) + per-media "
-          "rollup (rows-only; slicing parity in tests)"),
+          "rollup — r7: FULL oracle (the fake codec's stride/timestamp/"
+          "slice arithmetic replayed in SQL via generate_series)"),
     Query("media_dedup", multimodal.q_media_dedup,
           multimodal.ORACLE_MEDIA_DEDUP,
           "exact media dedup by payload content hash (JVM-side md5 over "
           "binary; bytes never cross to Python)"),
-    Query("media_segments", multimodal.q_media_segments, None,
+    Query("media_segments", multimodal.q_media_segments,
+          multimodal.ORACLE_MEDIA_SEGMENTS,
           "audio segmentation (overlapping 1s windows, 500ms hop) + "
-          "per-media rollup (rows-only; slicing parity in tests)"),
-    Query("media_features", multimodal.q_media_features, None,
-          "mapInPandas decode→features (deterministic fake codec; "
-          "rows-only check, pandas parity in tests)"),
-    Query("media_alignment", multimodal.q_media_alignment, None,
-          "CLIP-score-style caption↔media alignment audit (stub encoder, "
-          "real Arrow plumbing; matched vs mismatched cosine gap)"),
-    Query("media_video_neardup", multimodal.q_media_video_neardup, None,
+          "per-media rollup — r7: FULL oracle (hop loop incl. early-exit "
+          "and byte-offset floors replayed in SQL)"),
+    Query("media_features", multimodal.q_media_features,
+          multimodal.ORACLE_MEDIA_FEATURES,
+          "mapInPandas decode→features per-modality rollup — r7: FULL "
+          "oracle (byte means as code-point averages, frame counts as "
+          "the 256-byte ceil, recomputed in SQL)"),
+    Query("media_alignment", multimodal.q_media_alignment,
+          multimodal.ORACLE_MEDIA_ALIGNMENT,
+          "CLIP-score-style caption↔media alignment audit — r7: theorem "
+          "oracle (SQL-exact matched/mismatched pair counts; matched "
+          "cosine-1 and positive-gap booleans pinned TRUE)"),
+    Query("media_video_neardup", multimodal.q_media_video_neardup,
+          multimodal.ORACLE_MEDIA_VIDEO_NEARDUP,
           "frame-level video near-dup (per-frame dHash + banded join + "
-          "frame-majority verify; rows-only — decode crossing)"),
+          "frame-majority verify) — r7: theorem oracle (exact identical-"
+          "payload pair count + emitted/bounds/canonical pinned TRUE)"),
     Query("doc_communities", llmdata.q_doc_communities,
           llmdata.ORACLE_DOC_COMMUNITIES,
           "label-propagation communities over the near-dup graph "
@@ -676,9 +686,11 @@ _ALL: list[Query] = [
     Query("word_embeddings", mlqueries.q_word_embeddings, None,
           "Word2Vec skip-gram fit + top-5 neighbors of the most frequent "
           "word (rows-only — learned weights)"),
-    Query("media_audio_neardup", multimodal.q_media_audio_neardup, None,
+    Query("media_audio_neardup", multimodal.q_media_audio_neardup,
+          multimodal.ORACLE_MEDIA_AUDIO_NEARDUP,
           "segment-level audio near-dup (per-window dHash + positional "
-          "banded join + segment-majority verify; rows-only)"),
+          "banded join + segment-majority verify) — r7: theorem oracle "
+          "(exact identical-payload pair count + invariants pinned TRUE)"),
     Query("media_phash", multimodal.q_media_phash,
           multimodal.ORACLE_MEDIA_PHASH,
           "perceptual-hash (dHash) media near-dup with theorem gate: "

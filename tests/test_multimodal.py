@@ -285,8 +285,9 @@ class TestMediaAlignment:
         rows = QUERIES["media_alignment"].builder(spark, sf_dir).collect()
         assert {r.modality for r in rows} == {"image", "audio", "video"}
         for r in rows:
-            assert r.n_pairs > 0
-            assert r.alignment_gap > 0, r
+            assert r.n_matched_pairs > 0
+            assert r.matched_all_perfect, r
+            assert r.alignment_gap_positive, r
 
 
 class TestVideoNearDup:
@@ -330,12 +331,18 @@ class TestVideoNearDup:
         )
 
         out = q_media_video_neardup(spark, sf_dir)
-        assert out.columns == ["dup_pairs", "avg_match_frac",
-                               "avg_matched_frames"]
+        assert out.columns == ["n_identical_payload_pairs",
+                               "all_identical_pairs_emitted",
+                               "match_frac_within_bounds",
+                               "pairs_canonical"]
         row = out.first()
-        # the documents testdata carries exact duplicate texts, so some
-        # video payload pairs must match
-        assert row.dup_pairs > 0
+        # identical-payload pairs only exist within the video modality at
+        # sf0.1 (the planted text dups straddle modalities at smaller SFs,
+        # same as media_phash); the theorems must hold at every SF
+        assert row.n_identical_payload_pairs >= 0
+        assert row.all_identical_pairs_emitted
+        assert row.match_frac_within_bounds
+        assert row.pairs_canonical
 
 
 class TestAudioNearDup:
@@ -367,6 +374,8 @@ class TestAudioNearDup:
         )
 
         row = q_media_audio_neardup(spark, sf_dir).first()
-        # aggregate row always exists; pair count is data-dependent (the
-        # synthetic-payload test above pins the recall semantics)
-        assert row is not None and row.dup_pairs >= 0
+        # theorem row always exists; the synthetic-payload test above pins
+        # the recall semantics, the contract booleans must hold on testdata
+        assert row is not None and row.n_identical_payload_pairs >= 0
+        assert row.all_identical_pairs_emitted
+        assert row.match_frac_within_bounds and row.pairs_canonical

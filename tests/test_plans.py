@@ -109,6 +109,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             # into the single invariant row (r7 oracles)
                             "dedup_simhash",
                             "knn_ivf",
+                            "media_video_neardup",
+                            "media_audio_neardup",
                             # 1-row bloom-bitmap anchor (map-side probe)
                             "bloom_decontamination",
                             "feature_drift",  # 1-row min/max anchors
