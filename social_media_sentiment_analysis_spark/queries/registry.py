@@ -743,14 +743,16 @@ _ALL: list[Query] = [
           tokenization.ORACLE_OOV_RATE,
           "per-source OOV rate against the top-40 corpus vocabulary "
           "(broadcast vocab membership probe)"),
-    Query("bpe_tokenize", tokenization.q_bpe_tokenize, None,
-          "train-then-apply BPE: encode the corpus with learned merges "
-          "(distinct-word encode + weighted histogram; rows-only — "
-          "iterative; encode pinned to reference in tests)"),
-    Query("bpe_merges", tokenization.q_bpe_merges, None,
-          "distributed BPE merge training (iterative, vocabulary-sized "
-          "working set; rows-only — pinned to a single-process reference "
-          "implementation in tests)"),
+    Query("bpe_tokenize", tokenization.q_bpe_tokenize,
+          tokenization.ORACLE_BPE_TOKENIZE,
+          "train-then-apply BPE encode — r7: conservation oracle "
+          "(SQL-exact word count + char mass; Spark recomputes the mass "
+          "from the encoded stream; roundtrip/vocab-bound pinned TRUE)"),
+    Query("bpe_merges", tokenization.q_bpe_merges,
+          tokenization.ORACLE_BPE_MERGES,
+          "distributed BPE merge training — r7: theorem oracle (SQL-exact "
+          "first merge + count-monotonicity/distinctness booleans; full "
+          "merge list pinned to a single-process reference in tests)"),
     Query("pack_sequences", tokenization.q_pack_sequences,
           tokenization.ORACLE_PACK_SEQUENCES,
           "greedy fixed-budget sequence packing via running-sum window; "

@@ -239,26 +239,75 @@ ORDER BY source, bin
 
 
 # ---------------------------------------------------------------------------
-# Distributed BPE merge training (iterative; rows-only registry entry)
+# Distributed BPE merge training (iterative; theorem-oracle registry entry)
 # ---------------------------------------------------------------------------
 
 _BPE_MERGES = 10
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 10 BPE merges learned from the corpus word-frequency table
-    (operators/bpe.py::train_bpe — K tiny jobs over the vocabulary-sized
-    working set, lineage truncated per round). Iterative, so no DuckDB
-    oracle; the test pins the Spark merge list to a single-process
-    reference implementation."""
+    """BPE merge training with its contract carried into the oracle gate
+    (upgraded from rows-only, r7 — the knn_ivf recipe for iterative
+    algorithms): ``operators/bpe.py::train_bpe`` learns 10 merges (K tiny
+    jobs over the vocabulary-sized working set, lineage truncated per
+    round); the training loop has no SQL twin, but its ROUND-0 STEP and
+    its monotonicity theorem do:
+
+    - ``first_left/first_right/first_count``: the first merge is by
+      definition the most frequent freq-weighted adjacent character pair
+      of the corpus vocabulary (lexicographic tiebreak) — the DuckDB twin
+      recomputes it exactly from the same word-frequency table;
+    - ``counts_nonincreasing``: merging (a,b) creates symbol ab whose new
+      neighbor-pair counts are bounded by pre-merge counts (every (x,ab)
+      occurrence was an (x,a) occurrence), so the per-round best count
+      can never rise — any bookkeeping bug in the fold breaks this;
+    - ``merges_distinct``: a merged pair's count drops to zero, so no
+      pair is ever re-learned.
+
+    The full 10-merge list stays pinned word-for-word to the
+    single-process reference in tests/test_text_functions.py::TestBPE."""
     from ..operators.bpe import train_bpe
 
     wf = _tokens(spark, sf_dir).groupBy(F.col("word")).agg(
         F.count(F.lit(1)).alias("freq"))
     merges = train_bpe(wf, _BPE_MERGES)
+    counts = [n for _, _, n in merges]
     return spark.createDataFrame(
-        [(i + 1, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
-        "rank int, left string, right string, merged string, pair_count long")
+        [(
+            len(merges),
+            merges[0][0], merges[0][1], int(merges[0][2]),
+            all(x >= y for x, y in zip(counts, counts[1:])),
+            len({(a, b) for a, b, _ in merges}) == len(merges),
+        )],
+        "n_merges long, first_left string, first_right string, "
+        "first_count long, counts_nonincreasing boolean, "
+        "merges_distinct boolean")
+
+
+ORACLE_BPE_MERGES = f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'))
+        AS word
+    FROM documents WHERE lang = 'en'
+), words AS (
+    SELECT word, COUNT(*) AS freq FROM toks
+    WHERE length(word) >= {_MIN_WORD_LEN}
+    GROUP BY word
+), pairs AS (
+    SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r,
+           SUM(freq) AS n
+    FROM words, UNNEST(generate_series(1, length(word) - 1)) AS t(i)
+    GROUP BY 1, 2
+), best AS (
+    SELECT l, r, n FROM pairs ORDER BY n DESC, l, r LIMIT 1
+)
+SELECT CAST({_BPE_MERGES} AS BIGINT) AS n_merges,
+       l AS first_left, r AS first_right,
+       CAST(n AS BIGINT) AS first_count,
+       TRUE AS counts_nonincreasing,
+       TRUE AS merges_distinct
+FROM best
+"""
 
 
 _PMI_MIN_COUNT = 10
@@ -358,29 +407,71 @@ ORDER BY a, b
 
 
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-apply: learn 10 BPE merges, encode the corpus with them,
-    return the top-20 subword tokens by weighted frequency — the vocabulary
-    histogram a tokenizer-build run reports.
+    """Train-then-apply BPE encoding with its contract carried into the
+    oracle gate (upgraded from rows-only, r7): learn 10 merges, encode the
+    corpus with them (once per DISTINCT word — operators/bpe.py::
+    encode_words; corpus weight rides the frequency column, so
+    corpus-sized work never touches the merge fold), then gate what the
+    encode must preserve:
 
-    The encode runs once per DISTINCT word (operators/bpe.py::encode_words)
-    and the corpus weight rides the word-frequency column — corpus-sized
-    work never touches the merge fold. Rows-only (iterative training); the
-    encode itself is pinned row-for-row to a single-process reference in
-    tests/test_text_functions.py::TestBPE."""
+    - ``n_words`` / ``total_char_mass``: the distinct-word count and the
+      freq-weighted character mass — SQL-exact anchors the DuckDB twin
+      recomputes from the same tokenization, and the conservation law:
+      Σ_tokens n·len(token) over the encoded stream MUST equal
+      Σ_words freq·len(word) because BPE merges only regroup characters,
+      never create or drop them (the Spark side computes the left-hand
+      side from the encoded output — any fold bug that loses or
+      duplicates a symbol breaks the equality);
+    - ``roundtrip_ok``: every word reassembles from its subwords;
+    - ``vocab_within_bound``: each merge adds at most one new symbol, so
+      |token vocabulary| ≤ |alphabet| + n_merges.
+
+    The encode stays pinned word-for-word to the single-process reference
+    encoder in tests/test_text_functions.py::TestBPEEncode."""
     from ..operators.bpe import encode_words, train_bpe
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     wf = _tokens(spark, sf_dir).groupBy(F.col("word")).agg(
         F.count(F.lit(1)).alias("freq"))
     merges = train_bpe(wf, _BPE_MERGES)
-    encoded = encode_words(docs, "text", merges)
-    return (
-        encoded.select(F.explode("subwords").alias("token"), "n_occurrences")
-        .groupBy("token")
-        .agg(F.sum("n_occurrences").alias("n"))
-        .orderBy(F.desc("n"), "token")
-        .limit(20)
-    )
+    encoded = encode_words(docs, "text", merges).localCheckpoint()
+    toks = encoded.select(F.explode("subwords").alias("token"),
+                          "n_occurrences")
+    anchors = encoded.agg(
+        F.count(F.lit(1)).alias("n_words"))
+    mass = toks.agg(
+        F.sum(F.col("n_occurrences") * F.length("token"))
+        .cast("bigint").alias("total_char_mass"))
+    roundtrip = encoded.agg(
+        F.every(F.array_join("subwords", "") == F.col("word"))
+        .alias("roundtrip_ok"))
+    vocab = toks.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("__vocab"))
+    alphabet = (encoded
+                .select(F.explode(F.split("word", "")).alias("c"))
+                .distinct().agg(F.count(F.lit(1)).alias("__alpha")))
+    bound = (vocab.crossJoin(F.broadcast(alphabet))
+             .select((F.col("__vocab") <= F.col("__alpha")
+                      + F.lit(len(merges))).alias("vocab_within_bound")))
+    # 1-row theorem scalars: broadcast anchors (the dedup_simhash pattern)
+    return (anchors.crossJoin(F.broadcast(mass))
+            .crossJoin(F.broadcast(roundtrip))
+            .crossJoin(F.broadcast(bound)))
+
+
+ORACLE_BPE_TOKENIZE = """
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents WHERE lang = 'en'
+), words AS (
+    SELECT word, COUNT(*) AS n FROM toks WHERE word <> '' GROUP BY word
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n * length(word)) AS BIGINT) AS total_char_mass,
+       TRUE AS roundtrip_ok,
+       TRUE AS vocab_within_bound
+FROM words
+"""
 
 
 _OOV_VOCAB_SIZE = 40

@@ -211,7 +211,9 @@ class TestBPEEncode:
         )
 
         rows = QUERIES["bpe_tokenize"].builder(spark, sf_dir).collect()
-        assert len(rows) == 20
-        # weighted counts positive and sorted
-        ns = [r.n for r in rows]
-        assert ns == sorted(ns, reverse=True) and ns[-1] >= 1
+        assert len(rows) == 1
+        row = rows[0]
+        # conservation + roundtrip + vocab-bound theorems all hold, and
+        # the anchors are real (non-empty corpus)
+        assert row.n_words > 0 and row.total_char_mass > row.n_words
+        assert row.roundtrip_ok and row.vocab_within_bound
