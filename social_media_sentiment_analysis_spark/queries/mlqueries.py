@@ -17,6 +17,7 @@ from ..ml.classifier import classify, fit_sentiment_classifier
 from ..ml.ivf import assign_clusters, fit_ivf, ivf_topk
 from ..ml.lsh import minhash_text_pairs
 from ..sources.batch import load_table
+from .sqlgen import sql_clean
 
 
 _IVF_RECALL_FLOOR = 6        # of 10 — measured 7/9/8 at the three SFs
@@ -103,56 +104,272 @@ SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 0) AS n_corpus,
 """
 
 
+_MLLIB_JACCARD = 0.5
+_MLLIB_RECALL_FLOOR = 0.8   # measured 1.0 at all three SFs (vanilla session)
+
+
 def q_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH approxSimilarityJoin near-dup pairs over documents — the
-    library twin of dedup_minhash (hand-rolled banding)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        minhash_text_pairs(docs, "text", "doc_id",
-                           jaccard_threshold=0.5, num_hash_tables=8)
-        .orderBy("a_id", "b_id")
-    )
+    """MinHashLSH approxSimilarityJoin near-dup pairs — the library twin
+    of dedup_minhash (hand-rolled banding) — with its contract carried
+    into the oracle gate (upgraded from rows-only, r7). The library path
+    thresholds on the ESTIMATED Jaccard (8 signature hashes), so
+    pair-by-pair parity with the exact answer is not a theorem; what IS:
+
+    - ``n_exact_pairs``: the exhaustive exact-Jaccard-≥-0.5 pair count,
+      computed in-Spark by an UNBLOCKED postings self-join (no LSH — the
+      same referee construction as the dedup_minhash DuckDB twin) and
+      recomputed independently by the twin;
+    - ``all_text_dup_pairs_emitted``: identical cleaned_text implies
+      identical shingle features implies identical signatures implies
+      estimated distance 0 — those pairs can never be missed;
+    - ``recall_vs_exact_ok``: the estimated threshold recalls ≥ 80% of
+      the exact pair set (measured 100% at all three SFs; the floor
+      leaves signature-estimation headroom);
+    - ``pairs_canonical``: a_id < b_id, no duplicates.
+
+    Same cleaned-text dialect as the hand path so the two referees agree.
+    """
+    from ..functions.text import clean_text, shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", clean_text(F.col("text")).alias("cleaned_text"))
+    emitted = minhash_text_pairs(
+        docs, "cleaned_text", "doc_id",
+        jaccard_threshold=_MLLIB_JACCARD,
+        num_hash_tables=8).localCheckpoint()
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("cleaned_text"))))
+        .alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (sh.toDF("a_id", "s").join(sh.toDF("b_id", "s"), "s")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("inter")))
+    exact = (shared.join(sizes.toDF("a_id", "na"), "a_id")
+             .join(sizes.toDF("b_id", "nb"), "b_id")
+             .withColumn("j", F.round(
+                 F.col("inter")
+                 / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+             .filter(F.col("j") >= _MLLIB_JACCARD)
+             .select("a_id", "b_id").localCheckpoint())
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    ident = (docs.toDF("a_id", "t").join(docs.toDF("b_id", "t"), "t")
+             .filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id"))
+    all_ident = (ident.join(emitted, ["a_id", "b_id"], "left_anti")
+                 .agg((F.count(F.lit(1)) == 0)
+                      .alias("all_text_dup_pairs_emitted")))
+    hits = emitted.join(exact, ["a_id", "b_id"], "left_semi") \
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    recall = (hits.crossJoin(F.broadcast(n_exact.toDF("__n")))
+              .select((F.col("__hits")
+                       >= _MLLIB_RECALL_FLOOR * F.col("__n"))
+                      .alias("recall_vs_exact_ok")))
+    canonical = emitted.agg(
+        (F.coalesce(F.every(F.col("a_id") < F.col("b_id")), F.lit(True))
+         & (F.count(F.lit(1))
+            == F.count_distinct(F.col("a_id"), F.col("b_id"))))
+        .alias("pairs_canonical"))
+    # 1-row theorem scalars: broadcast anchors (the dedup_simhash pattern)
+    return (n_exact.crossJoin(F.broadcast(all_ident))
+            .crossJoin(F.broadcast(recall))
+            .crossJoin(F.broadcast(canonical)))
+
+
+ORACLE_DEDUP_MINHASH_MLLIB = f"""
+WITH docs AS (
+    SELECT doc_id, {sql_clean('text')} AS cleaned_text FROM documents
+), toked AS (
+    SELECT doc_id, string_split(cleaned_text, ' ') AS toks FROM docs
+), sets_ AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 3
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct([
+                    array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)])
+           END AS sh
+    FROM toked
+), sizes AS (
+    SELECT doc_id, len(sh) AS n FROM sets_
+), post AS (
+    SELECT doc_id, unnest(sh) AS s FROM sets_
+), shared AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+    FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS all_text_dup_pairs_emitted,
+       TRUE AS recall_vs_exact_ok,
+       TRUE AS pairs_canonical
+FROM shared
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.5
+"""
+
+
+_CLF_AGREEMENT_FLOOR = 0.9   # measured 0.976 / 0.990 / 0.999 (vanilla)
 
 
 def q_classify_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train TF-IDF + logistic regression on lexicon weak labels, score the
-    same corpus, and roll up predicted-label counts (stable small output)."""
+    """Train TF-IDF + logistic regression on lexicon weak labels and score
+    the same corpus, with the student–teacher contract carried into the
+    oracle gate (upgraded from rows-only, r7): the fitted weights have no
+    SQL twin, but (1) scoring must be total — ``n_docs`` (SQL-exact) rows
+    in, n_docs predictions out; (2) every prediction must be one of the
+    three fixed labels; (3) the student must fit its own training signal —
+    agreement with the deterministic lexicon teacher ≥ 90% (measured
+    0.976–0.999 across the three SFs under the driver's vanilla session;
+    the floor leaves LBFGS/partitioning headroom)."""
+    from ..ml.classifier import LABELS, weak_labels
+
     docs = load_table(spark, sf_dir, "documents")
     model = fit_sentiment_classifier(docs, text_col="text",
                                      num_features=1 << 12)
-    return (
-        classify(model, docs, text_col="text")
-        .groupBy("predicted_sentiment")
-        .agg(F.count(F.lit(1)).alias("doc_count"))
-        .orderBy("predicted_sentiment")
-    )
+    scored = classify(model, docs, text_col="text") \
+        .select("doc_id", "predicted_sentiment")
+    teacher = weak_labels(docs, text_col="text").select("doc_id", "label")
+    label_arr = F.array(*[F.lit(x) for x in LABELS])
+    joined = scored.join(teacher, "doc_id").withColumn(
+        "__teacher", label_arr[F.col("label").cast("int")])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.every(F.col("predicted_sentiment").isin(*LABELS))
+        .alias("labels_valid"),
+        (F.avg((F.col("predicted_sentiment") == F.col("__teacher"))
+               .cast("double")) >= _CLF_AGREEMENT_FLOOR)
+        .alias("teacher_agreement_ok"))
+
+
+ORACLE_CLASSIFY_SENTIMENT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS labels_valid,
+       TRUE AS teacher_agreement_ok
+FROM documents
+"""
+
+
+_SEM_THRESHOLD = 0.4   # testdata max cosine ≈ 0.47: 0.4 makes the dup
+                       # graph non-vacuous (920 exact pairs at sf0.1); a
+                       # production run sets ~0.95+ on real embeddings
+_SEM_RECALL_FLOOR = 0.25   # measured 0.48 / 0.56 / 0.36 (vanilla session)
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: KMeans-cluster-pruned cosine
-    near-dup groups, min-id keeper per group. Reported per label: corpus
-    size, kept size, drop count — the per-stratum audit a curation run
-    logs. Rows-only (fitted centroids); the k=1 ≡ brute-force equivalence
-    and cross-k recall are pinned in tests/test_ml.py::TestSemDeDup."""
+    """SemDeDup over the embeddings table (KMeans-cluster-pruned cosine
+    near-dup groups, min-id keeper) with its contract carried into the
+    oracle gate (upgraded from rows-only, r7). The fitted centroids have
+    no SQL twin and the drop SET depends on cluster boundaries, so the
+    gate pins the clustering-independent facts:
+
+    - ``n_total`` and ``n_exact_droppable``: corpus size and the exact
+      duplicate-graph non-root count (connected components over ALL pairs
+      at rounded cosine ≥ 0.4, no blocking) — the DuckDB twin recomputes
+      both, the droppable count via the recursive-CTE closure (the
+      dedup_clusters referee);
+    - ``drops_subset_of_exact``: every dropped vector genuinely has an
+      exact near-dup — SemDeDup's within-cluster pairs exact-verify, so a
+      drop outside the exact dup-vertex set means the verify broke;
+    - ``drop_recall_ok``: cluster pruning still finds ≥ 25% of the exact
+      droppable mass (measured 0.36–0.56 across SFs; boundary-straddling
+      pairs are the recall loss, the SemDeDup paper's trade).
+
+    The k=1 ≡ brute-force equivalence and cross-k recall stay pinned in
+    tests/test_ml.py::TestSemDeDup."""
     from ..ml.semdedup import semantic_dedup
+    from ..operators.dedup import embedding_near_duplicates
+    from ..operators.graph import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.97)
-    return (
-        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
-        .join(kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept")),
-              "label", "left")
-        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
-        .withColumn("n_dropped", F.col("n_total") - F.col("n_kept"))
-        .orderBy("label")
-    )
+    kept = semantic_dedup(emb, "embedding", "vec_id",
+                          k=8, threshold=_SEM_THRESHOLD)
+    dropped = emb.join(kept.select("vec_id"), "vec_id", "left_anti") \
+        .select("vec_id").localCheckpoint()
+    exact_pairs = embedding_near_duplicates(
+        emb.withColumn("__b", F.lit(0)), "embedding", "vec_id",
+        block_col="__b", threshold=_SEM_THRESHOLD)
+    pcols = exact_pairs.columns
+    comps = connected_components(exact_pairs.select(
+        F.col(pcols[0]).alias("a_id"),
+        F.col(pcols[1]).alias("b_id"))).localCheckpoint()
+    n_total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    droppable = comps.filter(F.col("node") != F.col("component")).agg(
+        F.count(F.lit(1)).alias("n_exact_droppable"))
+    verts = comps.select(F.col("node").alias("vec_id"))
+    subset = (dropped.join(verts, "vec_id", "left_anti")
+              .agg((F.count(F.lit(1)) == 0)
+                   .alias("drops_subset_of_exact")))
+    recall = (dropped.agg(F.count(F.lit(1)).alias("__d"))
+              .crossJoin(F.broadcast(droppable.toDF("__n")))
+              .select((F.col("__d") >= _SEM_RECALL_FLOOR * F.col("__n"))
+                      .alias("drop_recall_ok")))
+    # 1-row theorem scalars: broadcast anchors (the dedup_simhash pattern)
+    return (n_total.crossJoin(F.broadcast(droppable))
+            .crossJoin(F.broadcast(subset))
+            .crossJoin(F.broadcast(recall)))
+
+
+# Norms factored into a per-vector CTE: same IEEE values as the Spark
+# cosine (dot / (norm_a · norm_b), each norm computed from its own vector),
+# ~3x less list work than recomputing norms per pair — the all-pairs scan
+# is the oracle's dominant cost at sf0.1.
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH RECURSIVE normed AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> x::DOUBLE) AS e,
+           sqrt(list_sum(list_transform(embedding,
+                x -> x::DOUBLE * x::DOUBLE))) AS nrm
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE round(
+        list_sum(list_transform(range(1, len(a.e) + 1),
+                 i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm),
+      4) >= {_SEM_THRESHOLD}
+), edges AS (
+    SELECT a_id AS u, b_id AS v FROM pairs
+    UNION
+    SELECT b_id, a_id FROM pairs
+), reach(node, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, rr.r FROM edges e JOIN reach rr ON e.v = rr.node
+), labels AS (
+    SELECT node, MIN(r) AS root FROM reach GROUP BY node
+)
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_total,
+       CAST((SELECT COUNT(*) FROM labels WHERE node <> root) AS BIGINT)
+           AS n_exact_droppable,
+       TRUE AS drops_subset_of_exact,
+       TRUE AS drop_recall_ok
+"""
+
+
+_REC_K = 3
+_REC_USERS = 5
 
 
 def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALS implicit-feedback recommendations: top-3 parts for the five
-    lowest-numbered customers with purchase history. Rows-only (factor
-    matrices have no SQL twin); fit quality and ranking sanity are pinned
-    in tests/test_ml.py::TestALS."""
+    """ALS implicit-feedback recommendations (top-3 parts for the five
+    lowest-numbered customers with purchase history) with the contract
+    carried into the oracle gate (upgraded from rows-only, r7): the factor
+    matrices have no SQL twin, but per served user the gate pins —
+
+    - ``user``: the served user set is SQL-exact (the five lowest
+      custkeys holding any purchase — the twin recomputes it);
+    - ``n_recs``: exactly k recommendations come back per user;
+    - ``ranks_contiguous``: rec_rank is 1..k with no gaps;
+    - ``items_in_catalog``: every recommended part was interacted with by
+      SOMEONE (ALS item factors only exist for observed items — a rec
+      outside the catalog means the explode/join plumbing broke);
+    - ``scores_nonincreasing``: the rank order matches the score order.
+
+    Fit quality vs a popularity baseline stays pinned in
+    tests/test_ml.py::TestALS."""
+    from pyspark.sql import Window
+
     from ..ml.recommend import (
         fit_als, purchase_interactions, recommend_for_users,
     )
@@ -161,10 +378,48 @@ def q_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     inter = purchase_interactions(lineitem, orders).cache()
     model = fit_als(inter)
-    users = (inter.select("user").distinct().orderBy("user").limit(5))
-    out = recommend_for_users(model, users, k=3)
+    users = (inter.select("user").distinct().orderBy("user")
+             .limit(_REC_USERS))
+    out = recommend_for_users(model, users, k=_REC_K).localCheckpoint()
+    catalog = inter.select("item").distinct() \
+        .withColumn("__in_cat", F.lit(True))
+    w = Window.partitionBy("user").orderBy("rec_rank")
+    flagged = (out.join(catalog, "item", "left")
+               .withColumn("__rn", F.row_number().over(w))
+               .withColumn("__prev", F.lag("score").over(w)))
+    res = (flagged.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.every(F.col("rec_rank") == F.col("__rn"))
+        .alias("ranks_contiguous"),
+        F.every(F.coalesce(F.col("__in_cat"), F.lit(False)))
+        .alias("items_in_catalog"),
+        F.every(F.col("__prev").isNull()
+                | (F.col("score") <= F.col("__prev")))
+        .alias("scores_nonincreasing"))
+        .select(F.col("user").cast("long").alias("user"),
+                F.col("n_recs").cast("long").alias("n_recs"),
+                "ranks_contiguous", "items_in_catalog",
+                "scores_nonincreasing")
+        .orderBy("user"))
     inter.unpersist()
-    return out.select("user", "rec_rank", "item").orderBy("user", "rec_rank")
+    return res
+
+
+ORACLE_RECOMMEND_PARTS = f"""
+WITH purchasers AS (
+    SELECT DISTINCT o.o_custkey AS user
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), served AS (
+    SELECT user FROM purchasers ORDER BY user LIMIT {_REC_USERS}
+)
+SELECT CAST(user AS BIGINT) AS user,
+       CAST({_REC_K} AS BIGINT) AS n_recs,
+       TRUE AS ranks_contiguous,
+       TRUE AS items_in_catalog,
+       TRUE AS scores_nonincreasing
+FROM served
+ORDER BY user
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -255,11 +510,23 @@ ORDER BY user, neg_rank
 # Word2Vec distributional embeddings
 # ---------------------------------------------------------------------------
 
+_W2V_K = 5
+
+
 def q_word_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit skip-gram Word2Vec on the documents corpus and report the top-5
-    nearest-vocabulary neighbors of the corpus's most frequent word —
-    the standard embedding sanity probe. Rows-only (learned weights have
-    no SQL twin); neighborhood quality is pinned in tests/test_ml.py.
+    """Fit skip-gram Word2Vec on the documents corpus and probe the top-5
+    nearest-vocabulary neighbors of the corpus's most frequent word, with
+    the probe's contract carried into the oracle gate (upgraded from
+    rows-only, r7): the learned weights have no SQL twin, but —
+
+    - ``query_word``: the probe word is SQL-exact (the corpus's most
+      frequent token under the same tokenization, count-then-word
+      tiebreak — the DuckDB twin recomputes it);
+    - ``n_neighbors``: findSynonyms returns exactly k;
+    - ``excludes_query``: a word is never its own synonym;
+    - ``sims_in_range``: every reported cosine is within [-1, 1].
+
+    Neighborhood quality stays pinned in tests/test_ml.py::TestWord2Vec.
     """
     from ..ml.word2vec import fit_word2vec, similar_words, tokenized
 
@@ -269,15 +536,56 @@ def q_word_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "w").limit(1).first()["w"])
     model = fit_word2vec(docs, min_count=5, dim=32)
-    return similar_words(model, top_word, k=5)
+    syn = similar_words(model, top_word, k=_W2V_K)
+    return syn.agg(
+        F.first("query").alias("query_word"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.every(F.col("word") != F.lit(top_word)).alias("excludes_query"),
+        F.every(F.abs(F.col("similarity")) <= 1.000001)
+        .alias("sims_in_range"))
+
+
+ORACLE_WORD_EMBEDDINGS = f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+    FROM documents
+), top AS (
+    SELECT w FROM toks WHERE w <> ''
+    GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 1
+)
+SELECT w AS query_word,
+       CAST({_W2V_K} AS BIGINT) AS n_neighbors,
+       TRUE AS excludes_query,
+       TRUE AS sims_in_range
+FROM top
+"""
+
+
+_PQ_SHORTLIST = 50
+_PQ_RECALL_FLOOR = 5   # of 10 — measured 9/8/7 at the three SFs (vanilla)
 
 
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: per-subspace KMeans codebooks compress
-    each embedding to m small codes; top-10 neighbors of vec_id=0 by
-    asymmetric distance (broadcast query-to-centroid tables, Column fold
-    over the codes — one scan, TakeOrdered). Rows-only (fitted codebooks);
-    ADC recall vs exact L2 is pinned in tests/test_ml.py::TestPQ."""
+    """Product-quantization ANN with the production FAISS shape — ADC
+    shortlist then exact rerank — and its contract carried into the
+    oracle gate (upgraded from rows-only, r7, the knn_ivf recipe): m=16
+    per-subspace codebooks compress each embedding to 16 codes; the
+    query's asymmetric-distance tables (broadcast array literals, Column
+    fold) score one scan for a 50-row shortlist; exact squared-L2 reranks
+    the shortlist to the final top-10. The gate pins:
+
+    - ``exact_top10_ids``: the exact squared-L2 top-10 (round(d,4) ASC
+      then id; comma-joined string — the cross-engine list convention),
+      recomputed value-for-value by the DuckDB twin;
+    - ``codes_valid``: every code vector has exactly m entries in
+      [0, k) — the encode contract;
+    - ``recall_at_10_ok``: the ADC shortlist catches ≥ 5 of the exact
+      top-10 after rerank (measured 7-9 across the three SFs under the
+      driver's vanilla session; raw ADC@10 alone measures 1-3 — the
+      rerank IS the operator, exactly as FAISS composes IVFADC+refine).
+
+    Determinism/compression invariants stay pinned in
+    tests/test_ml.py::TestPQ."""
     from ..ml.pq import encode_pq, fit_pq, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -285,5 +593,54 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
              for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
     model = fit_pq(emb, "embedding", m=16, k=16, seed=7)
-    encoded = encode_pq(corpus, "embedding", model)
-    return pq_topk(encoded, model, query, "vec_id", k=10)
+    encoded = encode_pq(corpus, "embedding", model).localCheckpoint()
+    shortlist = pq_topk(encoded, model, query, "vec_id", k=_PQ_SHORTLIST)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    l2 = F.aggregate(
+        F.zip_with("embedding", qlit,
+                   lambda a, b: (a.cast("double") - b)
+                   * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    exact = (corpus.select("vec_id", F.round(l2, 4).alias("__d"))
+             .orderBy("__d", "vec_id").limit(10).localCheckpoint())
+    reranked = (corpus.join(shortlist.select("vec_id"), "vec_id",
+                            "left_semi")
+                .select("vec_id", F.round(l2, 4).alias("__d"))
+                .orderBy("__d", "vec_id").limit(10))
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    exact_ids = exact.agg(
+        F.array_join(F.sort_array(F.collect_list("vec_id")), ",")
+        .alias("exact_top10_ids"))
+    codes_ok = encoded.agg(
+        F.every((F.size("pq_codes") == model.m)
+                & F.forall("pq_codes",
+                           lambda c: (c >= 0) & (c < model.k)))
+        .alias("codes_valid"))
+    hits = (reranked.join(exact.select("vec_id"), "vec_id", "left_semi")
+            .agg((F.count(F.lit(1)) >= _PQ_RECALL_FLOOR)
+                 .alias("recall_at_10_ok")))
+    # 1-row theorem scalars: broadcast anchors (the dedup_simhash pattern)
+    return (n_corpus.crossJoin(F.broadcast(exact_ids))
+            .crossJoin(F.broadcast(codes_ok))
+            .crossJoin(F.broadcast(hits)))
+
+
+ORACLE_KNN_PQ = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           round(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> (embedding[i]::DOUBLE - qv[i]::DOUBLE)
+                      * (embedding[i]::DOUBLE - qv[i]::DOUBLE))),
+           4) AS d
+    FROM embeddings, q
+    WHERE vec_id <> 0
+), topk AS (
+    SELECT vec_id FROM scored ORDER BY d ASC, vec_id ASC LIMIT 10
+)
+SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 0) AS n_corpus,
+       (SELECT array_to_string(list_sort(list(vec_id)), ',') FROM topk)
+           AS exact_top10_ids,
+       TRUE AS codes_valid,
+       TRUE AS recall_at_10_ok
+"""

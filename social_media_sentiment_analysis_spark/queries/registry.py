@@ -442,14 +442,18 @@ _ALL: list[Query] = [
     Query("knn_bruteforce", llmdata.q_knn_bruteforce,
           llmdata.ORACLE_KNN_BRUTEFORCE,
           "exact cosine top-10 for a query vector (TakeOrderedAndProject)"),
-    Query("knn_ann", llmdata.q_knn_ann, None,
-          "LSH-bucketed approximate top-10 (rows-only; recall in tests)"),
+    Query("knn_ann", llmdata.q_knn_ann, llmdata.ORACLE_KNN_ANN,
+          "LSH-bucketed approximate top-10 — r7: contract oracle (exact "
+          "cosine top-10 recomputed by the twin; score-bound + recall "
+          "floor pinned TRUE)"),
     Query("knn_join", llmdata.q_knn_join,
           llmdata.ORACLE_KNN_JOIN,
           "exact k-NN join: broadcast query set, top-3 per query via window"),
-    Query("knn_join_ann", llmdata.q_knn_join_ann, None,
-          "LSH-bucketed approximate k-NN join (rows-only; agreement vs "
-          "exact in tests)"),
+    Query("knn_join_ann", llmdata.q_knn_join_ann,
+          llmdata.ORACLE_KNN_JOIN_ANN,
+          "LSH-bucketed approximate k-NN join — r7: per-query contract "
+          "oracle (exact top-3 sets recomputed by the twin; top-k bound "
+          "+ per-query recall floor pinned TRUE)"),
     Query("text_stats", llmdata.q_text_stats,
           llmdata.ORACLE_TEXT_STATS,
           "token/char counts, stopword ratio, quality score"),
@@ -571,12 +575,16 @@ _ALL: list[Query] = [
           "IVF ANN with contract gate: exact top-10 recomputed by the "
           "twin, full-probe==exact theorem + pruned-probe recall floor "
           "pinned TRUE"),
-    Query("dedup_minhash_mllib", mlqueries.q_dedup_minhash_mllib, None,
-          "MinHashLSH approxSimilarityJoin near-dup pairs (rows-only; "
-          "agreement vs exact Jaccard in tests)"),
-    Query("classify_sentiment", mlqueries.q_classify_sentiment, None,
-          "TF-IDF + logistic regression on lexicon weak labels, label "
-          "counts (rows-only; fit quality asserted in tests)"),
+    Query("dedup_minhash_mllib", mlqueries.q_dedup_minhash_mllib,
+          mlqueries.ORACLE_DEDUP_MINHASH_MLLIB,
+          "MinHashLSH approxSimilarityJoin near-dup — r7: contract oracle "
+          "(SQL-exact exhaustive pair count; identical-pair containment, "
+          "recall floor, canonical form pinned TRUE)"),
+    Query("classify_sentiment", mlqueries.q_classify_sentiment,
+          mlqueries.ORACLE_CLASSIFY_SENTIMENT,
+          "TF-IDF + logistic regression on lexicon weak labels — r7: "
+          "contract oracle (SQL-exact doc count; label validity and "
+          ">=0.9 teacher agreement pinned TRUE)"),
     # --- temporal: as-of join + sessionization ---
     Query("asof_latest_order", temporal.q_asof_latest_order,
           temporal.ORACLE_ASOF_LATEST_ORDER,
@@ -680,12 +688,15 @@ _ALL: list[Query] = [
           llmdata.ORACLE_DOC_COMMUNITIES,
           "label-propagation communities over the near-dup graph "
           "(deterministic sync LPA; oracle = 5 unrolled LPA-round CTEs)"),
-    Query("knn_pq", mlqueries.q_knn_pq, None,
-          "product-quantization ANN: per-subspace codebooks, codes table, "
-          "asymmetric-distance top-k (rows-only — fitted codebooks)"),
-    Query("word_embeddings", mlqueries.q_word_embeddings, None,
-          "Word2Vec skip-gram fit + top-5 neighbors of the most frequent "
-          "word (rows-only — learned weights)"),
+    Query("knn_pq", mlqueries.q_knn_pq, mlqueries.ORACLE_KNN_PQ,
+          "product-quantization ANN (ADC shortlist + exact rerank, the "
+          "FAISS refine shape) — r7: contract oracle (exact L2 top-10 "
+          "recomputed by the twin; code validity + recall floor)"),
+    Query("word_embeddings", mlqueries.q_word_embeddings,
+          mlqueries.ORACLE_WORD_EMBEDDINGS,
+          "Word2Vec skip-gram fit + synonym probe — r7: contract oracle "
+          "(SQL-exact query word; neighbor count, self-exclusion, "
+          "similarity range pinned TRUE)"),
     Query("media_audio_neardup", multimodal.q_media_audio_neardup,
           multimodal.ORACLE_MEDIA_AUDIO_NEARDUP,
           "segment-level audio near-dup (per-window dHash + positional "
@@ -723,18 +734,21 @@ _ALL: list[Query] = [
           "merge); shares the batch oracle — the invariant pair brackets "
           "cross-micro-batch merge bugs (sixth streaming=batch member, "
           "counter-grid state)"),
-    Query("recommend_parts", mlqueries.q_recommend_parts, None,
-          "ALS implicit-feedback part recommendations (rows-only — factor "
-          "matrices; fit quality pinned in tests)"),
+    Query("recommend_parts", mlqueries.q_recommend_parts,
+          mlqueries.ORACLE_RECOMMEND_PARTS,
+          "ALS implicit-feedback recommendations — r7: contract oracle "
+          "(SQL-exact served-user set; per-user rec count, rank "
+          "contiguity, catalog membership, score order pinned TRUE)"),
     Query("negative_samples", mlqueries.q_negative_samples,
           mlqueries.ORACLE_NEGATIVE_SAMPLES,
           "popularity-weighted negative sampling for recommender / "
           "two-tower training (md5-deterministic draw, anti-join against "
           "the user's positives)"),
-    Query("dedup_semantic", mlqueries.q_dedup_semantic, None,
-          "SemDeDup: KMeans-cluster-pruned cosine near-dup groups, min-id "
-          "keeper (rows-only — fitted centroids; k=1 ≡ brute force pinned "
-          "in tests)"),
+    Query("dedup_semantic", mlqueries.q_dedup_semantic,
+          mlqueries.ORACLE_DEDUP_SEMANTIC,
+          "SemDeDup cluster-pruned near-dup drop — r7: contract oracle "
+          "(SQL-exact corpus size + exact-droppable count via the "
+          "recursive-CTE closure; drop-subset + recall-floor booleans)"),
     Query("pmi_collocations", tokenization.q_pmi_collocations,
           tokenization.ORACLE_PMI_COLLOCATIONS,
           "PMI collocation extraction (broadcast unigram probabilities, "

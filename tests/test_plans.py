@@ -111,6 +111,13 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                             "knn_ivf",
                             "media_video_neardup",
                             "media_audio_neardup",
+                            "knn_pq",
+                            "knn_ann",
+                            "dedup_minhash_mllib",
+                            "dedup_semantic",
+                            "bpe_tokenize",
+                            # broadcast 5-row query set, same as knn_join
+                            "knn_join_ann",
                             # 1-row bloom-bitmap anchor (map-side probe)
                             "bloom_decontamination",
                             "feature_drift",  # 1-row min/max anchors
@@ -435,6 +442,9 @@ BROADCAST_LINT_ALLOWED = {
     # query set is <= 5 rows by the literal filter vec_id < 5 (the k-NN
     # JOIN's small side by construction; the scale path is knn_join_ann)
     "knn_join": "literal-bounded query set (vec_id < 5)",
+    # same literal-bounded query set, broadcast for the exact referee the
+    # r7 contract oracle compares the LSH join against
+    "knn_join_ann": "literal-bounded query set (vec_id < 5)",
     # dense query vector is ONE row (equality on the unique vec_id) and the
     # sparse leg's 1-row stats anchor; the doclen join itself is unhinted
     "hybrid_search": "1-row query vector / 1-row stats anchor",
