@@ -871,29 +871,39 @@ _ALL: list[Query] = [
 # oracle-bearing entry except doc_pagerank/doc_communities has a green
 # driver row in at least one round, zero gate failures ever). Round 7
 # policy, in priority order:
-# (1) entries whose Spark query or oracle CHANGED this round —
-#     streaming_reservoir_sample (the sink now keeps per-batch bottom-k
-#     partitions merged on read) and the two rows-only→oracle upgrades
-#     dedup_minhash (full exhaustive-Jaccard oracle) and dedup_simhash
-#     (theorem-invariant oracle), both never oracle-gated before;
-# (2) the two never-gated entries doc_pagerank / doc_communities (added
-#     with oracles before the rotation policy existed and skipped by
-#     every front-50 since — the cumulative-coverage gap);
-# (3) stalest-first — all 35 rows whose newest green row is round 3,
-#     then the round-4 rows in alphabetical order until the list holds
-#     exactly 50 (the continuation session's four additional upgrades —
-#     streaming_dedup_embedding, media_phash, sketch_profile, knn_ivf —
-#     displaced the last four round-4 alphabetical slots, which rotate
-#     next round). Local harnesses still verify the full registry at 3
-#     scale factors each round.
+# (1) entries whose Spark query or oracle CHANGED this round — the 16
+#     final rows-only→oracle upgrades (media_frames/segments/features as
+#     FULL value oracles; media_alignment/video_neardup/audio_neardup,
+#     bpe_merges/bpe_tokenize, knn_pq/knn_ann/knn_join_ann,
+#     dedup_minhash_mllib, dedup_semantic, classify_sentiment,
+#     recommend_parts, word_embeddings as contract/theorem oracles — the
+#     registry now has ZERO rows-only entries), plus the seven earlier-
+#     in-round changes (streaming_dedup_embedding, media_phash,
+#     sketch_profile, knn_ivf — whose exact_top10_ids also changed from
+#     an array column to the comma-joined string convention —
+#     streaming_reservoir_sample, dedup_minhash, dedup_simhash);
+# (2) the two never-gated entries doc_pagerank / doc_communities (the
+#     cumulative-coverage gap);
+# (3) stalest-first — the first 25 of the 37 rows whose newest green row
+#     is round 3, in the existing alphabetical order. The 16 upgrades
+#     displaced the last 12 round-3 slots (sentiment_total …
+#     zipf_exponent) and all 6 round-4 slots (ab_test … contamination),
+#     which rotate next round. Local harnesses still verify the full
+#     registry at 3 scale factors each round.
 _FRONT = [
     # changed this round (new/changed oracles gate the round they land)
+    "media_frames", "media_segments", "media_features",
+    "media_alignment", "media_video_neardup", "media_audio_neardup",
+    "bpe_merges", "bpe_tokenize",
+    "knn_pq", "knn_ann", "knn_join_ann",
+    "dedup_minhash_mllib", "dedup_semantic", "classify_sentiment",
+    "recommend_parts", "word_embeddings",
     "streaming_dedup_embedding", "media_phash", "sketch_profile",
     "knn_ivf",
     "streaming_reservoir_sample", "dedup_minhash", "dedup_simhash",
     # never driver-gated (cumulative-coverage gap)
     "doc_pagerank", "doc_communities",
-    # stalest: last gated in round 3
+    # stalest: last gated in round 3 (alphabetical prefix)
     "hourly_anomalies", "hourly_rollup", "incremental_dedup",
     "inverted_index", "k_anonymity", "label_centroids", "lang_filter",
     "media_dedup", "media_metadata", "mixture_weights", "moving_average",
@@ -901,13 +911,6 @@ _FRONT = [
     "pmi_collocations", "quantize_embeddings", "recent_negative",
     "recent_tweets", "retention_cohorts", "rfm_segments", "scd2_history",
     "sentiment_enrich", "sentiment_enrich_relational", "sentiment_summary",
-    "sentiment_total", "session_funnel", "source_mix", "stratified_sample",
-    "streaming_hourly_rollup", "streaming_segment_engagement",
-    "streaming_sentiment_summary", "trailing_window", "vocab_growth",
-    "zipf_exponent",
-    # stalest: last gated in round 4 (alphabetical prefix)
-    "ab_test", "above_avg_orders", "cohort_ltv", "cohort_overlap",
-    "common_paths", "contamination",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}
