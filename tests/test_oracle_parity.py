@@ -31,7 +31,19 @@ def value_hash(df: pd.DataFrame) -> str:
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     q = QUERIES[name]
-    sdf = q.builder(spark, sf_dir).toPandas()
+    df = q.builder(spark, sf_dir)
+    if q.oracle is not None:
+        # serialization convention (the knn_ivf r7 lesson): gated outputs
+        # must not carry nested types — Spark's pandas bridge yields
+        # Python lists where DuckDB's yields numpy arrays, so the repr
+        # value hash diverges even on identical values. Serialize arrays
+        # to canonical strings (array_join / array_to_string) instead.
+        nested = [f.name for f in df.schema.fields
+                  if f.dataType.typeName() in ("array", "map", "struct")]
+        assert not nested, (
+            f"{name}: nested-typed output columns {nested} break the "
+            "cross-engine value hash; emit a canonical string instead")
+    sdf = df.toPandas()
     if q.oracle is None:
         assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
         return
