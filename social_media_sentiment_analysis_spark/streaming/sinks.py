@@ -858,7 +858,7 @@ def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
     becomes the banding probability instead of exact. Replay: replace-
     own-partition + stale-future sweep, the family recipe.
     """
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
     from ..sources.layout import (
         drop_stale_partitions, replace_store_partition,
     )
@@ -868,27 +868,34 @@ def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # per-vector norm staged ONCE before any pair join (the
+        # embedding_near_duplicates recipe: per-pair dot/(na·nb) is one
+        # array fold instead of three, bit-identical values)
         cur = (batch.dropDuplicates([id_col])
-               .select(id_col, block_col, vec_col).localCheckpoint())
+               .select(id_col, block_col, vec_col,
+                       l2_norm(F.col(vec_col)).alias("__nrm"))
+               .localCheckpoint())
         flags = None
         store = _vector_store_probe(spark, vec_path, batch_id,
                                     id_col, block_col, vec_col)
         if store is not None:      # store absent only on the first batch
-            flags = (cur.toDF("new_id", "__block", "new_vec")
+            cross_cos = (dot(F.col("new_vec"), F.col("old_vec"))
+                         / (F.col("__new_nrm") * F.col("__old_nrm")))
+            flags = (cur.toDF("new_id", "__block", "new_vec", "__new_nrm")
                      .join(store, "__block")
                      .filter(F.col("new_id") != F.col("old_id"))
-                     .withColumn("cosine", F.round(cosine_similarity(
-                         F.col("new_vec"), F.col("old_vec")), 4))
+                     .withColumn("cosine", F.round(cross_cos, 4))
                      .filter(F.col("cosine") >= threshold)
                      .select(F.least("new_id", "old_id").alias("a_id"),
                              F.greatest("new_id", "old_id").alias("b_id"),
                              "cosine"))
-        a = cur.toDF("a_id", "__block", "a_vec")
-        b = cur.toDF("b_id", "__block2", "b_vec")
+        a = cur.toDF("a_id", "__block", "a_vec", "a___nrm")
+        b = cur.toDF("b_id", "__block2", "b_vec", "b___nrm")
+        within_cos = (dot(F.col("a_vec"), F.col("b_vec"))
+                      / (F.col("a___nrm") * F.col("b___nrm")))
         within = (a.join(b, (F.col("__block") == F.col("__block2"))
                          & (F.col("a_id") < F.col("b_id")))
-                  .withColumn("cosine", F.round(cosine_similarity(
-                      F.col("a_vec"), F.col("b_vec")), 4))
+                  .withColumn("cosine", F.round(within_cos, 4))
                   .filter(F.col("cosine") >= threshold)
                   .select("a_id", "b_id", "cosine"))
         flags = within if flags is None else flags.unionByName(within)
@@ -913,7 +920,9 @@ def _vector_store_probe(spark: SparkSession, vec_location: str,
     """The vector-store probe side for ``embedding_dedup_sink``'s
     micro-batch N: strictly-earlier partitions of the bucketed-by-block
     store, renamed for the probe join. Bucketed scan, zero exchanges on
-    this side (the family plan contract)."""
+    this side (the family plan contract). The store carries each
+    vector's pre-staged L2 norm (``__nrm``) so the probe's cosine is one
+    dot fold per pair, never a per-pair norm recomputation."""
     from ..sources.layout import open_store
 
     table = open_store(spark, vec_location, block_col)
@@ -923,7 +932,8 @@ def _vector_store_probe(spark: SparkSession, vec_location: str,
             .filter(F.col("batch_id") < F.lit(batch_id))
             .select(F.col(id_col).alias("old_id"),
                     F.col(block_col).alias("__block"),
-                    F.col(vec_col).alias("old_vec")))
+                    F.col(vec_col).alias("old_vec"),
+                    F.col("__nrm").alias("__old_nrm")))
 
 
 def read_embedding_flags(spark: SparkSession, path: str) -> DataFrame:
