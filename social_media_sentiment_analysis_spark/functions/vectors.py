@@ -33,6 +33,25 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_to_query(vec: Column, query_vec: list[float]) -> Column:
+    """``cosine_similarity(vec, lit(query_vec))`` with the query's norm
+    folded DRIVER-side. Catalyst does not constant-fold higher-order-
+    function folds, so the naive form re-runs the query literal's norm
+    fold once per corpus ROW — a third of the scan CPU of every
+    brute-force/rerank scoring pass for a value that never changes. The
+    driver-side fold replays the Column fold's exact IEEE op order
+    (left-to-right ``acc + x·x`` in double, then sqrt), so results are
+    bit-identical to ``cosine_similarity`` and every oracle twin still
+    hash-matches."""
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    return dot(vec, q) / (l2_norm(vec) * F.lit(math.sqrt(acc)))
+
+
 def hashed_embedding(toks: Column, dim: int = 16) -> Column:
     """Deterministic text featurizer (the 'hashing trick'): token counts
     bucketed by ``xxhash64 % dim``, L2-normalized, as array<double>.

@@ -29,7 +29,7 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_to_query
 
 _FEATURES = "__ivf_features"
 
@@ -81,12 +81,12 @@ def ivf_topk(assigned: DataFrame, model: KMeansModel, query_vec: list[float],
     exact cosine rank within. ``assigned`` is the output of
     ``assign_clusters`` (or a table already laid out by cluster_id)."""
     cells = _nearest_cells(model, query_vec, n_probe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col(cluster_col).isin(cells))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+            F.round(cosine_to_query(F.col(vec_col), query_vec), 4)
+            .alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

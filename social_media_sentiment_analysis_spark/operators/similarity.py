@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, cosine_to_query
 
 
 def brute_force_topk(df: DataFrame, query_vec: list[float], vec_col: str,
@@ -34,11 +34,11 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], vec_col: str,
     The query vector is inlined as an array literal → the comparison is a
     map-side Column expression; no join, no shuffle; the top-k is a
     TakeOrderedAndProject (per-partition heaps + k-row merge)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+            F.round(cosine_to_query(F.col(vec_col), query_vec), 4)
+            .alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -101,13 +101,13 @@ def ann_topk(df: DataFrame, query_vec: list[float], vec_col: str, id_col: str,
             for i in flips:
                 b ^= 1 << i
             buckets.append(b)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim, bits))
         .filter(F.col("bucket").isin(buckets))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+            F.round(cosine_to_query(F.col(vec_col), query_vec), 4)
+            .alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
