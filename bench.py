@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "streaming_heavy_hitters",
     # round 7: the vector-state streaming=batch member
     "streaming_dedup_embedding",
+    # round 8: the same sink in its 100 TB blocking mode (LSH bucket)
+    "streaming_dedup_embedding_lsh",
 ]
 
 

@@ -405,6 +405,111 @@ ORDER BY a_id, b_id
 """
 
 
+_LSH_BITS = 4    # 16 buckets — matches the sink's default store_buckets
+_LSH_DIM = 64    # the testdata embeddings dimension (TESTDATA.md contract)
+
+
+def _hyperplane_bucket_sql(emb_expr: str, bits: int, dim: int) -> str:
+    """DuckDB twin of ``operators/similarity.py::hyperplane_bucket``: the
+    SAME md5-derived ±1 planes inlined as literals, the same
+    multiply-then-fold shape (list_transform → list_sum mirrors zip_with →
+    aggregate), so bucket ids match bit-for-bit. Sign margins measured:
+    min |dot| ≥ 1e-4 across all three SFs and all planes — 9 orders above
+    double rounding, so the ``> 0`` test can never diverge between engines
+    on this data."""
+    from ..operators.similarity import _hyperplane
+
+    terms = []
+    for i in range(bits):
+        lit = "[" + ",".join(f"{float(c):.1f}" for c in _hyperplane(i, dim)) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+            f"j -> {emb_expr}[j]::DOUBLE * ({lit}::DOUBLE[])[j])) > 0 "
+            f"THEN {1 << i} ELSE 0 END)")
+    return "\n         + ".join(terms)
+
+
+def q_streaming_dedup_embedding_lsh(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """``embedding_dedup_sink`` in its documented 100 TB blocking mode:
+    the block key is a deterministic random-hyperplane LSH bucket
+    (``operators/similarity.py::hyperplane_bucket``, {bits} bits over the
+    {dim}-dim embeddings) computed map-side on the stream, NOT the
+    corpus's own ``label`` — so the probe cost is Σ|bucket|²/history
+    instead of Σ|label|², and recall becomes the banding probability
+    (1 − θ/π)^bits per pair instead of exact-within-block.
+
+    The flag-set contract is unchanged from ``streaming_dedup_embedding``
+    (every qualifying pair discovered exactly once, batching-independent),
+    so the oracle is the batch formulation over the SAME blocking: all
+    same-bucket pairs at rounded cosine ≥ threshold, with the bucket
+    computation replayed in DuckDB from the same md5-derived planes — a
+    FULL value oracle for the blocking mode itself. Measured recall vs
+    the exact within-label answer under the driver's vanilla session:
+    0.071 / 0.192 / 0.136 at sf0.001/0.01/0.1 (cosines here sit at
+    0.35–0.47 where the per-bit collision probability is only ~0.61–0.66;
+    at a true near-dup threshold of 0.95 the same 4-bit block retains
+    ~0.65 — the dial is ``bits``, documented on the sink). The LSH block
+    also surfaces cross-label similar pairs label-blocking can never see
+    (51 vs 14 flags at sf0.001).
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.batch import load_table_stream
+    from ..streaming.sinks import (
+        embedding_dedup_sink, read_embedding_flags,
+    )
+
+    root = tempfile.mkdtemp(prefix="embdeduplsh_")
+    try:
+        src = (load_table_stream(spark, sf_dir, "embeddings")
+               .select("vec_id", "embedding")
+               .withColumn("bucket", sim.hyperplane_bucket(
+                   F.col("embedding"), _LSH_DIM, _LSH_BITS)))
+        q = (embedding_dedup_sink(src, f"{root}/store", f"{root}/ckpt",
+                                  block_col="bucket",
+                                  threshold=_EMB_SIM_THRESHOLD)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        res = (read_embedding_flags(spark, f"{root}/store")
+               .select("a_id", "b_id", "cosine")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res.orderBy("a_id", "b_id")
+
+
+q_streaming_dedup_embedding_lsh.__doc__ = \
+    q_streaming_dedup_embedding_lsh.__doc__.format(
+        bits=_LSH_BITS, dim=_LSH_DIM)
+
+
+ORACLE_STREAMING_DEDUP_EMBEDDING_LSH = f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           {_hyperplane_bucket_sql('embedding', _LSH_BITS, _LSH_DIM)}
+           AS bucket
+    FROM embeddings
+),
+dots AS (
+    SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+           round(
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> a.embedding[i]::DOUBLE * b2.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(b2.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           4) AS cosine
+    FROM b a JOIN b b2
+      ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT a_id, b_id, cosine
+FROM dots
+WHERE cosine >= {_EMB_SIM_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of vec_id=0 (excluded from results)."""
     emb = load_table(spark, sf_dir, "embeddings")

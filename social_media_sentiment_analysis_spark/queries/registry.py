@@ -421,6 +421,13 @@ _ALL: list[Query] = [
           "vector store (block probe + exact zip_with cosine): flag set "
           "equals the batch answer regardless of batching — seventh "
           "streaming=batch gate member, first with vector state"),
+    Query("streaming_dedup_embedding_lsh",
+          llmdata.q_streaming_dedup_embedding_lsh,
+          llmdata.ORACLE_STREAMING_DEDUP_EMBEDDING_LSH,
+          "the embedding dedup sink in its documented 100 TB blocking "
+          "mode — hyperplane-LSH bucket as the block key instead of "
+          "label; FULL value oracle (the md5-derived planes replayed in "
+          "DuckDB), recall vs exact measured and documented"),
     Query("embedding_norm_stats", llmdata.q_embedding_norm_stats,
           llmdata.ORACLE_EMBEDDING_NORM_STATS,
           "per-label L2-norm profile via higher-order array fold (no UDF)"),
@@ -867,50 +874,44 @@ _ALL: list[Query] = [
 
 # The driver's correctness gate verifies the first 50 entries in registry
 # order. The front-50 ROTATES each round so successive driver gates
-# cumulatively cover the registry (cumulative through round 6: every
-# oracle-bearing entry except doc_pagerank/doc_communities has a green
-# driver row in at least one round, zero gate failures ever). Round 7
+# cumulatively cover the registry (cumulative through round 7: EVERY
+# entry has a green driver row in at least one round — 206/206, zero
+# gate failures ever, per the r7 verdict's recomputation). Round 8
 # policy, in priority order:
-# (1) entries whose Spark query or oracle CHANGED this round — the 16
-#     final rows-only→oracle upgrades (media_frames/segments/features as
-#     FULL value oracles; media_alignment/video_neardup/audio_neardup,
-#     bpe_merges/bpe_tokenize, knn_pq/knn_ann/knn_join_ann,
-#     dedup_minhash_mllib, dedup_semantic, classify_sentiment,
-#     recommend_parts, word_embeddings as contract/theorem oracles — the
-#     registry now has ZERO rows-only entries), plus the seven earlier-
-#     in-round changes (streaming_dedup_embedding, media_phash,
-#     sketch_profile, knn_ivf — whose exact_top10_ids also changed from
-#     an array column to the comma-joined string convention —
-#     streaming_reservoir_sample, dedup_minhash, dedup_simhash);
-# (2) the two never-gated entries doc_pagerank / doc_communities (the
-#     cumulative-coverage gap);
-# (3) stalest-first — the first 25 of the 37 rows whose newest green row
-#     is round 3, in the existing alphabetical order. The 16 upgrades
-#     displaced the last 12 round-3 slots (sentiment_total …
-#     zipf_exponent) and all 6 round-4 slots (ab_test … contamination),
-#     which rotate next round. Local harnesses still verify the full
-#     registry at 3 scale factors each round.
+# (1) entries whose Spark query CHANGED or that are NEW this round —
+#     `streaming_dedup_embedding_lsh` (the embedding dedup sink's
+#     100 TB LSH-blocking mode, new full value oracle) and
+#     bpe_merges/bpe_tokenize (now trained through the provably-
+#     sequential batched trainer — same output by construction, gated
+#     the round the implementation changed);
+# (2) stalest-first (the r7 verdict's #1): the 10 rows whose newest
+#     green row is round 3 (sentiment_total … zipf_exponent — the rows
+#     the r7 upgrade wave displaced), then the first 37 of the 50
+#     round-4 rows alphabetically (ab_test … time_weighted_avg). The
+#     remaining 13 round-4 rows (top_orders_with_ties …
+#     winsorized_stats) lead the r9 rotation. Local harnesses still
+#     verify the full registry at 3 scale factors each round.
 _FRONT = [
-    # changed this round (new/changed oracles gate the round they land)
-    "media_frames", "media_segments", "media_features",
-    "media_alignment", "media_video_neardup", "media_audio_neardup",
-    "bpe_merges", "bpe_tokenize",
-    "knn_pq", "knn_ann", "knn_join_ann",
-    "dedup_minhash_mllib", "dedup_semantic", "classify_sentiment",
-    "recommend_parts", "word_embeddings",
-    "streaming_dedup_embedding", "media_phash", "sketch_profile",
-    "knn_ivf",
-    "streaming_reservoir_sample", "dedup_minhash", "dedup_simhash",
-    # never driver-gated (cumulative-coverage gap)
-    "doc_pagerank", "doc_communities",
-    # stalest: last gated in round 3 (alphabetical prefix)
-    "hourly_anomalies", "hourly_rollup", "incremental_dedup",
-    "inverted_index", "k_anonymity", "label_centroids", "lang_filter",
-    "media_dedup", "media_metadata", "mixture_weights", "moving_average",
-    "negative_samples", "oov_rate", "pack_sequences", "pii_redact",
-    "pmi_collocations", "quantize_embeddings", "recent_negative",
-    "recent_tweets", "retention_cohorts", "rfm_segments", "scd2_history",
-    "sentiment_enrich", "sentiment_enrich_relational", "sentiment_summary",
+    # changed/new this round (gate the round they land)
+    "streaming_dedup_embedding_lsh", "bpe_merges", "bpe_tokenize",
+    # stalest: last gated in round 3
+    "sentiment_total", "session_funnel", "source_mix",
+    "stratified_sample", "streaming_hourly_rollup",
+    "streaming_segment_engagement", "streaming_sentiment_summary",
+    "trailing_window", "vocab_growth", "zipf_exponent",
+    # next-stalest: last gated in round 4 (alphabetical prefix)
+    "ab_test", "above_avg_orders", "cohort_ltv", "cohort_overlap",
+    "common_paths", "contamination", "conversion_latency",
+    "cumulative_unique_users", "curation_funnel", "curation_pipeline",
+    "daily_type_pivot", "daily_value_delta", "decayed_engagement",
+    "distinct_users_by_type", "embedding_dim_profile",
+    "embedding_norm_stats", "equidepth_histogram", "event_transitions",
+    "hard_negatives", "integrity_audit", "key_skew_profile", "lang_id",
+    "mad_outliers", "nation_segments", "nested_order_docs",
+    "props_extract", "props_variant", "pseudonymize_audit", "repetition",
+    "rolling_active_users", "schema_drift_audit", "similar_days",
+    "snapshot_diff", "source_sample", "stats_profile",
+    "status_priority_sets", "time_weighted_avg",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

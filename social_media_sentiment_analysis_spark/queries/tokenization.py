@@ -265,12 +265,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       pair is ever re-learned.
 
     The full 10-merge list stays pinned word-for-word to the
-    single-process reference in tests/test_text_functions.py::TestBPE."""
-    from ..operators.bpe import train_bpe
+    single-process reference in tests/test_text_functions.py::TestBPE.
+    r8: trains through ``train_bpe_batched`` — multiple provably-
+    sequential merges per driver round (exact same merge list by
+    construction, equality pinned incl. tie/self-pair adversaries in
+    TestBPEBatched), so the oracle contract is untouched while the
+    driver-round count drops (≥5× on wide-alphabet vocabularies)."""
+    from ..operators.bpe import train_bpe_batched
 
     wf = _tokens(spark, sf_dir).groupBy(F.col("word")).agg(
         F.count(F.lit(1)).alias("freq"))
-    merges = train_bpe(wf, _BPE_MERGES)
+    merges = train_bpe_batched(wf, _BPE_MERGES)
     counts = [n for _, _, n in merges]
     return spark.createDataFrame(
         [(
@@ -427,13 +432,15 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
       |token vocabulary| ≤ |alphabet| + n_merges.
 
     The encode stays pinned word-for-word to the single-process reference
-    encoder in tests/test_text_functions.py::TestBPEEncode."""
-    from ..operators.bpe import encode_words, train_bpe
+    encoder in tests/test_text_functions.py::TestBPEEncode. r8: trains
+    through ``train_bpe_batched`` (exact same merge list, fewer driver
+    rounds — see q_bpe_merges)."""
+    from ..operators.bpe import encode_words, train_bpe_batched
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     wf = _tokens(spark, sf_dir).groupBy(F.col("word")).agg(
         F.count(F.lit(1)).alias("freq"))
-    merges = train_bpe(wf, _BPE_MERGES)
+    merges = train_bpe_batched(wf, _BPE_MERGES)
     encoded = encode_words(docs, "text", merges).localCheckpoint()
     toks = encoded.select(F.explode("subwords").alias("token"),
                           "n_occurrences")

@@ -593,8 +593,9 @@ def reservoir_sample_sink(df: DataFrame, path: str, checkpoint: str,
     committed partition intact and the replay overwrites only its own
     (closes the r6 ADVICE finding on the previous in-place overwrite).
     State is k rows per batch partition — a few KB each; fold old
-    partitions via the read-side merge + a rewrite if batch count grows
-    unwieldy.
+    partitions with ``compact_reservoir_sample`` below if batch count
+    grows unwieldy (a 1M-batch stream otherwise turns the k-row read
+    into a 1M-partition listing).
     """
     from ..sources.layout import drop_stale_partitions
 
@@ -627,6 +628,107 @@ def read_reservoir_sample(spark: SparkSession, path: str,
             .dropDuplicates([id_col])
             .orderBy("__h").limit(k)
             .drop("batch_id"))
+
+
+def compact_reservoir_sample(spark: SparkSession, path: str,
+                             upto_batch_id: int, id_col: str = "doc_id",
+                             k: int = 100) -> tuple[int, int]:
+    """Maintenance fold for a ``reservoir_sample_sink`` store (r7 verdict
+    #2): replace every committed ``batch_id < upto_batch_id`` partition
+    (plus any prior ``batch_id=-1`` seed) with ONE seed partition holding
+    their merged bottom-k. Returns (partitions_before, partitions_after).
+
+    Sound by the same algebra the sink rests on: bottom-k of a union ==
+    bottom-k of bottom-ks, and every row's priority ``md5(id)`` is
+    key-pure, so the folded seed is exactly the sample the read-side
+    merge would have computed over those partitions — readers are
+    row-identical before and after, and later batches keep appending
+    their own partitions on top of the seed (the merge leg re-applies at
+    read). Replay safety follows ``compact_store``'s convention: pass the
+    checkpoint's next batch id as ``upto_batch_id`` — only batches at or
+    above it can ever replay, those partitions are left untouched, and
+    -1 sorts below every real id so ``drop_stale_partitions``'s stale-
+    future sweep (which only deletes ``>= from_batch_id`` for
+    non-negative ids) never touches the seed. The rewrite stages into a
+    sibling directory and swaps on success — a crash mid-fold leaves the
+    original store intact. Unlike the flag-store fold, even a full
+    checkpoint-loss replay on top of a fold seed is harmless here: the
+    read-side merge dedupes on the key and priorities are key-pure, so
+    re-delivered rows change nothing (the sink's own idempotence
+    algebra).
+    """
+    import os
+    import shutil
+    import uuid
+
+    return _fold_batch_partitions(
+        spark, path, upto_batch_id,
+        lambda df: (df.dropDuplicates([id_col])
+                    .orderBy("__h").limit(k)))
+
+
+def compact_flag_store(spark: SparkSession, path: str,
+                       upto_batch_id: int,
+                       n_files: int = 1) -> tuple[int, int]:
+    """Maintenance fold for a dedup sink's ``{path}/flags`` store (r7
+    verdict #3): concatenate every committed ``batch_id < upto_batch_id``
+    partition into one ``batch_id=-1`` seed partition of ``n_files``
+    files. Flag readers are row-identical before and after (the fold is
+    pure concatenation — flags carry no per-batch semantics beyond replay
+    bookkeeping), and the ``batch_id=`` directory layout SURVIVES, which
+    is why this exists instead of pointing ``compact_parquet`` at the
+    directory: a plain rewrite would turn ``batch_id`` into a data
+    column, and the next replay's ``drop_stale_partitions`` sweep would
+    find no ``batch_id=*`` directories to delete — stale future flags
+    would silently persist as rows. Pass the checkpoint's next batch id
+    as ``upto_batch_id``; partitions at or above it (the only ones that
+    can ever replay) are left untouched, and the staged-swap commit is
+    crash-safe, per the family recipe.
+
+    One contract note shared by every fold (this, the reservoir fold,
+    ``compact_store``): a fold presumes a LIVE checkpoint. After a full
+    checkpoint LOSS the stream replays from batch 0, and the stale-future
+    sweep — which deletes ``batch_id >= 0`` — cannot know that a fold
+    seed holds exactly the history the replay is about to regenerate
+    (the seed is indistinguishable from a deliberate pre-stream
+    bootstrap, e.g. a winnow index built by the batch path, which a
+    replay must NOT clear). The flag SET stays correct either way —
+    rediscovered pairs are the same pairs — but row multiplicity can
+    double; restore exactly-once rows by clearing the fold seed first:
+    ``drop_stale_partitions(spark, path, -1)`` (the exact-match branch)
+    before restarting from an empty checkpoint."""
+    return _fold_batch_partitions(
+        spark, path, upto_batch_id,
+        lambda df: df.coalesce(n_files))
+
+
+def _fold_batch_partitions(spark: SparkSession, path: str,
+                           upto_batch_id: int,
+                           fold) -> tuple[int, int]:
+    """Shared seed-fold: rewrite ``batch_id < upto_batch_id`` partitions
+    (including any existing seed) as one ``batch_id=-1`` partition
+    holding ``fold(slice)``, keep ``>= upto_batch_id`` partitions
+    byte-intact, stage into a sibling directory and swap on success."""
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    parts_before = df.select("batch_id").distinct().count()
+    folded = (fold(df.filter(F.col("batch_id") < upto_batch_id))
+              .withColumn("batch_id", F.lit(-1)))
+    keep = df.filter(F.col("batch_id") >= upto_batch_id)
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{path.rstrip('/')}.compacting-{tag}"
+    (folded.unionByName(keep)
+     .write.partitionBy("batch_id").parquet(staging))
+    old = f"{path.rstrip('/')}.old-{tag}"
+    os.rename(path, old)
+    os.rename(staging, path)             # swap = commit
+    shutil.rmtree(old)
+    parts_after = (spark.read.parquet(path)
+                   .select("batch_id").distinct().count())
+    return parts_before, parts_after
 
 
 def winnow_containment_sink(df: DataFrame, path: str, checkpoint: str,

@@ -1059,6 +1059,237 @@ def test_reservoir_sample_sink_converges_to_batch_bottom_k(spark, tmp_path):
     assert again == want
 
 
+def test_compact_reservoir_sample_preserves_bottom_k(spark, tmp_path):
+    """The reservoir maintenance fold (r7 verdict #2): folding committed
+    per-batch partitions into one seed leaves the read row-identical,
+    bounds the partition count, and later batches merge on top of the
+    seed to the same global bottom-k — bottom-k of bottom-ks, applied at
+    rest instead of at read."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        compact_reservoir_sample, read_reservoir_sample,
+        reservoir_sample_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        (src / f"{i}.jsonl").write_text("\n".join(
+            json.dumps({"doc_id": d})
+            for d in range(i * 10, i * 10 + 10)))
+        _os.utime(src / f"{i}.jsonl", (1_000_000 * (i + 1),) * 2)
+    store, ck = str(tmp_path / "sample"), str(tmp_path / "ck")
+
+    def run():
+        stream = (spark.readStream.schema("doc_id long")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (reservoir_sample_sink(stream, store, ck, k=7)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    before = sorted(r.doc_id for r in
+                    read_reservoir_sample(spark, store, k=7).collect())
+    nb, na = compact_reservoir_sample(spark, store, upto_batch_id=3, k=7)
+    assert nb == 3 and na == 1, (nb, na)
+    after = sorted(r.doc_id for r in
+                   read_reservoir_sample(spark, store, k=7).collect())
+    assert after == before
+
+    # later batches land on top of the seed; the merged sample equals
+    # the batch bottom-k over ALL 40 ids (fold is invisible to algebra)
+    (src / "3.jsonl").write_text("\n".join(
+        json.dumps({"doc_id": d}) for d in range(30, 40)))
+    _os.utime(src / "3.jsonl", (4_000_000,) * 2)
+    run()
+    got = sorted(r.doc_id for r in
+                 read_reservoir_sample(spark, store, k=7).collect())
+    want = sorted(r.doc_id for r in
+                  spark.createDataFrame([(i,) for i in range(40)],
+                                        "doc_id long")
+                  .orderBy(F.md5(F.col("doc_id").cast("string")))
+                  .limit(7).collect())
+    assert got == want and len(got) == 7
+
+
+def _write_emb_fixture(src):
+    """Three jsonl micro-batch files over 6 vectors: batch 0 orthogonal
+    (no flags), batch 1 one cross-batch near-dup of batch 0 plus a new
+    block, batch 2 two near-dups in the second block (cross + within).
+    Expected flag set at 0.95: {(1,3), (4,5), (4,6), (5,6)}."""
+    import os as _os
+
+    def row(vid, label, vec):
+        return json.dumps({"vec_id": vid, "label": label, "embedding": vec})
+
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        row(1, "x", [1.0, 0.0, 0.0, 0.0]) + "\n"
+        + row(2, "x", [0.0, 1.0, 0.0, 0.0]) + "\n")
+    (src / "b.jsonl").write_text(
+        row(3, "x", [0.999, 0.04, 0.0, 0.0]) + "\n"
+        + row(4, "y", [1.0, 0.0, 0.0, 0.0]) + "\n")
+    (src / "c.jsonl").write_text(
+        row(5, "y", [0.998, 0.06, 0.0, 0.0]) + "\n"
+        + row(6, "y", [0.997, 0.07, 0.0, 0.0]) + "\n")
+    for i, f in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        _os.utime(src / f, (1_000_000 * (i + 1),) * 2)
+
+
+def test_sink_crash_between_sweep_and_store_write_self_heals(
+        spark, tmp_path, monkeypatch):
+    """r7 verdict #6: the sink-store replay contract under an INJECTED
+    crash, not just a clean replay. Two kills inside batch 1's
+    foreachBatch: (a) after the flags-path stale sweep but before the
+    flags write, and (b) after the flags write but before the vector-
+    store write — the two halves of the claimed crash window. Each run
+    restarts on the SAME checkpoint; flags and vector store must
+    converge byte-identically to an uninjected reference run."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from social_media_sentiment_analysis_spark.sources import layout
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        embedding_dedup_sink, read_embedding_flags,
+    )
+
+    src = tmp_path / "in"
+    _write_emb_fixture(src)
+
+    def drain(out, ck):
+        stream = (spark.readStream
+                  .schema("vec_id long, label string, "
+                          "embedding array<double>")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (embedding_dedup_sink(stream, out, ck, threshold=0.95)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def snapshot(out):
+        flags = sorted((r.a_id, r.b_id, r.cosine) for r in
+                       read_embedding_flags(spark, out).collect())
+        vecs = sorted((r.vec_id, r.batch_id, tuple(r.embedding)) for r in
+                      spark.read.parquet(f"{out}/vectors").collect())
+        return flags, vecs
+
+    ref = str(tmp_path / "ref")
+    drain(ref, str(tmp_path / "ck_ref"))
+    want = snapshot(ref)
+    assert {(a, b) for a, b, _ in want[0]} == {(1, 3), (4, 5), (4, 6),
+                                              (5, 6)}
+
+    real_sweep = layout.drop_stale_partitions
+    real_replace = layout.replace_store_partition
+
+    # (a) crash AFTER the flags sweep, BEFORE the flags write
+    fired = []
+
+    def sweep_then_die(spark_, location, from_batch_id, table=None):
+        dropped = real_sweep(spark_, location, from_batch_id, table=table)
+        if location.endswith("/flags") and from_batch_id == 1 and not fired:
+            fired.append(1)
+            raise RuntimeError("injected crash: post-sweep, pre-write")
+        return dropped
+
+    monkeypatch.setattr(layout, "drop_stale_partitions", sweep_then_die)
+    out_a, ck_a = str(tmp_path / "a"), str(tmp_path / "ck_a")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        drain(out_a, ck_a)
+    monkeypatch.setattr(layout, "drop_stale_partitions", real_sweep)
+    drain(out_a, ck_a)                       # restart, same checkpoint
+    assert snapshot(out_a) == want
+
+    # (b) crash AFTER the flags write, BEFORE the vector-store write
+    fired = []
+
+    def die_before_store(spark_, df, location, batch_id, bucket_cols,
+                         **kw):
+        if location.endswith("/vectors") and batch_id == 1 and not fired:
+            fired.append(1)
+            raise RuntimeError("injected crash: flags live, store stale")
+        return real_replace(spark_, df, location, batch_id, bucket_cols,
+                            **kw)
+
+    monkeypatch.setattr(layout, "replace_store_partition",
+                        die_before_store)
+    out_b, ck_b = str(tmp_path / "b"), str(tmp_path / "ck_b")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        drain(out_b, ck_b)
+    monkeypatch.setattr(layout, "replace_store_partition", real_replace)
+    drain(out_b, ck_b)                       # restart, same checkpoint
+    assert snapshot(out_b) == want
+
+
+def test_compact_flag_store_preserves_reads_and_replay(spark, tmp_path):
+    """The flag-store maintenance fold (r7 verdict #3): folding a dedup
+    sink's per-batch flag partitions into one seed leaves the flag reader
+    row-identical, bounds file count (the small-file tax lands on the
+    engine's own sink outputs too), keeps the ``batch_id=`` layout the
+    replay sweep depends on, and a same-checkpoint restart on top of the
+    folded store neither drops nor duplicates flags."""
+    import os as _os
+
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        compact_flag_store, embedding_dedup_sink, read_embedding_flags,
+    )
+
+    def row(vid, label, vec):
+        return json.dumps({"vec_id": vid, "label": label, "embedding": vec})
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        row(1, "x", [1.0, 0.0, 0.0, 0.0]) + "\n"
+        + row(2, "x", [0.0, 1.0, 0.0, 0.0]) + "\n")
+    (src / "b.jsonl").write_text(
+        row(3, "x", [0.999, 0.04, 0.0, 0.0]) + "\n"
+        + row(4, "y", [1.0, 0.0, 0.0, 0.0]) + "\n")
+    (src / "c.jsonl").write_text(
+        row(5, "y", [0.998, 0.06, 0.0, 0.0]) + "\n"
+        + row(6, "y", [0.997, 0.07, 0.0, 0.0]) + "\n")
+    for i, f in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        _os.utime(src / f, (1_000_000 * (i + 1),) * 2)
+    out, ck = str(tmp_path / "emb"), str(tmp_path / "ck")
+
+    def run(ckpt):
+        stream = (spark.readStream
+                  .schema("vec_id long, label string, "
+                          "embedding array<double>")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (embedding_dedup_sink(stream, out, ckpt, threshold=0.95)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(ck)
+    flags_path = f"{out}/flags"
+    before = sorted((r.a_id, r.b_id, r.cosine)
+                    for r in read_embedding_flags(spark, out).collect())
+    files_before = sum(f.endswith(".parquet")
+                       for _, _, fs in _os.walk(flags_path) for f in fs)
+    # batch 0 (orthogonal vectors, no flags) wrote no partition — an
+    # empty dynamic overwrite creates no directory — so 2 partitions
+    nb, na = compact_flag_store(spark, flags_path, upto_batch_id=3)
+    assert nb == 2 and na == 1, (nb, na)
+    after = sorted((r.a_id, r.b_id, r.cosine)
+                   for r in read_embedding_flags(spark, out).collect())
+    assert after == before and len(after) == 4
+    files_after = sum(f.endswith(".parquet")
+                      for _, _, fs in _os.walk(flags_path) for f in fs)
+    assert files_after < files_before
+    # the partition layout the replay sweep needs survives the fold
+    assert _os.path.isdir(f"{flags_path}/batch_id=-1")
+
+    # same-checkpoint restart over the folded store: availableNow already
+    # drained everything, so this is a no-op restart — flags unchanged,
+    # no duplicate rows
+    run(ck)
+    again = sorted((r.a_id, r.b_id, r.cosine)
+                   for r in read_embedding_flags(spark, out).collect())
+    assert again == before
+
+
 def test_sink_store_probes_read_bucketed_exchange_free(spark, tmp_path):
     """r6 verdict #1: the store side of every incremental dedup sink's
     per-batch probe must be a pruned BUCKETED scan with zero exchanges —
@@ -1387,6 +1618,77 @@ def test_embedding_dedup_sink_flags_cross_batch_neardups(spark, tmp_path):
         assert len(_re.findall(r"\bExchange\b", plan)) == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_embedding_dedup_sink_lsh_block_matches_batch_twin(
+        spark, sf_dir, tmp_path):
+    """The sink's documented 100 TB blocking mode — ``block_col`` is a
+    hyperplane-LSH bucket computed map-side on the stream, not a corpus
+    attribute — drained over the REAL embeddings table in three
+    micro-batches equals the batch LSH-blocked answer pair-for-pair
+    (flag-set batching independence holds for any deterministic block
+    key), and its recall vs the exact within-label answer clears the
+    floor measured under the driver's vanilla session
+    (0.071 / 0.192 / 0.136 at sf0.001/0.01/0.1 — the banding probability
+    (1 − θ/π)^4 at cosines 0.35–0.47; deterministic md5 planes make the
+    per-SF value exact, the floor is headroom for future testdata)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from social_media_sentiment_analysis_spark.operators.similarity import (
+        hyperplane_bucket,
+    )
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        embedding_dedup_sink, read_embedding_flags,
+    )
+
+    rows = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "label", "embedding").collect())
+    src = tmp_path / "in"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third:(i + 1) * third]
+        (src / f"{i}.jsonl").write_text("\n".join(
+            json.dumps({"vec_id": r.vec_id,
+                        "embedding": [float(x) for x in r.embedding]})
+            for r in chunk))
+        _os.utime(src / f"{i}.jsonl", (1_000_000 * (i + 1),) * 2)
+
+    bucket = hyperplane_bucket(F.col("embedding"), 64, 4)
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).json(str(src))
+              .withColumn("bucket", bucket))
+    out = str(tmp_path / "emb")
+    q = (embedding_dedup_sink(stream, out, str(tmp_path / "ck"),
+                              block_col="bucket", threshold=0.35)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    flags = {(r.a_id, r.b_id, r.cosine)
+             for r in read_embedding_flags(spark, out).collect()}
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("bucket", bucket))
+    batch = {(r.a_id, r.b_id, r.cosine) for r in
+             embedding_near_duplicates(emb, "embedding", "vec_id",
+                                       block_col="bucket", threshold=-1.0)
+             .withColumn("cosine", F.round("cosine", 4))
+             .filter(F.col("cosine") >= 0.35).collect()}
+    assert flags == batch and flags, (len(flags), len(batch))
+
+    exact = {(r.a_id, r.b_id) for r in
+             embedding_near_duplicates(emb, "embedding", "vec_id",
+                                       block_col="label", threshold=-1.0)
+             .withColumn("cosine", F.round("cosine", 4))
+             .filter(F.col("cosine") >= 0.35).collect()}
+    caught = {(a, b) for a, b, _ in flags} & exact
+    recall = len(caught) / len(exact)
+    assert recall >= 0.05, (len(caught), len(exact), recall)
 
 
 def test_compact_stats_store_with_merge_preserves_flags(spark, tmp_path):
