@@ -93,8 +93,10 @@ BENCH_QUERIES = [
     "streaming_heavy_hitters",
     # round 7: the vector-state streaming=batch member
     "streaming_dedup_embedding",
-    # round 8: the same sink in its 100 TB blocking mode (LSH bucket)
+    # round 8: the same sink in its 100 TB blocking mode (LSH bucket),
+    # and the high-recall OR-of-bands batch path
     "streaming_dedup_embedding_lsh",
+    "dedup_embedding_multiband",
 ]
 
 

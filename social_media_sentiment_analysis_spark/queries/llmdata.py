@@ -409,7 +409,8 @@ _LSH_BITS = 4    # 16 buckets — matches the sink's default store_buckets
 _LSH_DIM = 64    # the testdata embeddings dimension (TESTDATA.md contract)
 
 
-def _hyperplane_bucket_sql(emb_expr: str, bits: int, dim: int) -> str:
+def _hyperplane_bucket_sql(emb_expr: str, bits: int, dim: int,
+                           plane_offset: int = 0) -> str:
     """DuckDB twin of ``operators/similarity.py::hyperplane_bucket``: the
     SAME md5-derived ±1 planes inlined as literals, the same
     multiply-then-fold shape (list_transform → list_sum mirrors zip_with →
@@ -421,7 +422,9 @@ def _hyperplane_bucket_sql(emb_expr: str, bits: int, dim: int) -> str:
 
     terms = []
     for i in range(bits):
-        lit = "[" + ",".join(f"{float(c):.1f}" for c in _hyperplane(i, dim)) + "]"
+        lit = "[" + ",".join(
+            f"{float(c):.1f}"
+            for c in _hyperplane(plane_offset + i, dim)) + "]"
         terms.append(
             f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
             f"j -> {emb_expr}[j]::DOUBLE * ({lit}::DOUBLE[])[j])) > 0 "
@@ -449,7 +452,8 @@ def q_streaming_dedup_embedding_lsh(spark: SparkSession,
     0.071 / 0.192 / 0.136 at sf0.001/0.01/0.1 (cosines here sit at
     0.35–0.47 where the per-bit collision probability is only ~0.61–0.66;
     at a true near-dup threshold of 0.95 the same 4-bit block retains
-    ~0.65 — the dial is ``bits``, documented on the sink). The LSH block
+    ~0.65 — the dial is ``bits``, documented on the sink; for OR-of-bands
+    high recall see ``dedup_embedding_multiband``). The LSH block
     also surfaces cross-label similar pairs label-blocking can never see
     (51 vs 14 flags at sf0.001).
     """
@@ -507,6 +511,83 @@ SELECT a_id, b_id, cosine
 FROM dots
 WHERE cosine >= {_EMB_SIM_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+
+_MB_BANDS = 8     # OR-of-bands: recall 1-(1-p^r)^b ≈ 0.98 at cosine 0.35
+_MB_BITS = 2      # r=2 bits per band — the bucket-size dial
+
+
+def q_dedup_embedding_multiband(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top-50 most-similar pairs found by OR-of-bands hyperplane LSH
+    (``operators/similarity.py::multiband_lsh_pairs``) — the HIGH-RECALL
+    unblocked-corpus answer to ``dedup_embedding``'s label blocking and
+    ``streaming_dedup_embedding_lsh``'s single-block banding: {b}
+    independent {r}-bit sign-bucket bands, candidate iff colliding in
+    ANY band, every candidate exact-cosine verified. Candidate recall at
+    this corpus's 0.35–0.47 cosines is ≈0.93–0.99 by the banding formula
+    (measured 0.9651/0.9853/0.9819 vs the exhaustive all-pairs answer at
+    sf0.001/0.01/0.1 under the driver's vanilla session, precision exact
+    at every SF — floor 0.90 pinned in tests), with NO label attribute
+    needed. r=2 is tuned to THIS corpus's wide angles; a production
+    near-dup run picks r from its threshold so the join actually prunes
+    — the dial economics are derived in the operator docstring
+    (``multiband_lsh_pairs``).
+
+    FULL value oracle: DuckDB replays the same md5-derived planes per
+    band (sign margins ≥1e-4 at all SFs — see q_streaming_dedup_
+    embedding_lsh), the same any-band candidate join, and the same
+    verified cosine, so every emitted pair and score is exact-checked.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        sim.multiband_lsh_pairs(emb, "embedding", "vec_id", dim=_LSH_DIM,
+                                bands=_MB_BANDS, band_bits=_MB_BITS,
+                                threshold=_EMB_SIM_THRESHOLD)
+        .orderBy(F.desc("cosine"), "a_id", "b_id")
+        .limit(_EMB_TOPK)
+    )
+
+
+q_dedup_embedding_multiband.__doc__ = \
+    q_dedup_embedding_multiband.__doc__.format(b=_MB_BANDS, r=_MB_BITS)
+
+
+def _multiband_bands_sql() -> str:
+    return "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {j} AS band,\n"
+        f"           {_hyperplane_bucket_sql('embedding', _MB_BITS, _LSH_DIM, plane_offset=j * _MB_BITS)}"
+        f" AS val\n    FROM embeddings"
+        for j in range(_MB_BANDS))
+
+
+ORACLE_DEDUP_EMBEDDING_MULTIBAND = f"""
+WITH bands AS (
+{_multiband_bands_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT c.a_id, c.b_id,
+           round(
+             list_sum(list_transform(range(1, len(x.embedding) + 1),
+                      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           4) AS cosine
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.a_id
+    JOIN embeddings y ON y.vec_id = c.b_id
+)
+SELECT a_id, b_id, cosine
+FROM dots
+WHERE cosine >= {_EMB_SIM_THRESHOLD}
+ORDER BY cosine DESC, a_id, b_id
+LIMIT {_EMB_TOPK}
 """
 
 

@@ -421,6 +421,14 @@ _ALL: list[Query] = [
           "vector store (block probe + exact zip_with cosine): flag set "
           "equals the batch answer regardless of batching — seventh "
           "streaming=batch gate member, first with vector state"),
+    Query("dedup_embedding_multiband",
+          llmdata.q_dedup_embedding_multiband,
+          llmdata.ORACLE_DEDUP_EMBEDDING_MULTIBAND,
+          "OR-of-bands hyperplane LSH near-dup pairs (8 bands x 2 bits, "
+          "any-band collision, exact-cosine verified) — the high-recall "
+          "unblocked-corpus scale path (~0.95 measured recall vs the "
+          "exhaustive answer, no label attribute needed); FULL value "
+          "oracle with the plane bands replayed in DuckDB"),
     Query("streaming_dedup_embedding_lsh",
           llmdata.q_streaming_dedup_embedding_lsh,
           llmdata.ORACLE_STREAMING_DEDUP_EMBEDDING_LSH,
@@ -880,20 +888,22 @@ _ALL: list[Query] = [
 # policy, in priority order:
 # (1) entries whose Spark query CHANGED or that are NEW this round —
 #     `streaming_dedup_embedding_lsh` (the embedding dedup sink's
-#     100 TB LSH-blocking mode, new full value oracle) and
-#     bpe_merges/bpe_tokenize (now trained through the provably-
-#     sequential batched trainer — same output by construction, gated
-#     the round the implementation changed);
+#     100 TB LSH-blocking mode, new full value oracle),
+#     `dedup_embedding_multiband` (OR-of-bands high-recall LSH, new
+#     full value oracle), and bpe_merges/bpe_tokenize (now trained
+#     through the provably-sequential batched trainer — same output by
+#     construction, gated the round the implementation changed);
 # (2) stalest-first (the r7 verdict's #1): the 10 rows whose newest
 #     green row is round 3 (sentiment_total … zipf_exponent — the rows
 #     the r7 upgrade wave displaced), then the first 37 of the 50
-#     round-4 rows alphabetically (ab_test … time_weighted_avg). The
-#     remaining 13 round-4 rows (top_orders_with_ties …
+#     round-4 rows alphabetically (ab_test … status_priority_sets). The
+#     remaining 14 round-4 rows (time_weighted_avg …
 #     winsorized_stats) lead the r9 rotation. Local harnesses still
 #     verify the full registry at 3 scale factors each round.
 _FRONT = [
     # changed/new this round (gate the round they land)
-    "streaming_dedup_embedding_lsh", "bpe_merges", "bpe_tokenize",
+    "dedup_embedding_multiband", "streaming_dedup_embedding_lsh",
+    "bpe_merges", "bpe_tokenize",
     # stalest: last gated in round 3
     "sentiment_total", "session_funnel", "source_mix",
     "stratified_sample", "streaming_hourly_rollup",
@@ -911,7 +921,7 @@ _FRONT = [
     "props_extract", "props_variant", "pseudonymize_audit", "repetition",
     "rolling_active_users", "schema_drift_audit", "similar_days",
     "snapshot_diff", "source_sample", "stats_profile",
-    "status_priority_sets", "time_weighted_avg",
+    "status_priority_sets",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}
