@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     # and the high-recall OR-of-bands batch path
     "streaming_dedup_embedding_lsh",
     "dedup_embedding_multiband",
+    "streaming_dedup_embedding_multiband",
 ]
 
 

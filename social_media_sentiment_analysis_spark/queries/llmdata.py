@@ -518,6 +518,47 @@ _MB_BANDS = 8     # OR-of-bands: recall 1-(1-p^r)^b ≈ 0.98 at cosine 0.35
 _MB_BITS = 2      # r=2 bits per band — the bucket-size dial
 
 
+def q_streaming_dedup_embedding_multiband(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """The OR-of-bands HIGH-RECALL streaming dedup sink
+    (``streaming/sinks.py::embedding_dedup_multiband_sink``): the
+    embeddings stream drained through a persisted (band, val)-bucketed
+    banded store — per batch, the banded probe against strictly-earlier
+    partitions plus the within-batch banded self-join, every collision
+    exact-cosine verified and pair-deduped across bands. Flag-set
+    batching independence holds band-by-band (each pair is discovered
+    at the later vector's batch, in whatever bands it collides), so the
+    oracle is the batch multiband formulation without the presentation
+    top-k: every any-band-colliding pair at rounded cosine >= threshold
+    — the same FULL value oracle family as ``dedup_embedding_multiband``
+    (~0.98 recall vs exhaustive, measured; the third and highest-recall
+    member of the streaming embedding-dedup trio)."""
+    import shutil
+    import tempfile
+
+    from ..sources.batch import load_table_stream
+    from ..streaming.sinks import (
+        embedding_dedup_multiband_sink, read_embedding_flags,
+    )
+
+    root = tempfile.mkdtemp(prefix="embdedupmb_")
+    try:
+        src = (load_table_stream(spark, sf_dir, "embeddings")
+               .select("vec_id", "embedding"))
+        q = (embedding_dedup_multiband_sink(
+                src, f"{root}/store", f"{root}/ckpt", dim=_LSH_DIM,
+                bands=_MB_BANDS, band_bits=_MB_BITS,
+                threshold=_EMB_SIM_THRESHOLD)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        res = (read_embedding_flags(spark, f"{root}/store")
+               .select("a_id", "b_id", "cosine")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return res.orderBy("a_id", "b_id")
+
+
 def q_dedup_embedding_multiband(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Top-50 most-similar pairs found by OR-of-bands hyperplane LSH
@@ -588,6 +629,34 @@ FROM dots
 WHERE cosine >= {_EMB_SIM_THRESHOLD}
 ORDER BY cosine DESC, a_id, b_id
 LIMIT {_EMB_TOPK}
+"""
+
+
+ORACLE_STREAMING_DEDUP_EMBEDDING_MULTIBAND = f"""
+WITH bands AS (
+{_multiband_bands_sql()}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT c.a_id, c.b_id,
+           round(
+             list_sum(list_transform(range(1, len(x.embedding) + 1),
+                      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           4) AS cosine
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.a_id
+    JOIN embeddings y ON y.vec_id = c.b_id
+)
+SELECT a_id, b_id, cosine
+FROM dots
+WHERE cosine >= {_EMB_SIM_THRESHOLD}
+ORDER BY a_id, b_id
 """
 
 

@@ -436,6 +436,14 @@ _ALL: list[Query] = [
           "mode — hyperplane-LSH bucket as the block key instead of "
           "label; FULL value oracle (the md5-derived planes replayed in "
           "DuckDB), recall vs exact measured and documented"),
+    Query("streaming_dedup_embedding_multiband",
+          llmdata.q_streaming_dedup_embedding_multiband,
+          llmdata.ORACLE_STREAMING_DEDUP_EMBEDDING_MULTIBAND,
+          "the OR-of-bands HIGH-RECALL streaming dedup sink (persisted "
+          "(band,val)-bucketed banded store, collisions exact-verified, "
+          "pairs deduped across bands): flag set equals the batch "
+          "multiband answer regardless of batching — ~0.98 recall vs "
+          "exhaustive with no label attribute"),
     Query("embedding_norm_stats", llmdata.q_embedding_norm_stats,
           llmdata.ORACLE_EMBEDDING_NORM_STATS,
           "per-label L2-norm profile via higher-order array fold (no UDF)"),
@@ -890,19 +898,21 @@ _ALL: list[Query] = [
 #     `streaming_dedup_embedding_lsh` (the embedding dedup sink's
 #     100 TB LSH-blocking mode, new full value oracle),
 #     `dedup_embedding_multiband` (OR-of-bands high-recall LSH, new
-#     full value oracle), and bpe_merges/bpe_tokenize (now trained
+#     full value oracle), `streaming_dedup_embedding_multiband` (its
+#     streaming twin), and bpe_merges/bpe_tokenize (now trained
 #     through the provably-sequential batched trainer — same output by
 #     construction, gated the round the implementation changed);
 # (2) stalest-first (the r7 verdict's #1): the 10 rows whose newest
 #     green row is round 3 (sentiment_total … zipf_exponent — the rows
 #     the r7 upgrade wave displaced), then the first 37 of the 50
-#     round-4 rows alphabetically (ab_test … status_priority_sets). The
-#     remaining 14 round-4 rows (time_weighted_avg …
+#     round-4 rows alphabetically (ab_test … stats_profile). The
+#     remaining 15 round-4 rows (status_priority_sets …
 #     winsorized_stats) lead the r9 rotation. Local harnesses still
 #     verify the full registry at 3 scale factors each round.
 _FRONT = [
     # changed/new this round (gate the round they land)
     "dedup_embedding_multiband", "streaming_dedup_embedding_lsh",
+    "streaming_dedup_embedding_multiband",
     "bpe_merges", "bpe_tokenize",
     # stalest: last gated in round 3
     "sentiment_total", "session_funnel", "source_mix",
@@ -921,7 +931,6 @@ _FRONT = [
     "props_extract", "props_variant", "pseudonymize_audit", "repetition",
     "rolling_active_users", "schema_drift_audit", "similar_days",
     "snapshot_diff", "source_sample", "stats_profile",
-    "status_priority_sets",
 ]
 _FRONT_ORDER = {name: i for i, name in enumerate(_FRONT)}
 _REGISTRY_NAMES = {q.name for q in _ALL}

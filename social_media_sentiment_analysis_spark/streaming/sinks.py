@@ -1016,6 +1016,115 @@ def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
     )
 
 
+def embedding_dedup_multiband_sink(df: DataFrame, path: str,
+                                   checkpoint: str,
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   dim: int = 64, bands: int = 8,
+                                   band_bits: int = 2,
+                                   threshold: float = 0.95,
+                                   store_buckets: int = 16
+                                   ) -> DataStreamWriter:
+    """The OR-of-bands HIGH-RECALL member of the incremental embedding
+    dedup family: the streaming twin of ``operators/similarity.py::
+    multiband_lsh_pairs``, completing the trio (exact-within-``label``
+    block: ``embedding_dedup_sink``; single LSH block: its
+    ``block_col=hyperplane_bucket`` mode; OR-of-b-bands: this sink,
+    recall 1 − (1 − p^r)^b with exact verification — dial economics in
+    the batch operator's docstring).
+
+    Store layout: one persisted store bucketed+sorted by (band, val),
+    holding each vector once PER BAND (b× index duplication — that is
+    the price of an exchange-free banded probe, the same trade a
+    MinHash band store makes). Per micro-batch: the batch's banded
+    projection probes strictly-earlier partitions on (band, val) — a
+    pruned bucketed scan, zero store-side exchanges — plus the
+    within-batch banded self-join; every collision is exact-cosine
+    verified (pre-staged norms), and the qualifying pairs are DEDUPED
+    to distinct (a_id, b_id, cosine) before the flag write, because one
+    pair may collide in several bands. Discovery is still exactly-once
+    ACROSS batches (a cross-batch pair is only ever found at the later
+    vector's batch; a within-batch pair only in its own batch), so the
+    flag SET equals the batch multiband answer regardless of batching —
+    the registry twin's oracle contract. Replay: replace-own-partition
+    + stale-future sweep, the family recipe."""
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.similarity import hyperplane_bucket
+    from ..sources.layout import (
+        drop_stale_partitions, open_store, replace_store_partition,
+    )
+
+    band_path = f"{path}/bands"
+    flags_path = f"{path}/flags"
+
+    def banded(cur: DataFrame) -> DataFrame:
+        bv = F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     hyperplane_bucket(F.col(vec_col), dim, band_bits,
+                                       plane_offset=j * band_bits)
+                     .alias("val"))
+            for j in range(bands)])).alias("bv")
+        return cur.select(id_col, vec_col, "__nrm", bv).select(
+            "bv.band", "bv.val", id_col, vec_col, "__nrm")
+
+    def update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur = (batch.dropDuplicates([id_col])
+               .select(id_col, vec_col,
+                       l2_norm(F.col(vec_col)).alias("__nrm"))
+               .localCheckpoint())
+        cur_b = banded(cur)
+        pieces = []
+        table = open_store(spark, band_path, ["band", "val"],
+                           store_buckets)
+        if table is not None:      # store absent only on the first batch
+            store = (spark.table(table)
+                     .filter(F.col("batch_id") < F.lit(batch_id))
+                     .select(F.col("band"), F.col("val"),
+                             F.col(id_col).alias("old_id"),
+                             F.col(vec_col).alias("old_vec"),
+                             F.col("__nrm").alias("__old_nrm")))
+            cross_cos = (dot(F.col("new_vec"), F.col("old_vec"))
+                         / (F.col("__new_nrm") * F.col("__old_nrm")))
+            pieces.append(
+                cur_b.toDF("band", "val", "new_id", "new_vec",
+                           "__new_nrm")
+                .join(store, ["band", "val"])
+                .filter(F.col("new_id") != F.col("old_id"))
+                .withColumn("cosine", F.round(cross_cos, 4))
+                .filter(F.col("cosine") >= threshold)
+                .select(F.least("new_id", "old_id").alias("a_id"),
+                        F.greatest("new_id", "old_id").alias("b_id"),
+                        "cosine"))
+        a = cur_b.toDF("band", "val", "a_id", "a_vec", "a___nrm")
+        b = cur_b.toDF("band", "val", "b_id", "b_vec", "b___nrm")
+        within_cos = (dot(F.col("a_vec"), F.col("b_vec"))
+                      / (F.col("a___nrm") * F.col("b___nrm")))
+        pieces.append(
+            a.join(b, ["band", "val"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .withColumn("cosine", F.round(within_cos, 4))
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))
+        flags = pieces[0]
+        for p in pieces[1:]:
+            flags = flags.unionByName(p)
+        flags = flags.dropDuplicates(["a_id", "b_id"])
+        drop_stale_partitions(spark, flags_path, batch_id)
+        (flags.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(flags_path))
+        replace_store_partition(spark, cur_b, band_path, batch_id,
+                                ["band", "val"], n_buckets=store_buckets)
+
+    return (
+        df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
 def _vector_store_probe(spark: SparkSession, vec_location: str,
                         batch_id: int, id_col: str, block_col: str,
                         vec_col: str) -> DataFrame | None:

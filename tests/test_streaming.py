@@ -1115,6 +1115,82 @@ def test_compact_reservoir_sample_preserves_bottom_k(spark, tmp_path):
     assert got == want and len(got) == 7
 
 
+def test_embedding_dedup_multiband_sink_matches_batch_twin(
+        spark, sf_dir, tmp_path):
+    """The OR-of-bands streaming sink drained over the REAL embeddings
+    table in three micro-batches equals the batch multiband answer
+    pair-for-pair (cross-band pair dedupe included — one pair may
+    collide in several bands, the flag store must carry it once), and
+    the banded store probe is a pruned bucketed scan with zero
+    store-side exchanges."""
+    import os as _os
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from social_media_sentiment_analysis_spark.operators.similarity import (
+        multiband_lsh_pairs,
+    )
+    from social_media_sentiment_analysis_spark.streaming.sinks import (
+        embedding_dedup_multiband_sink, read_embedding_flags,
+    )
+
+    rows = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding").collect())
+    src = tmp_path / "in"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third:(i + 1) * third]
+        (src / f"{i}.jsonl").write_text("\n".join(
+            json.dumps({"vec_id": r.vec_id,
+                        "embedding": [float(x) for x in r.embedding]})
+            for r in chunk))
+        _os.utime(src / f"{i}.jsonl", (1_000_000 * (i + 1),) * 2)
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out = str(tmp_path / "emb")
+    q = (embedding_dedup_multiband_sink(
+            stream, out, str(tmp_path / "ck"), dim=64, bands=8,
+            band_bits=2, threshold=0.35)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    flags = [(r.a_id, r.b_id, r.cosine)
+             for r in read_embedding_flags(spark, out).collect()]
+    assert len(flags) == len(set(flags))        # deduped across bands
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = {(r.a_id, r.b_id, r.cosine) for r in
+             multiband_lsh_pairs(emb, "embedding", "vec_id", dim=64,
+                                 bands=8, band_bits=2,
+                                 threshold=0.35).collect()}
+    assert set(flags) == batch and flags, (len(flags), len(batch))
+
+    # plan contract: the banded store side of the probe join reads
+    # bucketed by (band, val) with zero exchanges
+    from social_media_sentiment_analysis_spark.sources.layout import (
+        open_store,
+    )
+    table = open_store(spark, f"{out}/bands", ["band", "val"], 16)
+    assert table is not None
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = (spark.table(table)
+                 .filter(F.col("batch_id") < 2)
+                 .select("band", "val",
+                         F.col("vec_id").alias("old_id")))
+        join = (spark.read.parquet(f"{out}/bands/batch_id=2")
+                .select("band", "val", "vec_id").join(probe,
+                                                      ["band", "val"]))
+        plan = join._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert len(_re.findall(r"\bExchange\b", plan)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def _write_emb_fixture(src):
     """Three jsonl micro-batch files over 6 vectors: batch 0 orthogonal
     (no flags), batch 1 one cross-batch near-dup of batch 0 plus a new
