@@ -1033,21 +1033,31 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
     recall 1 − (1 − p^r)^b with exact verification — dial economics in
     the batch operator's docstring).
 
-    Store layout: one persisted store bucketed+sorted by (band, val),
-    holding each vector once PER BAND (b× index duplication — that is
-    the price of an exchange-free banded probe, the same trade a
-    MinHash band store makes). Per micro-batch: the batch's banded
-    projection probes strictly-earlier partitions on (band, val) — a
-    pruned bucketed scan, zero store-side exchanges — plus the
-    within-batch banded self-join; every collision is exact-cosine
-    verified (pre-staged norms), and the qualifying pairs are DEDUPED
-    to distinct (a_id, b_id, cosine) before the flag write, because one
-    pair may collide in several bands. Discovery is still exactly-once
-    ACROSS batches (a cross-batch pair is only ever found at the later
-    vector's batch; a within-batch pair only in its own batch), so the
-    flag SET equals the batch multiband answer regardless of batching —
-    the registry twin's oracle contract. Replay: replace-own-partition
-    + stale-future sweep, the family recipe."""
+    TWO persisted stores, mirroring the batch operator's
+    candidates-before-vectors shape (carrying vectors through the
+    banded join would stream |collisions| wide rows — measured
+    prohibitive at 20k vectors, where r=2 passes ~10⁸ collisions):
+
+    - ``{path}/bands``: the banded index — (id, band, val) only, one
+      row per vector PER BAND, bucketed+sorted by (band, val). The
+      candidate probe is id-only: 16-byte pair rows, column-pruned
+      bucketed scan, zero store-side exchanges.
+    - ``{path}/vectors``: (id, vector, pre-staged norm), bucketed by
+      id. Only the DISTINCT candidate pairs (one pair may collide in
+      several bands — deduped first) join back here for the exact
+      cosine verify, so the wide rows number |qualifying candidates|,
+      not |collisions|; the store side of the verify join is again a
+      bucketed scan.
+
+    Per micro-batch: within-batch banded self-join + strictly-earlier
+    banded store probe → distinct (a_id, b_id) → verify against the
+    union of the batch's own vectors and the strictly-earlier vector
+    store → flags. Discovery is exactly-once ACROSS batches (a
+    cross-batch pair is only ever found at the later vector's batch),
+    so the flag SET equals the batch multiband answer regardless of
+    batching — the registry twin's oracle contract. Replay:
+    replace-own-partition + stale-future sweep on all three artifacts,
+    the family recipe."""
     from ..functions.vectors import dot, l2_norm
     from ..operators.similarity import hyperplane_bucket
     from ..sources.layout import (
@@ -1055,6 +1065,7 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
     )
 
     band_path = f"{path}/bands"
+    vec_path = f"{path}/vectors"
     flags_path = f"{path}/flags"
 
     def banded(cur: DataFrame) -> DataFrame:
@@ -1064,8 +1075,7 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
                                        plane_offset=j * band_bits)
                      .alias("val"))
             for j in range(bands)])).alias("bv")
-        return cur.select(id_col, vec_col, "__nrm", bv).select(
-            "bv.band", "bv.val", id_col, vec_col, "__nrm")
+        return cur.select(id_col, bv).select(id_col, "bv.band", "bv.val")
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -1074,42 +1084,46 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
                        l2_norm(F.col(vec_col)).alias("__nrm"))
                .localCheckpoint())
         cur_b = banded(cur)
-        pieces = []
-        table = open_store(spark, band_path, ["band", "val"],
-                           store_buckets)
-        if table is not None:      # store absent only on the first batch
-            store = (spark.table(table)
-                     .filter(F.col("batch_id") < F.lit(batch_id))
-                     .select(F.col("band"), F.col("val"),
-                             F.col(id_col).alias("old_id"),
-                             F.col(vec_col).alias("old_vec"),
-                             F.col("__nrm").alias("__old_nrm")))
-            cross_cos = (dot(F.col("new_vec"), F.col("old_vec"))
-                         / (F.col("__new_nrm") * F.col("__old_nrm")))
-            pieces.append(
-                cur_b.toDF("band", "val", "new_id", "new_vec",
-                           "__new_nrm")
-                .join(store, ["band", "val"])
-                .filter(F.col("new_id") != F.col("old_id"))
-                .withColumn("cosine", F.round(cross_cos, 4))
-                .filter(F.col("cosine") >= threshold)
-                .select(F.least("new_id", "old_id").alias("a_id"),
-                        F.greatest("new_id", "old_id").alias("b_id"),
-                        "cosine"))
-        a = cur_b.toDF("band", "val", "a_id", "a_vec", "a___nrm")
-        b = cur_b.toDF("band", "val", "b_id", "b_vec", "b___nrm")
-        within_cos = (dot(F.col("a_vec"), F.col("b_vec"))
-                      / (F.col("a___nrm") * F.col("b___nrm")))
-        pieces.append(
-            a.join(b, ["band", "val"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .withColumn("cosine", F.round(within_cos, 4))
-            .filter(F.col("cosine") >= threshold)
-            .select("a_id", "b_id", "cosine"))
-        flags = pieces[0]
-        for p in pieces[1:]:
-            flags = flags.unionByName(p)
-        flags = flags.dropDuplicates(["a_id", "b_id"])
+        within = (cur_b.toDF("a_id", "band", "val")
+                  .join(cur_b.toDF("b_id", "band2", "val2"),
+                        (F.col("band") == F.col("band2"))
+                        & (F.col("val") == F.col("val2"))
+                        & (F.col("a_id") < F.col("b_id")))
+                  .select("a_id", "b_id"))
+        cand = within
+        band_table = open_store(spark, band_path, ["band", "val"],
+                                store_buckets)
+        if band_table is not None:   # absent only on the first batch
+            store_b = (spark.table(band_table)
+                       .filter(F.col("batch_id") < F.lit(batch_id))
+                       .select(F.col("band"), F.col("val"),
+                               F.col(id_col).alias("old_id")))
+            cross = (cur_b.toDF("new_id", "band", "val")
+                     .join(store_b, ["band", "val"])
+                     .filter(F.col("new_id") != F.col("old_id"))
+                     .select(F.least("new_id", "old_id").alias("a_id"),
+                             F.greatest("new_id", "old_id")
+                             .alias("b_id")))
+            cand = cand.unionByName(cross)
+        cand = cand.distinct()
+        vecs = cur.toDF("__vid", "__vec", "__vnrm")
+        vec_table = open_store(spark, vec_path, id_col, store_buckets)
+        if vec_table is not None:
+            vecs = vecs.unionByName(
+                spark.table(vec_table)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select(F.col(id_col).alias("__vid"),
+                        F.col(vec_col).alias("__vec"),
+                        F.col("__nrm").alias("__vnrm")))
+        a = vecs.toDF("a_id", "a_vec", "a___nrm")
+        b = vecs.toDF("b_id", "b_vec", "b___nrm")
+        cos = (dot(F.col("a_vec"), F.col("b_vec"))
+               / (F.col("a___nrm") * F.col("b___nrm")))
+        flags = (cand.join(a, "a_id").join(b, "b_id")
+                 .withColumn("cosine", F.round(cos, 4))
+                 .filter(F.col("cosine") >= threshold)
+                 .select("a_id", "b_id", "cosine")
+                 .dropDuplicates(["a_id", "b_id"]))
         drop_stale_partitions(spark, flags_path, batch_id)
         (flags.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
@@ -1117,6 +1131,9 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
          .partitionBy("batch_id").parquet(flags_path))
         replace_store_partition(spark, cur_b, band_path, batch_id,
                                 ["band", "val"], n_buckets=store_buckets)
+        replace_store_partition(
+            spark, cur, vec_path, batch_id, id_col,
+            n_buckets=store_buckets)
 
     return (
         df.writeStream.foreachBatch(update)
