@@ -61,8 +61,15 @@ from social_media_sentiment_analysis_spark.sources.batch import load_table  # no
 from social_media_sentiment_analysis_spark.sources.layout import (  # noqa: E402
     replace_store_partition,
 )
+from social_media_sentiment_analysis_spark.operators.similarity import (  # noqa: E402
+    hyperplane_bucket,
+)
+from social_media_sentiment_analysis_spark.functions.vectors import (  # noqa: E402
+    l2_norm,
+)
 from social_media_sentiment_analysis_spark.streaming.sinks import (  # noqa: E402
-    near_dedup_sink, rewrite_dedup_sink, winnow_containment_sink,
+    embedding_dedup_multiband_sink, near_dedup_sink, rewrite_dedup_sink,
+    winnow_containment_sink,
 )
 
 SRC = "/root/testdata/sf0.1"
@@ -114,10 +121,66 @@ def seed_winnow(spark, hist, root: str) -> None:
         f"{root}/fp_stats", -1, "fp")
 
 
+def history_vecs(spark, factor: int):
+    """Key-offset vector copies, each copy's components ROTATED by i
+    positions (norm-preserving, direction-scrambling — the vector analog
+    of the alphabet rotation: no planted exact dups, period 64 > the
+    probe's max factor)."""
+    df = load_table(spark, SRC, "embeddings").select("vec_id", "embedding")
+    if factor == 1:
+        return df
+    off = df.agg(F.max("vec_id")).first()[0] + 1
+    copies = []
+    for i in range(factor):
+        c = df.withColumn("vec_id", F.col("vec_id") + F.lit(off * i))
+        if i % 64:
+            rot = i % 64
+            c = c.withColumn("embedding", F.concat(
+                F.slice("embedding", rot + 1, 64 - rot),
+                F.slice("embedding", 1, rot)))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def seed_multiband(spark, hist, root: str) -> None:
+    """Seed both multiband stores through the sink's own layout: the
+    (id, band, val) banded index bucketed by (band, val) and the
+    (id, vec, norm) store bucketed by id."""
+    base = hist.select(
+        "vec_id", "embedding",
+        l2_norm(F.col("embedding")).alias("__nrm")).localCheckpoint()
+    bv = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 hyperplane_bucket(F.col("embedding"), 64, 2,
+                                   plane_offset=j * 2).alias("val"))
+        for j in range(8)])).alias("bv")
+    bands = base.select("vec_id", bv).select("vec_id", "bv.band", "bv.val")
+    replace_store_partition(spark, bands, f"{root}/bands", -1,
+                            ["band", "val"])
+    replace_store_partition(spark, base, f"{root}/vectors", -1, "vec_id")
+
+
+def multiband_build(stream, root, ckpt):
+    return embedding_dedup_multiband_sink(
+        stream, root, ckpt, dim=64, bands=8, band_bits=2, threshold=0.35)
+
+
+# name -> (probe kind, seed, build, expectation). "flat": probe shuffle
+# rows must not grow with history (the bucketed-store contract).
+# "linear": the sink's cross-band pair dedupe shuffles the CANDIDATE
+# volume, which grows ~linearly with history at fixed r BY DESIGN
+# (OR-of-bands economics — see embedding_dedup_multiband_sink); the
+# probe instead verifies the growth MATCHES the linear model (consistent
+# incremental slope), i.e. no superlinear plan defect hides behind the
+# documented candidate growth.
 SINKS = {
-    "near_dedup": (seed_near_dedup, near_dedup_sink),
-    "rewrite": (seed_rewrite, rewrite_dedup_sink),
-    "winnow": (seed_winnow, winnow_containment_sink),
+    "near_dedup": ("docs", seed_near_dedup, near_dedup_sink, "flat"),
+    "rewrite": ("docs", seed_rewrite, rewrite_dedup_sink, "flat"),
+    "winnow": ("docs", seed_winnow, winnow_containment_sink, "flat"),
+    "multiband": ("vecs", seed_multiband, multiband_build, "linear"),
 }
 
 
@@ -142,7 +205,8 @@ def main() -> int:
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
 
-    # one fixed probe batch: 200 brand-new docs (ids far above any copy)
+    # one fixed probe batch per kind: 200 brand-new rows (ids far above
+    # any history copy)
     probe = (load_table(spark, SRC, "documents")
              .select("doc_id", "text").orderBy("doc_id")
              .limit(PROBE_DOCS)
@@ -152,19 +216,37 @@ def main() -> int:
     with open(f"{probe_dir}/batch.jsonl", "w") as f:
         for r in probe.collect():
             f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    vprobe = (load_table(spark, SRC, "embeddings")
+              .select("vec_id", "embedding").orderBy("vec_id")
+              .limit(PROBE_DOCS)
+              .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000)))
+    vprobe_dir = f"{BASE}/vprobe_in"
+    os.makedirs(vprobe_dir, exist_ok=True)
+    with open(f"{vprobe_dir}/batch.jsonl", "w") as f:
+        for r in vprobe.collect():
+            f.write(json.dumps({"vec_id": r.vec_id,
+                                "embedding": [float(x)
+                                              for x in r.embedding]}) + "\n")
 
     report: dict[str, dict] = {}
     for name in names:
-        seed, build = SINKS[name]
+        kind, seed, build, _expect = SINKS[name]
         report[name] = {}
         for factor in factors:
             root = f"{BASE}/{name}/x{factor}"
-            hist = history_docs(spark, factor).localCheckpoint()
+            maker = history_docs if kind == "docs" else history_vecs
+            hist = maker(spark, factor).localCheckpoint()
             n_hist = hist.count()
             seed(spark, hist, root)
             before = set(completed_stages(ui, app_id))
-            stream = (spark.readStream.schema("doc_id long, text string")
-                      .json(probe_dir))
+            if kind == "docs":
+                stream = (spark.readStream
+                          .schema("doc_id long, text string")
+                          .json(probe_dir))
+            else:
+                stream = (spark.readStream
+                          .schema("vec_id long, embedding array<float>")
+                          .json(vprobe_dir))
             t0 = time.perf_counter()
             q = (build(stream, root, f"{root}/ckpt")
                  .trigger(availableNow=True).start())
@@ -188,10 +270,25 @@ def main() -> int:
     verdicts = {}
     ok = True
     for name in names:
+        expect = SINKS[name][3]
         rows = [report[name][f"x{f}"]["probe_shuffle_rows"] for f in factors]
-        flat = all(r <= rows[0] * (1 + SLACK) for r in rows)
-        verdicts[name] = "FLAT" if flat else "GROWS"
-        ok = ok and flat
+        hists = [report[name][f"x{f}"]["history_docs"] for f in factors]
+        if expect == "flat":
+            flat = all(r <= rows[0] * (1 + SLACK) for r in rows)
+            verdicts[name] = "FLAT" if flat else "GROWS"
+            ok = ok and flat
+        else:
+            # linear model check: incremental candidate rows per history
+            # row must be CONSISTENT across growth steps (superlinear
+            # plan defects show up as a rising slope; the documented
+            # candidate growth itself is linear in history)
+            slopes = [(rows[i] - rows[0]) / max(1, hists[i] - hists[0])
+                      for i in range(1, len(factors))]
+            lin = (len(slopes) < 2
+                   or max(slopes) <= min(slopes) * 1.3)
+            verdicts[name] = ("LINEAR_AS_MODELED" if lin
+                              else "SUPERLINEAR")
+            ok = ok and lin
     print(json.dumps({"report": report, "verdicts": verdicts,
                       "slack": SLACK}, indent=2, sort_keys=True))
     spark.stop()
