@@ -904,7 +904,7 @@ _ALL: list[Query] = [
 #     construction, gated the round the implementation changed);
 # (2) stalest-first (the r7 verdict's #1): the 10 rows whose newest
 #     green row is round 3 (sentiment_total … zipf_exponent — the rows
-#     the r7 upgrade wave displaced), then the first 37 of the 50
+#     the r7 upgrade wave displaced), then the first 35 of the 50
 #     round-4 rows alphabetically (ab_test … stats_profile). The
 #     remaining 15 round-4 rows (status_priority_sets …
 #     winsorized_stats) lead the r9 rotation. Local harnesses still

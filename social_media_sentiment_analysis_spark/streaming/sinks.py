@@ -650,17 +650,16 @@ def compact_reservoir_sample(spark: SparkSession, path: str,
     -1 sorts below every real id so ``drop_stale_partitions``'s stale-
     future sweep (which only deletes ``>= from_batch_id`` for
     non-negative ids) never touches the seed. The rewrite stages into a
-    sibling directory and swaps on success — a crash mid-fold leaves the
-    original store intact. Unlike the flag-store fold, even a full
+    sibling directory and swaps on success — a crash mid-fold never loses
+    data, though between the two renames of the swap the store is briefly
+    absent at ``path`` (it survives under ``.old-<tag>``; recovery is a
+    manual rename back — same pre-existing window as ``compact_store``).
+    Unlike the flag-store fold, even a full
     checkpoint-loss replay on top of a fold seed is harmless here: the
     read-side merge dedupes on the key and priorities are key-pure, so
     re-delivered rows change nothing (the sink's own idempotence
     algebra).
     """
-    import os
-    import shutil
-    import uuid
-
     return _fold_batch_partitions(
         spark, path, upto_batch_id,
         lambda df: (df.dropDuplicates([id_col])
@@ -696,7 +695,12 @@ def compact_flag_store(spark: SparkSession, path: str,
     rediscovered pairs are the same pairs — but row multiplicity can
     double; restore exactly-once rows by clearing the fold seed first:
     ``drop_stale_partitions(spark, path, -1)`` (the exact-match branch)
-    before restarting from an empty checkpoint."""
+    before restarting from an empty checkpoint.
+
+    Crash window, stated precisely: the staged rewrite never loses data,
+    but between the swap's two renames the store is absent at ``path``
+    (readers/sinks fail until the ``.old-<tag>`` sibling is renamed back
+    by hand — the same recoverable window as ``compact_store``)."""
     return _fold_batch_partitions(
         spark, path, upto_batch_id,
         lambda df: df.coalesce(n_files))
