@@ -18,6 +18,8 @@ Streaming semantics upgrades over the reference (SURVEY §2.9):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -294,6 +296,34 @@ def session_rollup_stream(events: DataFrame, *,
     )
 
 
+#: State-store partition count for the availableNow DRAINS below. A
+#: stateful streaming aggregation opens/commits one state store per shuffle
+#: partition EVERY micro-batch, and the count is frozen into the checkpoint
+#: at stream birth — so it is a state-VOLUME dial, not a cluster-width one
+#: (production sizes it to state bytes / target partition size; it cannot
+#: ride `spark.sql.shuffle.partitions` scaled to cores without paying
+#: per-batch store open/commit/snapshot I/O on mostly-empty stores forever).
+#: The drains here run bounded-cardinality complete-mode aggregates (3 –
+#: ~3.4k groups at the gate SFs), where 8 stores are already generous;
+#: override via env for a production-sized state.
+STREAM_STATE_PARTITIONS = int(os.environ.get(
+    "SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
+def _drain_available_now(spark: SparkSession, writer) -> None:
+    """Start an availableNow drain with the state-partition dial applied
+    and the session conf restored afterwards (the stream clones the session
+    conf at start, so the override never leaks into later batch queries)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(STREAM_STATE_PARTITIONS))
+    try:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def drain_stream_to_df(streaming_df: DataFrame,
                        name_prefix: str = "drain") -> DataFrame:
     """Run a (complete-mode) streaming aggregation to exhaustion with an
@@ -307,13 +337,23 @@ def drain_stream_to_df(streaming_df: DataFrame,
 
     spark = streaming_df.sparkSession
     sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (streaming_df.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    _drain_available_now(
+        spark,
+        streaming_df.writeStream.format("memory").queryName(sink)
+        .outputMode("complete"))
     table = spark.table(sink)
     rows = table.collect()
     spark.catalog.dropTempView(sink)
-    return spark.createDataFrame(rows, table.schema)
+    # ONE partition, not defaultParallelism: the collected result is a
+    # bounded aggregate (a handful of rows); bare createDataFrame would
+    # re-scatter it across |cores| near-empty partitions and every
+    # downstream action would then schedule a full wave of empty tasks
+    # (32 tasks to sort 3 rows — guide §2.6's idle-capacity tax, measured
+    # ~0.5 s/wave at local[32]).
+    if rows:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), table.schema)
+    return spark.createDataFrame([], table.schema)
 
 
 def drain_stream_to_parquet(streaming_df: DataFrame,
@@ -340,9 +380,10 @@ def drain_stream_to_parquet(streaming_df: DataFrame,
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (streaming_df.writeStream.foreachBatch(write_batch)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    _drain_available_now(
+        spark,
+        streaming_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete"))
     try:
         if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
             # zero micro-batches fired (empty source): an empty result with

@@ -1823,3 +1823,26 @@ def test_compact_stats_store_with_merge_preserves_flags(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b)
              for r in read_containment_flags(spark, out).collect()}
     assert (1, 9) in pairs, pairs
+
+
+def test_drain_to_df_single_partition_and_conf_restored(spark, stream_input):
+    """Optimization-round contract for the availableNow drains: the
+    collected bounded aggregate comes back as ONE partition (no
+    defaultParallelism re-scatter — downstream actions were paying a full
+    32-empty-task wave per action at local[32]), the stream runs with the
+    STREAM_STATE_PARTITIONS state dial, and the session's own
+    shuffle-partitions conf is restored after the drain."""
+    from social_media_sentiment_analysis_spark.streaming.pipeline import (
+        drain_stream_to_df,
+        flatten_envelope,
+        read_tweet_file_stream,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = flatten_envelope(read_tweet_file_stream(spark, stream_input))
+    agg = stream.groupBy("language").count()
+    got = drain_stream_to_df(agg, "drain_test")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert got.rdd.getNumPartitions() == 1
+    rows = {r.language: r["count"] for r in got.collect()}
+    assert rows["en"] >= 3   # the fixture's English envelopes survive
