@@ -77,6 +77,59 @@ def hyperplane_bucket(vec_col: Column, dim: int, bits: int = 8,
     return bucket
 
 
+def banded_projection(df: DataFrame, vec_col: str, id_col: str,
+                      dim: int, bands: int, band_bits: int) -> DataFrame:
+    """The (id, band, val) banded-LSH projection of a vector table — every
+    row fans out to ``bands`` rows, where ``val`` is the ``band_bits``-bit
+    sign bucket of band j's hyperplanes (plane family j*band_bits ..
+    j*band_bits+band_bits-1, the same md5-derived ±1 planes as
+    ``hyperplane_bucket``).
+
+    Computed as ONE ``mapInArrow`` matmul per Arrow batch (vectors ×
+    plane matrix, then a sign test) instead of bands × band_bits
+    per-element ``aggregate``/``zip_with`` folds: Spark's higher-order
+    functions are CodegenFallback — interpreted per element — and the r9
+    profiling measured the fold-built projection as a ~1.1 s single-task
+    stage at sf0.1 (2k vectors × 16 planes × 64 dims) plus ~1 s of
+    driver-side Column-tree construction; the matmul form is one Python
+    crossing of (id, vec) and milliseconds of BLAS (guide §4.2).
+
+    Bucket ids are IDENTICAL to the fold's by the measured margin
+    argument (queries/llmdata.py): every |plane dot| on this corpus is
+    ≥1e-4 at all three SFs, while pairwise-vs-sequential float64
+    summation over 64 terms differs by ≲1e-13 — nine orders below the
+    sign decision, so the ``> 0`` test can never diverge. The DuckDB
+    oracle twins replay the same planes and keep hash-matching
+    (re-verified at all three SFs for every consumer of this operator).
+    """
+    planes = [_hyperplane(j, dim) for j in range(bands * band_bits)]
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, band int, val int"
+
+    def project(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        p = np.asarray(planes, dtype=np.float64).T   # dim × (bands·bits)
+        weights = (1 << np.arange(band_bits)).astype(np.int32)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            flat = np.asarray(batch.column(1).flatten(), dtype=np.float64)
+            signs = (flat.reshape(n, dim) @ p) > 0           # n × (b·r)
+            vals = signs.reshape(n, bands, band_bits) @ weights  # n × b
+            idx = np.repeat(np.arange(n), bands)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(idx)),
+                 pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                 pa.array(vals.ravel().astype(np.int32))],
+                names=[id_col, "band", "val"])
+
+    return df.select(id_col, vec_col).mapInArrow(project, out_schema)
+
+
 def multiband_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
                         dim: int, bands: int = 8, band_bits: int = 2,
                         threshold: float = 0.95) -> DataFrame:
@@ -119,14 +172,17 @@ def multiband_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
 
     base = df.select(F.col(id_col), F.col(vec_col),
                      l2_norm(F.col(vec_col)).alias("__nrm"))
-    bv = F.explode(F.array(*[
-        F.struct(F.lit(j).alias("band"),
-                 hyperplane_bucket(F.col(vec_col), dim, band_bits,
-                                   plane_offset=j * band_bits)
-                 .alias("val"))
-        for j in range(bands)])).alias("bv")
-    banded = df.select(F.col(id_col), bv).select(
-        id_col, "bv.band", "bv.val")
+    # Spread the banded rows across the session's shuffle partitions BEFORE
+    # the self-join: the join's OUTPUT fans out ~b·2^{-r}·n² rows, so task
+    # count must follow the output, not the (tiny, 16-byte-row) input — a
+    # single-file scan otherwise leaves the whole collision stream in ONE
+    # task (broadcast join inherits the probe side's partitioning, and AQE
+    # would coalesce a keyless exchange of a few hundred KB right back to
+    # one partition; the explicit count is respected). This is the same
+    # (band, val) clustering the 100 TB layout materializes at ingest.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = (banded_projection(df, vec_col, id_col, dim, bands, band_bits)
+              .repartition(n_parts, "band", "val"))
     cand = (
         banded.toDF("a_id", "band", "val")
         .join(banded.toDF("b_id", "band2", "val2"),

@@ -1075,7 +1075,7 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
     rework took the 20k-vector drain from >10 min (vectors carried
     through the banded join) to 123.6 s."""
     from ..functions.vectors import dot, l2_norm
-    from ..operators.similarity import hyperplane_bucket
+    from ..operators.similarity import banded_projection
     from ..sources.layout import (
         drop_stale_partitions, open_store, replace_store_partition,
     )
@@ -1085,13 +1085,17 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
     flags_path = f"{path}/flags"
 
     def banded(cur: DataFrame) -> DataFrame:
-        bv = F.explode(F.array(*[
-            F.struct(F.lit(j).alias("band"),
-                     hyperplane_bucket(F.col(vec_col), dim, band_bits,
-                                       plane_offset=j * band_bits)
-                     .alias("val"))
-            for j in range(bands)])).alias("bv")
-        return cur.select(id_col, bv).select(id_col, "bv.band", "bv.val")
+        # one Arrow matmul per batch instead of bands×bits interpreted
+        # folds — same bucket ids by the ≥1e-4 sign-margin argument on
+        # the operator (operators/similarity.py::banded_projection).
+        # The explicit (band, val) repartition parallelizes the banded
+        # joins' fanned-out OUTPUT (a 1-partition micro-batch would
+        # otherwise run the whole collision stream in one task), matches
+        # the store's bucket spec so the probe reuses this exchange, and
+        # pre-clusters the store write (one bucket file per task).
+        return (banded_projection(cur, vec_col, id_col, dim, bands,
+                                  band_bits)
+                .repartition(store_buckets, "band", "val"))
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

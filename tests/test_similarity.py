@@ -258,6 +258,37 @@ class TestMultibandLSH:
         recall = len(found) / len(exact)
         assert recall >= 0.90, (len(found), len(exact), recall)
 
+    def test_arrow_projection_matches_fold_buckets(self, spark, sf_dir):
+        """The mapInArrow matmul projection (banded_projection) emits
+        bucket ids IDENTICAL to the interpreted hyperplane_bucket fold
+        for every (id, band) — the sign margins (≥1e-4) dwarf the
+        pairwise-vs-sequential float64 summation difference (≲1e-13),
+        so the `> 0` test cannot diverge. This is the r9 optimization's
+        equivalence pin."""
+        from social_media_sentiment_analysis_spark.operators.similarity import (
+            banded_projection,
+            hyperplane_bucket,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        bands, band_bits = 8, 2
+        arrow = {(r.vec_id, r.band): r.val for r in
+                 banded_projection(emb, "embedding", "vec_id", dim=64,
+                                   bands=bands, band_bits=band_bits
+                                   ).collect()}
+        fold = {}
+        for j in range(bands):
+            for r in emb.select(
+                    "vec_id",
+                    hyperplane_bucket(F.col("embedding"), 64, band_bits,
+                                      plane_offset=j * band_bits)
+                    .alias("val")).collect():
+                fold[(r.vec_id, j)] = r.val
+        assert arrow == fold
+
     def test_deterministic_and_band_count_dials_recall(self, spark, sf_dir):
         """Same inputs → identical output; and recall is monotone in the
         band count (the OR construction can only add candidates)."""
