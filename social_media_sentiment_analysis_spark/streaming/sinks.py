@@ -976,10 +976,20 @@ def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
         spark = batch.sparkSession
         # per-vector norm staged ONCE before any pair join (the
         # embedding_near_duplicates recipe: per-pair dot/(na·nb) is one
-        # array fold instead of three, bit-identical values)
+        # array fold instead of three, bit-identical values).
+        # Repartition by the blocking key BEFORE the checkpoint: an
+        # availableNow drain of a single-file source delivers the whole
+        # batch as ONE partition, and since the tiny batch side is what
+        # gets broadcast in the pair joins, the entire within-batch
+        # self-join + exact-cosine verify otherwise runs in ONE task
+        # (measured 2.35 s of a 3.9 s drain at sf0.1) while every other
+        # core idles. Keyed by the block so a task holds whole blocks —
+        # the same clustering the store's bucket layout persists.
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         cur = (batch.dropDuplicates([id_col])
                .select(id_col, block_col, vec_col,
                        l2_norm(F.col(vec_col)).alias("__nrm"))
+               .repartition(n_parts, block_col)
                .localCheckpoint())
         flags = None
         store = _vector_store_probe(spark, vec_path, batch_id,
