@@ -1103,9 +1103,12 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
         # otherwise run the whole collision stream in one task), matches
         # the store's bucket spec so the probe reuses this exchange, and
         # pre-clusters the store write (one bucket file per task).
+        n_parts = max(store_buckets,
+                      int(cur.sparkSession.conf.get(
+                          "spark.sql.shuffle.partitions")))
         return (banded_projection(cur, vec_col, id_col, dim, bands,
                                   band_bits)
-                .repartition(store_buckets, "band", "val"))
+                .repartition(n_parts, "band", "val"))
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
