@@ -501,8 +501,20 @@ def winnowing_window_minima(docs: DataFrame, text_col: str, id_col: str,
     document's fingerprint set (the guarantee: any shared substring of
     ≥ w+k-1 tokens between two documents yields a shared fp — pinned
     against a pure-Python reference in tests/test_properties.py).
-    One corpus exchange (the per-doc window sort)."""
-    sh = _positional_shingles(docs, text_col, id_col, k, materialize=False)
+    One corpus exchange (the per-doc window sort) — placed BEFORE the
+    shingle projection: the window needs a hash-by-``id_col`` exchange
+    either way, and issuing it on the raw documents instead of the
+    shingle stream (a) shuffles the text once instead of the ~8-30x
+    larger (pos, md5) fan-out (guide §2.3) and (b) runs the expensive
+    tokenize/slice/md5 projection AFTER the exchange, spread over the
+    shuffle partitions, instead of inside the scan stage — which for an
+    unsplittable single-row-group input file is ONE task (guide §2.5
+    input skew; measured a 2.8 s single-task stage at sf0.1). Same
+    exchange count at any scale; the window reuses the partitioning
+    (same key, same partition count)."""
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = _positional_shingles(docs.repartition(n_parts, id_col),
+                              text_col, id_col, k, materialize=False)
     w_win = (Window.partitionBy(id_col).orderBy("pos")
              .rowsBetween(-(w - 1), 0))
     return (sh.withColumn("fp", F.min("h").over(w_win))
