@@ -69,10 +69,25 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toked = _docs(spark, sf_dir).select(
         "doc_id", tokens(F.col("cleaned_text")).alias("toks"))
-    docs = toked.select(
+    # The self-join needs a hash-by-block exchange either way; issue it on
+    # (doc_id, block, toks) and build the shingle sets AFTER it: the
+    # exchange then carries the token arrays instead of the ~3x larger
+    # distinct-3-gram arrays (guide §2.3), and the shingle construction —
+    # the expensive interpreted part — runs spread over the shuffle
+    # partitions instead of inside the scan stage, which for an
+    # unsplittable single-row-group input file is ONE task (guide §2.5;
+    # profiled a 0.98 s single-task stage at sf0.1). The explicit count
+    # matches the join's requirement, so no second exchange appears, and
+    # both join sides still share the one exchange.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blocked = toked.select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.slice(F.col("toks"), 1, _PREFIX_TOKENS)))
         .alias("block"),
+        "toks",
+    ).repartition(n_parts, "block")
+    docs = blocked.select(
+        "doc_id", "block",
         F.array_distinct(shingles_from_tokens(F.col("toks"), _SHINGLE_K))
         .alias("sh"),
     )
@@ -3413,7 +3428,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensitively as distinct code points, which an entropy profile is
     insensitive to in practice.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.batch import spread_scan
+
+    # the per-doc sort/run/fold work below is the query's entire cost and
+    # is scan-fused; spread an under-partitioned (single-file) scan first
+    # — no-op on production many-file layouts (guide §2.5)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     arr = F.array_sort(F.filter(
         F.split(F.translate(F.col("text"), upper, upper.lower()), ""),

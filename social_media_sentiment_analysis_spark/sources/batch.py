@@ -62,6 +62,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Input-skew guard for compute-heavy map sides (guide §2.5): when a
+    scan yields fewer partitions than the session's parallelism — the
+    driver's testdata tables are single-row-group parquet FILES, which are
+    unsplittable, so every scan-fused projection runs in ONE task — spread
+    the rows with a round-robin repartition so the expensive per-row work
+    (shingling, per-doc entropy folds, hashing) uses every core.
+
+    Scale-adaptive by construction: on a production many-file layout the
+    scan already carries >= the session's partitions and this is a NO-OP —
+    no exchange is added at 100 TB, where re-shuffling raw input would be
+    the bug. The check reads the physical scan's partition count (no job
+    is triggered). Only apply where the downstream pipeline has no keyed
+    exchange that could simply be issued earlier (the winnowing /
+    jaccard-block recipe); a keyed exchange moved before the heavy
+    projection is strictly better because it also serves the join/window.
+    """
+    sess_parts = parts or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= max(2, sess_parts // 2):
+        return df
+    return df.repartition(sess_parts)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}

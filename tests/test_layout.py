@@ -19,6 +19,29 @@ from social_media_sentiment_analysis_spark.sources.layout import (
 )
 
 
+def test_spread_scan_spreads_single_file_and_noops_when_parallel(
+        spark, sf_dir, tmp_path):
+    """The input-skew guard (r9 optimization): a single-row-group file scan
+    is spread to the session's shuffle partitions; a scan that already
+    carries enough partitions is returned UNCHANGED (no exchange added —
+    the production many-file case), and values are preserved either way."""
+    from social_media_sentiment_analysis_spark.sources.batch import (
+        spread_scan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert docs.rdd.getNumPartitions() < sess_parts  # single-file testdata
+    spread = spread_scan(docs)
+    assert spread.rdd.getNumPartitions() == sess_parts
+    assert exchange_count(spread) == exchange_count(docs) + 1
+    assert (sorted(r.doc_id for r in spread.select("doc_id").collect())
+            == sorted(r.doc_id for r in docs.select("doc_id").collect()))
+
+    wide = docs.repartition(sess_parts)
+    assert spread_scan(wide) is wide  # no-op: no second exchange
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     out = str(tmp_path / "events_by_type")
     write_partitioned(
