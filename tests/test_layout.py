@@ -34,7 +34,10 @@ def test_spread_scan_spreads_single_file_and_noops_when_parallel(
     assert docs.rdd.getNumPartitions() < sess_parts  # single-file testdata
     spread = spread_scan(docs)
     assert spread.rdd.getNumPartitions() == sess_parts
-    assert exchange_count(spread) == exchange_count(docs) + 1
+    # exchange_count only counts hash/range exchanges; the round-robin
+    # spread shows as a RoundRobinPartitioning exchange
+    assert "RoundRobinPartitioning" in formatted_plan(spread)
+    assert "RoundRobinPartitioning" not in formatted_plan(docs)
     assert (sorted(r.doc_id for r in spread.select("doc_id").collect())
             == sorted(r.doc_id for r in docs.select("doc_id").collect()))
 
