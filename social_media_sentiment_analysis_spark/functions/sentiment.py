@@ -251,15 +251,22 @@ def sentiment_enrich_relational(
     """U4 composite as a pure-JVM relational plan, result-identical to
     ``sentiment_enrich`` (pinned by tests and by sharing one oracle).
 
-    Plan: normalize the token array in-place (codegen), zip each token with
-    its predecessor, posexplode, broadcast-hash-join the lexicon (the
-    idiomatic small-dim join — O(1) lookups, no skew), partial-agg the
-    integer sums per document (map-side combine collapses to ≤1 row per doc
-    per partition before the exchange), then join the small sums table back
-    on ``id_col``. Two exchanges total; the join-back shuffles the corpus on
-    doc_id, which is why the zero-shuffle UDF path is the default at scale.
+    Plan: hash the corpus by ``id_col`` ONCE up front, then normalize the
+    token array in-place (codegen), zip each token with its predecessor,
+    posexplode, broadcast-hash-join the lexicon (the idiomatic small-dim
+    join — O(1) lookups, no skew), aggregate the integer sums per document,
+    and join the sums back on ``id_col``. Because the explode and the
+    broadcast join preserve the up-front partitioning, BOTH the per-doc
+    aggregate and the join-back reuse that single exchange — the previous
+    shape paid two (sums exchange + join-back corpus shuffle) and ran the
+    explode inside the scan stage, which on an unsplittable single-file
+    input is ONE task (guide §2.4/§2.5; r9: 2 exchanges → 1, measured
+    2.0 → 1.4 s at sf0.1). One corpus shuffle is still one more than the
+    zero-shuffle UDF path, which stays the default at scale.
     """
-    df = df.withColumn("cleaned_text", clean_text(F.col(text_col)))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = (df.repartition(n_parts, id_col)
+          .withColumn("cleaned_text", clean_text(F.col(text_col))))
     toks = F.transform(tokens(F.col("cleaned_text")), normalize_token_col)
     prevs = F.concat(F.array(F.lit("")), F.slice(toks, 1, F.size(toks) - 1))
     pairs = (
