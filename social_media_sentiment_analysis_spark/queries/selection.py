@@ -73,12 +73,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     a closure, the data is touched twice (estimate, score), both map-heavy.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = _words(docs).withColumn("b", _bucket(F.col("w")))
+    # Tokenize+hash ONCE: the estimate pass (bucket counts -> totals and
+    # ratios) and the scoring pass all consume the same exploded table, and
+    # without a barrier each consumer re-ran the tokenize/explode inside
+    # the scan stage (profiled: three 0.3-0.6 s single-task stages at
+    # sf0.1). The checkpoint keeps only (doc_id, source, b) — the word
+    # itself never crosses a stage boundary. The checkpoint inherits the
+    # scan's partitioning, so at 100 TB (many-file layout) the one
+    # tokenize pass is parallel; spreading it wider HERE was measured
+    # slower (each consumer pass then pays a 32-task wave for 270k rows).
+    words = (_words(docs)
+             .select("doc_id", "source", _bucket(F.col("w")).alias("b"))
+             .localCheckpoint())
     is_target = F.col("source") == _DSIR_TARGET_SOURCE
 
+    # 64 rows, TWO consumers (totals and ratios) — checkpoint so the
+    # bucket-count aggregation over the corpus runs once, not twice
     counts = (words.groupBy("b")
               .agg(F.count(F.when(is_target, 1)).alias("n_tgt"),
-                   F.count(F.when(~is_target, 1)).alias("n_raw")))
+                   F.count(F.when(~is_target, 1)).alias("n_raw"))
+              .coalesce(1).localCheckpoint())
     totals = counts.agg(F.sum("n_tgt").alias("t_tot"),
                         F.sum("n_raw").alias("r_tot"))
     ratios = (counts.crossJoin(F.broadcast(totals))

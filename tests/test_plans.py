@@ -466,6 +466,11 @@ BROADCAST_LINT_ALLOWED = {
     "streaming_heavy_hitters": "checkpointed <=4096-cell CMS sketch",
     # ~4.7k-entry constant valence lexicon (createDataFrame => LogicalRDD)
     "sentiment_enrich_relational": "constant 4.7k-entry lexicon",
+    # the bucket-count model is <= _N_BUCKETS = 64 rows BY CONSTRUCTION
+    # (hash space of the groupBy key); its r9 localCheckpoint (shared by
+    # the totals and ratios consumers) erases the bounding aggregate from
+    # the analyzed plan (LogicalRDD leaf), so the lint cannot prove it
+    "dsir_select": "checkpointed 64-row bucket-count model",
     # Q17's per-part AVG groups on l_partkey AFTER the broadcast dim
     # semi-join, so it is bounded by the brand's slice of the part DIM
     # (|part|/25) — the same star policy that broadcasts part itself; at
