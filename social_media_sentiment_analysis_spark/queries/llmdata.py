@@ -2965,8 +2965,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
     # the distinct-bigram count table (vocabulary-sized — the persisted LM
-    # artifact at 100 TB); reads the checkpointed pairs, not the raw corpus
-    bc = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+    # artifact at 100 TB); reads the checkpointed pairs, not the raw corpus.
+    # It has THREE consumers (ctx build, |V| count, probe broadcast), each
+    # of which would otherwise re-run the aggregation over the corpus-sized
+    # pairs table (profiled: three 0.2-0.5 s passes at sf0.1), so stage it
+    # once behind its own checkpoint — exactly the "persisted LM artifact"
+    # a production pipeline writes; coalesce(1) because it is
+    # vocabulary-sized (931 rows at sf0.1), so consumer passes should not
+    # pay a 32-task wave.
+    bc = (pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bc"))
+          .coalesce(1).localCheckpoint())
     model = bc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
     ctx = model.groupBy("w1").agg(F.sum("bc").alias("ctx"))
     model = model.join(F.broadcast(ctx), "w1")

@@ -471,6 +471,11 @@ BROADCAST_LINT_ALLOWED = {
     # the totals and ratios consumers) erases the bounding aggregate from
     # the analyzed plan (LogicalRDD leaf), so the lint cannot prove it
     "dsir_select": "checkpointed 64-row bucket-count model",
+    # the bigram-count LM is vocabulary-sized (distinct bigrams ≪ corpus
+    # tokens — 931 rows at sf0.1; the lint accepted the pre-r9 Aggregate
+    # on `bigram` as bounding); its r9 localCheckpoint (shared by the ctx,
+    # |V| and probe consumers) erases that aggregate (LogicalRDD leaf)
+    "bigram_logprob": "checkpointed vocabulary-sized bigram-count LM",
     # Q17's per-part AVG groups on l_partkey AFTER the broadcast dim
     # semi-join, so it is bounded by the brand's slice of the part DIM
     # (|part|/25) — the same star policy that broadcasts part itself; at
