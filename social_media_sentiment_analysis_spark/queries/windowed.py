@@ -594,6 +594,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic for a fixed dataset, not wall-clock dependent. ntile
     ties break on the customer key so quintile membership is engine-exact.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.ranking import with_ntile
 
     orders = load_table(spark, sf_dir, "orders")
@@ -606,18 +608,37 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .withColumn("recency_days",
                     F.date_diff(F.col("now"), F.col("last_order")))
+        # the rollup below needs only these four; projecting before the
+        # rank passes keeps the range exchanges and their checkpoints
+        # narrow (guide §2.3: project before the exchange)
+        .select("o_custkey", "recency_days", "frequency", "monetary")
         # the three rank passes below re-traverse their input lineage for
         # range-boundary sampling; pin the (small) per-customer rollup so
-        # the orders scan+agg runs once, not 3×
-        .localCheckpoint(eager=False)
+        # the orders scan+agg runs once, not 3× — EAGER because three
+        # concurrent consumers racing a lazy checkpoint can each
+        # materialize their own copy
+        .localCheckpoint(eager=True)
     )
-    scored = per_cust
-    for out_col, order in [
-        ("r_score", [F.desc("recency_days"), F.asc("o_custkey")]),
-        ("f_score", [F.asc("frequency"), F.asc("o_custkey")]),
-        ("m_score", [F.asc("monetary"), F.asc("o_custkey")]),
-    ]:
-        scored = with_ntile(scored, order, 5, out_col=out_col)
+    # The three quintile assignments are independent total sorts of the
+    # SAME pinned rollup; chaining them serialized three eager
+    # materializations on the driver (profiled: ~2 s of builder wall at
+    # sf0.1 for ~0.5 s of jobs). Run them as concurrent jobs (guide §2.6 —
+    # actions are only sequential because driver code calls them
+    # sequentially) and re-attach the (o_custkey, score) pairs — 16-byte
+    # rows — to the rollup by key.
+    def _score(spec):
+        out_col, order = spec
+        return with_ntile(per_cust, order, 5, out_col=out_col).select(
+            "o_custkey", out_col)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        r_s, f_s, m_s = list(pool.map(_score, [
+            ("r_score", [F.desc("recency_days"), F.asc("o_custkey")]),
+            ("f_score", [F.asc("frequency"), F.asc("o_custkey")]),
+            ("m_score", [F.asc("monetary"), F.asc("o_custkey")]),
+        ]))
+    scored = (per_cust.join(r_s, "o_custkey")
+              .join(f_s, "o_custkey").join(m_s, "o_custkey"))
     scored = (
         scored
         .withColumn(
