@@ -1440,20 +1440,43 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-shared shingle and cannot change the result; the pruning power
     (~1% fp at 10 bits/key) is asserted in tests, not gated (it is
     hash-seed-dependent).
+
+    Staging (r9, guide §2.4/§1.2): the benchmark shingle SET has two
+    consumers (the bitmap aggregation and the exact-verify broadcast),
+    and each used to replay the full corpus tokenize+shingle explode —
+    three corpus passes total, every one fused into the unsplittable
+    single-file scan (ONE task). Now the benchmark set is built from the
+    PRE-FILTERED 1% slice (the doc_id filter runs before tokenize, so
+    the pass only shingles benchmark docs) and localCheckpointed once —
+    it is the eval-suite artifact a real pipeline persists — while the
+    candidate side is ``spread_scan``'d so its shingle+probe projection
+    uses every core (no keyed exchange exists to move instead: the probe
+    is exchange-free by design). Measured 2.28 → 1.85 s at sf0.1
+    (interleaved A/B); bench-checkpoint-without-spread measured slower
+    (2.49 s), the r9 first cut (spread shared by all three consumers)
+    re-ran the exchange per consumer and REGRESSED to 2.7 s — reverted
+    and recorded in OPTIMIZATION_r09.md.
     """
     from ..functions.text import clean_text, shingles_from_tokens
     from ..operators.bloom import bloom_bitmap, bloom_probe
+    from ..sources.batch import spread_scan
 
-    toked = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(clean_text(F.col("text"))).alias("toks"))
-    sh = toked.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            shingles_from_tokens(F.col("toks"), _SHINGLE_K))).alias("s"))
-    bench = (sh.filter(F.col("doc_id") % 100 == 0)
-             .select("s").distinct())
+    docs = load_table(spark, sf_dir, "documents")
+
+    def sh(src):
+        toked = src.select(
+            "doc_id", tokens(clean_text(F.col("text"))).alias("toks"))
+        return toked.select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                shingles_from_tokens(F.col("toks"), _SHINGLE_K))).alias("s"))
+
+    bench = (sh(docs.filter(F.col("doc_id") % 100 == 0))
+             .select("s").distinct().localCheckpoint())
     bitmap = bloom_bitmap(bench, "s")
-    cand = bloom_probe(sh.filter(F.col("doc_id") % 100 != 0), "s", bitmap)
+    cand = bloom_probe(
+        sh(spread_scan(docs).filter(F.col("doc_id") % 100 != 0)),
+        "s", bitmap)
     return (
         cand.join(F.broadcast(bench), "s")   # exact verify (same policy
         # as q_contamination: the benchmark models a FIXED external eval
