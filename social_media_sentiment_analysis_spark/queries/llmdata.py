@@ -2299,7 +2299,16 @@ def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source",
                 F.explode(tokens(F.col("cleaned_text"))).alias("word"))
     )
-    vocab = toked.groupBy("word").agg(F.count(F.lit(1)).alias("tc"))
+    # The vocabulary has two consumers — the totals collect below and the
+    # score join — and each used to replay the corpus explode + word
+    # aggregation (guide §2.4; the bigram_logprob staging recipe, r9). It
+    # is vocabulary-sized (Heaps-law sublinear — the persisted LM artifact
+    # a real pipeline writes once), so it is localCheckpointed and both
+    # consumers read the materialized rows: one corpus pass removed from
+    # the final plan. Measured via ccnet_buckets paired A/B at sf0.1:
+    # median +0.3 s/pass in favor (OPTIMIZATION_r09.md).
+    vocab = (toked.groupBy("word").agg(F.count(F.lit(1)).alias("tc"))
+             .localCheckpoint())
     # corpus totals derive from the (tiny) vocabulary table, not a second
     # pass over the exploded corpus; 1-row collect = the broadcast anchor
     totals = vocab.agg(

@@ -72,6 +72,9 @@ PERSIST_PRONE = [
     "rolling_active_users_hll",
     # checkpointed per-type sketch row feeds output + rank check (r6)
     "quantile_sketch",
+    # _unigram_doc_scores checkpoints the vocabulary table (r9) — covered
+    # via ccnet_buckets above AND the other consumer of the shared helper
+    "unigram_logprob",
 ]
 
 
