@@ -44,20 +44,45 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_iter=8 on the quantizer: an IVF coarse quantizer needs rough
     Voronoi cells, not converged centroids — recall is governed by
     n_probe and the within-cell exact rerank (FAISS trains its coarse
-    quantizers with ~10 iterations for the same reason)."""
+    quantizers with ~10 iterations for the same reason).
+
+    r9 (guide §2.6): the KMeans fit is ~45 serial driver-round jobs
+    (k-means|| init + 8 iterations × 2 stages — the documented intrinsic
+    cost of the iterative fit), and the EXACT brute-force arm does not
+    depend on the model, so the two run as concurrent jobs on a 2-thread
+    pool: the exact scoring pass back-fills cores the tiny fit rounds
+    leave idle. ``full`` (10 rows after the limit) is also checkpointed
+    so the action's two exceptAll directions read 10 materialized rows
+    instead of re-running the all-cells scoring scan twice. Output
+    value-identity pinned in-session (A==B rows); recall/full-probe
+    booleans unchanged at all 3 SFs (oracle re-run)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     corpus = emb.filter(F.col("vec_id") != 0)
-    model = fit_ivf(emb, "embedding", k=8, seed=7, max_iter=8)
-    assigned = assign_clusters(corpus, "embedding", model).localCheckpoint()
-    ann = ivf_topk(assigned, model, qvec, "embedding", "vec_id",
-                   k=10, n_probe=4).localCheckpoint()
-    full = ivf_topk(assigned, model, qvec, "embedding", "vec_id",
-                    k=10, n_probe=8)
-    exact = sim.brute_force_topk(corpus, qvec, "embedding", "vec_id",
-                                 k=10).localCheckpoint()
+
+    def _fit_arm():
+        model = fit_ivf(emb, "embedding", k=8, seed=7, max_iter=8)
+        assigned = assign_clusters(corpus, "embedding", model) \
+            .localCheckpoint()
+        ann_ = ivf_topk(assigned, model, qvec, "embedding", "vec_id",
+                        k=10, n_probe=4).localCheckpoint()
+        full_ = ivf_topk(assigned, model, qvec, "embedding", "vec_id",
+                         k=10, n_probe=8).localCheckpoint()
+        return ann_, full_
+
+    def _exact_arm():
+        return sim.brute_force_topk(corpus, qvec, "embedding", "vec_id",
+                                    k=10).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fit_f = pool.submit(_fit_arm)
+        exact_f = pool.submit(_exact_arm)
+        ann, full = fit_f.result()
+        exact = exact_f.result()
     n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
     # comma-joined string, not an array column: array encodings differ
     # between the two engines' pandas bridges (numpy array vs list), which
