@@ -178,8 +178,22 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle table is the same artifact the MinHash pipeline already
     materializes — this query reads positions from it rather than
     re-shingling.
+
+    r9 (guide §2.5 input skew): the positional-shingle projection (md5
+    per shingle, posexplode) is fused into the scan, and the single-file
+    test input is unsplittable — the whole fan-out ran in ONE task before
+    the window's h-exchange. ``spread_scan`` round-robins the raw docs
+    first (NO-OP on a many-file 100 TB layout); single consumer chain, so
+    the exchange is computed once (unlike the bloom first cut). Paired
+    interleaved A/B at sf0.1: +0.42 s/pass median, 7/7 steady passes
+    (~1.95 → 1.55 s). The same spread was measured SLOWER on
+    q_dedup_rewrite (−0.21 s median: its chunk fan-out is ~k× lighter
+    than per-shingle md5, so the text exchange costs more than it
+    parallelizes) and rejected there — OPTIMIZATION_r09.md.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.batch import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return (duplicated_spans(docs, "text", "doc_id", k=_SPAN_K)
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_spans"),
