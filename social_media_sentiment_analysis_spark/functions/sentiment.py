@@ -226,9 +226,20 @@ def normalized_tokens_col(cleaned: Column) -> Column:
 
 def lexicon_table(spark: SparkSession) -> DataFrame:
     """The valence lexicon as a (word, valence) DataFrame — the broadcast
-    dimension for the relational scoring path (4.7k rows)."""
-    return spark.createDataFrame(
-        sorted(LEXICON.items()), schema="word string, valence int")
+    dimension for the relational scoring path (4.7k rows).
+
+    Built through the Arrow createDataFrame path (guide §6 "Arrow for
+    driver transfers"): the plain-tuples path pickles the rows into
+    defaultParallelism (32) slices and the broadcast build then schedules
+    a 32-task wave of ~150-row partitions — measured 1.30 s per
+    invocation on a warm session vs 0.20 s for one Arrow batch (r9). The
+    explicit schema keeps the published (string, int) column types the
+    pandas round-trip would otherwise widen."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(sorted(LEXICON.items()),
+                       columns=["word", "valence"])
+    return spark.createDataFrame(pdf, schema="word string, valence int")
 
 
 def effective_valence(valence: Column, prev: Column) -> Column:
