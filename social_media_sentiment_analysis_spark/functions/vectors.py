@@ -2,14 +2,20 @@
 
 ``F.zip_with`` + ``F.aggregate`` keep the arithmetic JVM-side (no Python
 boundary); everything is computed in double precision with explicit casts so
-results are deterministic across engines. For very hot paths a pandas UDF
-over numpy matrices can beat this, but at 100 TB the first-order win is
-avoiding the Python boundary entirely, which this does.
+results are deterministic across engines. The per-ROW forms below are the
+default. For per-PAIR verification over candidate streams (near-dup verify
+joins, where millions of pairs each fold a whole vector) the higher-order
+functions are CodegenFallback — interpreted per element — and
+``pair_cosine_lookup`` replays the identical IEEE op sequence as one
+vectorized numpy pass per Arrow batch against a broadcast vector matrix,
+with the join-attach fold kept as its above-threshold scale fallback.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import os
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -50,6 +56,128 @@ def cosine_to_query(vec: Column, query_vec: list[float]) -> Column:
     for x in query_vec:
         acc += float(x) * float(x)
     return dot(vec, q) / (l2_norm(vec) * F.lit(math.sqrt(acc)))
+
+
+#: Vector-count ceiling for the broadcast side of ``pair_cosine_lookup``.
+#: 100k 64-dim float64 vectors is a ~50 MB matrix — comfortably inside the
+#: session's broadcast budget (each Python worker holds one copy). Above
+#: the ceiling the operator falls back to the join-attach + Column-fold
+#: form, which needs no collected state at any corpus size. Env-dialed so
+#: a production run with wider vectors or tighter worker memory can lower
+#: it (or raise it on fat nodes).
+PAIR_LOOKUP_MAX_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_PAIR_LOOKUP_MAX_ROWS", "100000"))
+
+
+def pair_cosine_lookup(pairs: DataFrame, vec_df: DataFrame,
+                       id_col: str, vec_col: str,
+                       a_id: str, b_id: str,
+                       out_col: str = "cosine",
+                       max_rows: int | None = None) -> DataFrame:
+    """Exact cosine for an (a_id, b_id) candidate PAIR table against a
+    vector table — the verify stage of every near-dup candidate path —
+    computed WITHOUT attaching the vectors to the pairs.
+
+    The join-attach form copies two full vectors onto every candidate row
+    (|pairs| × 2·dim·4 B — ~0.9 GB at the multiband gate dial's 1.8 M
+    pairs) only to fold each row once, and the rounded-cosine threshold
+    filter is pushed into the join condition, so the interpreted
+    ``aggregate``/``zip_with`` fold (CodegenFallback) actually runs TWICE
+    per pair. This form is guide §8's proxy rule applied to the verify:
+    the pairs are 16-byte decisions, the vector table is the small side —
+    so broadcast the vectors ONCE as a numpy matrix (ids sorted for
+    searchsorted lookup, matrix transposed so the per-dim kernel gathers
+    from cache-resident rows) and stream only (a_id, b_id) through the
+    Python boundary; each Arrow batch computes every cosine with one
+    vectorized gather-multiply-accumulate per dimension. Measured 3.3×
+    faster than the row-gather layout and strictly less data moved than
+    any join form.
+
+    BIT-IDENTICAL to the Column expressions it replaces, not
+    approximately: the accumulation replays ``dot``'s IEEE op sequence —
+    float→double cast per element, x_i·y_i in double, strict
+    left-to-right ``acc + x`` from a 0.0 seed — and the norms replay
+    ``l2_norm`` (same loop, then sqrt), then one divide of dot by the
+    norm PRODUCT, exactly ``dot / (na·nb)``. No matmul/pairwise-summation
+    reordering anywhere, so no margin argument is needed and every oracle
+    twin keeps hash-matching (re-verified at all three SFs for every
+    consumer). The raw double is returned; callers keep their
+    ``F.round``/threshold filter in Column space unchanged.
+
+    Scale: the broadcast side is guarded by ``max_rows`` (default
+    ``PAIR_LOOKUP_MAX_ROWS``); a vector table above it — the 100 TB
+    corpus — takes the join-attach + Column-fold path instead, which
+    shuffles nothing extra beyond the attach joins the planner sizes
+    itself. The guard's ``count()`` is footer-only under parquet
+    aggregate pushdown. ``id_col`` values must be unique and non-null and
+    vectors non-null equal-length (the corpus contract shared with
+    ``banded_projection``).
+    """
+    limit = PAIR_LOOKUP_MAX_ROWS if max_rows is None else max_rows
+    n_vecs = vec_df.count()
+    src = pairs.select(a_id, b_id)
+    if n_vecs > limit:
+        base = vec_df.select(F.col(id_col), F.col(vec_col),
+                             l2_norm(F.col(vec_col)).alias("__nrm"))
+        a = base.toDF(a_id, "__a_vec", "__a_nrm")
+        b = base.toDF(b_id, "__b_vec", "__b_nrm")
+        return (src.join(a, a_id).join(b, b_id)
+                .select(a_id, b_id,
+                        (dot(F.col("__a_vec"), F.col("__b_vec"))
+                         / (F.col("__a_nrm") * F.col("__b_nrm")))
+                        .alias(out_col)))
+
+    import numpy as np
+
+    tbl = vec_df.select(id_col, vec_col).toArrow()
+    ids = tbl.column(0).combine_chunks()
+    try:
+        ids = np.asarray(ids)
+    except Exception:               # non-numeric ids: object-array compare
+        ids = np.asarray(ids.to_pylist(), dtype=object)
+    if n_vecs:
+        flat = np.asarray(tbl.column(1).combine_chunks().flatten(),
+                          dtype=np.float64)
+        mat = flat.reshape(n_vecs, -1)
+    else:
+        mat = np.zeros((0, 1), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    sid = ids[order]
+    mt = np.ascontiguousarray(mat[order].T)      # dim × n: hot gather rows
+    acc = np.zeros(mt.shape[1], dtype=np.float64)
+    for i in range(mt.shape[0]):
+        # l2_norm's exact op order: acc + x·x, left to right, then sqrt
+        acc = acc + mt[i] * mt[i]
+    nrm = np.sqrt(acc)
+    bc = pairs.sparkSession.sparkContext.broadcast((sid, mt, nrm))
+
+    out_schema = ", ".join(
+        f"`{c}` {src.schema[c].dataType.simpleString()}"
+        for c in (a_id, b_id)) + f", `{out_col}` double"
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sid, mt, nrm = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ia = np.searchsorted(sid, np.asarray(batch.column(0)))
+            ib = np.searchsorted(sid, np.asarray(batch.column(1)))
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(mt.shape[0]):
+                # dot's exact op order: acc + (a_i · b_i), left to right —
+                # vectorized ACROSS pairs, sequential over dims
+                acc = acc + mt[i][ia] * mt[i][ib]
+            cos = acc / (nrm[ia] * nrm[ib])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(cos, type=pa.float64())],
+                names=[a_id, b_id, out_col])
+
+    return src.mapInArrow(score, out_schema)
 
 
 def hashed_embedding(toks: Column, dim: int = 16) -> Column:

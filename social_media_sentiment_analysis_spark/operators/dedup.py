@@ -444,32 +444,30 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str, id_col: str,
             "from operators.similarity.hyperplane_bucket), or opt in "
             "explicitly with allow_full_cartesian=True, or use the scale "
             "paths ml.lsh.brp_embedding_pairs / ml.semdedup.")
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import pair_cosine_lookup
 
-    # Stage each vector's norm ONCE before the self-join: the naive
-    # cosine_similarity(a, b) recomputes BOTH norms inside every pair row
-    # (3 array folds per pair, measured 5.7 s for 200k pairs at sf0.1),
-    # while per-pair dot/(na·nb) with pre-staged norms is one fold (~3x).
-    # Values are bit-identical — same l2_norm expression over the same
-    # vector, same dot/(na*nb) grouping — so every oracle twin still
-    # hash-matches.
-    cols = [F.col(id_col), F.col(vec_col),
-            l2_norm(F.col(vec_col)).alias("__nrm")]
+    # The candidate pair join carries (id, block) ONLY — no vector is ever
+    # copied onto a pair row — and the exact-cosine verify runs as
+    # pair_cosine_lookup: the id pairs stream through the Python boundary
+    # while the vectors arrive once as a broadcast numpy matrix (with the
+    # join-attach + pre-staged-norm Column fold as the above-size-guard
+    # fallback). The kernel replays the fold's exact IEEE op order
+    # (functions/vectors.py), so values are bit-identical and every oracle
+    # twin still hash-matches.
+    cols = [F.col(id_col)]
     if block_col:
         cols.append(F.col(block_col))
     base = df.select(*cols)
-    a = base.toDF(*[f"a_{id_col}", f"a_{vec_col}", "a___nrm"]
+    a = base.toDF(*[f"a_{id_col}"]
                   + ([f"a_{block_col}"] if block_col else []))
-    b = base.toDF(*[f"b_{id_col}", f"b_{vec_col}", "b___nrm"]
+    b = base.toDF(*[f"b_{id_col}"]
                   + ([f"b_{block_col}"] if block_col else []))
     cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
     if block_col:
         cond = cond & (F.col(f"a_{block_col}") == F.col(f"b_{block_col}"))
-    sim = (dot(F.col(f"a_{vec_col}"), F.col(f"b_{vec_col}"))
-           / (F.col("a___nrm") * F.col("b___nrm")))
     return (
-        a.join(b, cond)
-        .withColumn("cosine", sim)
+        pair_cosine_lookup(a.join(b, cond), df, id_col, vec_col,
+                           f"a_{id_col}", f"b_{id_col}")
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"a_{id_col}").alias("a_id"),
                 F.col(f"b_{id_col}").alias("b_id"),

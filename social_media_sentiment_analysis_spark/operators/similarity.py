@@ -141,9 +141,10 @@ def multiband_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
     angle θ is 1 − (1 − p^r)^b with p = 1 − θ/π, r = band_bits,
     b = bands — e.g. ≈0.98 at cosine 0.35 with r=2, b=8, versus ≈0.14
     for one 4-bit block. Every candidate is then EXACT-cosine verified
-    (pre-staged norms, one zip_with dot per pair), so precision is exact
-    and only recall is probabilistic; bands are deterministic (md5
-    planes), so so is the output.
+    (one Arrow-vectorized dot per pair against a broadcast vector matrix —
+    ``pair_cosine_lookup``, bit-identical to the Column fold), so precision
+    is exact and only recall is probabilistic; bands are deterministic
+    (md5 planes), so so is the output.
 
     Plan shape, scale-first: the corpus is scanned once, each row
     fanning out to ``bands`` (band, val) rows map-side; candidates come
@@ -168,10 +169,8 @@ def multiband_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
     your threshold via p = 1 − arccos(t)/π, then b for target recall
     1 − (1 − p^r)^b.
     """
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import pair_cosine_lookup
 
-    base = df.select(F.col(id_col), F.col(vec_col),
-                     l2_norm(F.col(vec_col)).alias("__nrm"))
     # Spread the banded rows across the session's shuffle partitions BEFORE
     # the self-join: the join's OUTPUT fans out ~b·2^{-r}·n² rows, so task
     # count must follow the output, not the (tiny, 16-byte-row) input — a
@@ -191,12 +190,14 @@ def multiband_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
               & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id").distinct()
     )
-    a = base.toDF("a_id", "a_vec", "a___nrm")
-    b = base.toDF("b_id", "b_vec", "b___nrm")
-    cos = (dot(F.col("a_vec"), F.col("b_vec"))
-           / (F.col("a___nrm") * F.col("b___nrm")))
-    return (cand.join(a, "a_id").join(b, "b_id")
-            .withColumn("cosine", F.round(cos, 4))
+    # exact-cosine verify WITHOUT attaching vectors to the 16-byte pair
+    # stream: pair_cosine_lookup broadcasts the (small-side) vector matrix
+    # and computes each cosine as a vectorized per-dim gather — bit-identical
+    # to the Column fold, join-attach fallback above its size guard
+    # (functions/vectors.py). round/threshold stay in Column space so the
+    # cut happens on the same JVM-rounded value.
+    return (pair_cosine_lookup(cand, df, id_col, vec_col, "a_id", "b_id")
+            .withColumn("cosine", F.round(F.col("cosine"), 4))
             .filter(F.col("cosine") >= threshold)
             .select("a_id", "b_id", "cosine"))
 

@@ -964,7 +964,7 @@ def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
     becomes the banding probability instead of exact. Replay: replace-
     own-partition + stale-future sweep, the family recipe.
     """
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import l2_norm, pair_cosine_lookup
     from ..sources.layout import (
         drop_stale_partitions, replace_store_partition,
     )
@@ -974,9 +974,10 @@ def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # per-vector norm staged ONCE before any pair join (the
-        # embedding_near_duplicates recipe: per-pair dot/(na·nb) is one
-        # array fold instead of three, bit-identical values).
+        # per-vector norm staged once and PERSISTED with the store (the
+        # layout contract across batches and seeded stores; the verify
+        # itself now recomputes norms inside pair_cosine_lookup with the
+        # identical op order, so the column is carried, not consumed).
         # Repartition by the blocking key BEFORE the checkpoint: an
         # availableNow drain of a single-file source delivers the whole
         # batch as ONE partition, and since the tiny batch side is what
@@ -991,30 +992,40 @@ def embedding_dedup_sink(df: DataFrame, path: str, checkpoint: str,
                        l2_norm(F.col(vec_col)).alias("__nrm"))
                .repartition(n_parts, block_col)
                .localCheckpoint())
-        flags = None
+        # Candidate pairs are built from (id, block) ONLY — the block joins
+        # no longer copy vectors onto every pair row — normalized to
+        # a_id < b_id up front (cosine is bit-identically symmetric:
+        # per-element products commute, the accumulation order over dims
+        # is unchanged, and the norm product commutes), then verified in
+        # ONE pass by pair_cosine_lookup against the union of the batch's
+        # and the store's vectors (broadcast numpy matrix at gate sizes,
+        # join-attach fold above its size guard — functions/vectors.py).
+        keys = cur.select(id_col, block_col)
+        vecs = cur.select(F.col(id_col).alias("__vid"),
+                          F.col(vec_col).alias("__vec"))
+        pairs = None
         store = _vector_store_probe(spark, vec_path, batch_id,
                                     id_col, block_col, vec_col)
         if store is not None:      # store absent only on the first batch
-            cross_cos = (dot(F.col("new_vec"), F.col("old_vec"))
-                         / (F.col("__new_nrm") * F.col("__old_nrm")))
-            flags = (cur.toDF("new_id", "__block", "new_vec", "__new_nrm")
-                     .join(store, "__block")
+            pairs = (keys.toDF("new_id", "__block")
+                     .join(store.select("old_id", "__block"), "__block")
                      .filter(F.col("new_id") != F.col("old_id"))
-                     .withColumn("cosine", F.round(cross_cos, 4))
-                     .filter(F.col("cosine") >= threshold)
                      .select(F.least("new_id", "old_id").alias("a_id"),
-                             F.greatest("new_id", "old_id").alias("b_id"),
-                             "cosine"))
-        a = cur.toDF("a_id", "__block", "a_vec", "a___nrm")
-        b = cur.toDF("b_id", "__block2", "b_vec", "b___nrm")
-        within_cos = (dot(F.col("a_vec"), F.col("b_vec"))
-                      / (F.col("a___nrm") * F.col("b___nrm")))
-        within = (a.join(b, (F.col("__block") == F.col("__block2"))
-                         & (F.col("a_id") < F.col("b_id")))
-                  .withColumn("cosine", F.round(within_cos, 4))
-                  .filter(F.col("cosine") >= threshold)
-                  .select("a_id", "b_id", "cosine"))
-        flags = within if flags is None else flags.unionByName(within)
+                             F.greatest("new_id", "old_id").alias("b_id")))
+            vecs = vecs.unionByName(
+                store.select(F.col("old_id").alias("__vid"),
+                             F.col("old_vec").alias("__vec")))
+        within = (keys.toDF("a_id", "__block")
+                  .join(keys.toDF("b_id", "__block2"),
+                        (F.col("__block") == F.col("__block2"))
+                        & (F.col("a_id") < F.col("b_id")))
+                  .select("a_id", "b_id"))
+        pairs = within if pairs is None else pairs.unionByName(within)
+        flags = (pair_cosine_lookup(pairs, vecs, "__vid", "__vec",
+                                    "a_id", "b_id")
+                 .withColumn("cosine", F.round(F.col("cosine"), 4))
+                 .filter(F.col("cosine") >= threshold)
+                 .select("a_id", "b_id", "cosine"))
         drop_stale_partitions(spark, flags_path, batch_id)
         (flags.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
@@ -1084,7 +1095,7 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
     true-dups plus noise. Measured at the 10× probe: the id-only
     rework took the 20k-vector drain from >10 min (vectors carried
     through the banded join) to 123.6 s."""
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import l2_norm, pair_cosine_lookup
     from ..operators.similarity import banded_projection
     from ..sources.layout import (
         drop_stale_partitions, open_store, replace_store_partition,
@@ -1139,21 +1150,24 @@ def embedding_dedup_multiband_sink(df: DataFrame, path: str,
                              .alias("b_id")))
             cand = cand.unionByName(cross)
         cand = cand.distinct()
-        vecs = cur.toDF("__vid", "__vec", "__vnrm")
+        vecs = cur.select(F.col(id_col).alias("__vid"),
+                          F.col(vec_col).alias("__vec"))
         vec_table = open_store(spark, vec_path, id_col, store_buckets)
         if vec_table is not None:
             vecs = vecs.unionByName(
                 spark.table(vec_table)
                 .filter(F.col("batch_id") < F.lit(batch_id))
                 .select(F.col(id_col).alias("__vid"),
-                        F.col(vec_col).alias("__vec"),
-                        F.col("__nrm").alias("__vnrm")))
-        a = vecs.toDF("a_id", "a_vec", "a___nrm")
-        b = vecs.toDF("b_id", "b_vec", "b___nrm")
-        cos = (dot(F.col("a_vec"), F.col("b_vec"))
-               / (F.col("a___nrm") * F.col("b___nrm")))
-        flags = (cand.join(a, "a_id").join(b, "b_id")
-                 .withColumn("cosine", F.round(cos, 4))
+                        F.col(vec_col).alias("__vec")))
+        # exact-cosine verify WITHOUT attaching vectors to the deduped
+        # candidate pairs: pair_cosine_lookup streams only the 16-byte id
+        # pairs through the Python boundary and gathers vectors from a
+        # broadcast matrix (bit-identical to the Column fold; join-attach
+        # fallback above its size guard — functions/vectors.py).
+        # round/threshold in Column space as everywhere else in the family.
+        flags = (pair_cosine_lookup(cand, vecs, "__vid", "__vec",
+                                    "a_id", "b_id")
+                 .withColumn("cosine", F.round(F.col("cosine"), 4))
                  .filter(F.col("cosine") >= threshold)
                  .select("a_id", "b_id", "cosine")
                  .dropDuplicates(["a_id", "b_id"]))

@@ -289,6 +289,56 @@ class TestMultibandLSH:
                 fold[(r.vec_id, j)] = r.val
         assert arrow == fold
 
+    def test_pair_cosine_lookup_matches_fold_bitwise(self, spark, sf_dir):
+        """The r10 verify rework's equivalence pin: pair_cosine_lookup's
+        broadcast-matrix kernel emits RAW cosine doubles bit-identical to
+        the join-attach Column fold for EVERY candidate pair — the kernel
+        replays the fold's IEEE op order (cast→multiply in double, strict
+        left-to-right accumulation from 0.0, same norm algebra), so this
+        is exact equality, not tolerance. The forced fallback (max_rows=0)
+        IS the fold, pinned equal too."""
+        from pyspark.sql import functions as F
+
+        from social_media_sentiment_analysis_spark.functions.vectors import (
+            dot,
+            l2_norm,
+            pair_cosine_lookup,
+        )
+        from social_media_sentiment_analysis_spark.operators.similarity import (
+            banded_projection,
+        )
+        from social_media_sentiment_analysis_spark.sources.batch import (
+            load_table,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        banded = banded_projection(emb, "embedding", "vec_id", 64, 8, 2)
+        cand = (banded.toDF("a_id", "band", "val")
+                .join(banded.toDF("b_id", "band2", "val2"),
+                      (F.col("band") == F.col("band2"))
+                      & (F.col("val") == F.col("val2"))
+                      & (F.col("a_id") < F.col("b_id")))
+                .select("a_id", "b_id").distinct())
+        base = emb.select("vec_id", "embedding",
+                          l2_norm(F.col("embedding")).alias("__nrm"))
+        a = base.toDF("a_id", "a_vec", "a___nrm")
+        b = base.toDF("b_id", "b_vec", "b___nrm")
+        fold = {(r.a_id, r.b_id): r.c for r in
+                cand.join(a, "a_id").join(b, "b_id")
+                .select("a_id", "b_id",
+                        (dot(F.col("a_vec"), F.col("b_vec"))
+                         / (F.col("a___nrm") * F.col("b___nrm"))).alias("c"))
+                .collect()}
+        lookup = {(r.a_id, r.b_id): r.cosine for r in
+                  pair_cosine_lookup(cand, emb, "vec_id", "embedding",
+                                     "a_id", "b_id").collect()}
+        assert lookup == fold      # exact double equality, every pair
+        fallback = {(r.a_id, r.b_id): r.cosine for r in
+                    pair_cosine_lookup(cand, emb, "vec_id", "embedding",
+                                       "a_id", "b_id",
+                                       max_rows=0).collect()}
+        assert fallback == fold
+
     def test_deterministic_and_band_count_dials_recall(self, spark, sf_dir):
         """Same inputs → identical output; and recall is monotone in the
         band count (the OR construction can only add candidates)."""
