@@ -267,6 +267,14 @@ def run() -> dict:
             elapsed = round(time.perf_counter() - start, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
     total = round(sum(timings.values()), 3)
+    # scaling-contract legibility (r9 verdict #2): record the core count,
+    # master and effective shuffle-partition count IN the JSON line so the
+    # driver's low-core scaling probe can verify the session honored
+    # $SPARK_GRAFT_CPUS instead of inferring it from timing ratios
+    # (additions-only; the contract keys are untouched)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = spark.sparkContext.master
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     spark.stop()
     # SPARK_GRAFT_NO_DELTA=1: measurement-only mode — skip the
     # BENCH_DELTA.json rewrite so a judge/driver/ad-hoc rerun can't clobber
@@ -279,6 +287,9 @@ def run() -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
+        "master": master,
+        "shuffle_partitions": shuffle_parts,
     }
 
 
