@@ -1474,8 +1474,11 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (sh(docs.filter(F.col("doc_id") % 100 == 0))
              .select("s").distinct().localCheckpoint())
     bitmap = bloom_bitmap(bench, "s")
+    # filter BEFORE the spread (r9 advice): the 1% benchmark rows are
+    # dropped at the scan instead of riding the round-robin exchange just
+    # to be discarded — semantically identical, strictly fewer bytes moved
     cand = bloom_probe(
-        sh(spread_scan(docs).filter(F.col("doc_id") % 100 != 0)),
+        sh(spread_scan(docs.filter(F.col("doc_id") % 100 != 0))),
         "s", bitmap)
     return (
         cand.join(F.broadcast(bench), "s")   # exact verify (same policy

@@ -78,9 +78,15 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sim.brute_force_topk(corpus, qvec, "embedding", "vec_id",
                                     k=10).localCheckpoint()
 
+    # inheritable_thread_target (r9 advice): pool threads inherit the
+    # caller's JVM-thread-local properties (job group / description /
+    # scheduler pool) under pinned-thread mode, so a harness-level
+    # job-group cancel or pool assignment covers both arms
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fit_f = pool.submit(_fit_arm)
-        exact_f = pool.submit(_exact_arm)
+        fit_f = pool.submit(inheritable_thread_target(_fit_arm))
+        exact_f = pool.submit(inheritable_thread_target(_exact_arm))
         ann, full = fit_f.result()
         exact = exact_f.result()
     n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))

@@ -631,8 +631,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         return with_ntile(per_cust, order, 5, out_col=out_col).select(
             "o_custkey", out_col)
 
+    # inheritable_thread_target: pool threads inherit the caller's
+    # JVM-thread-local properties (job group / scheduler pool) under
+    # pinned-thread mode — harness-level cancellation covers all passes
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=3) as pool:
-        r_s, f_s, m_s = list(pool.map(_score, [
+        r_s, f_s, m_s = list(pool.map(inheritable_thread_target(_score), [
             ("r_score", [F.desc("recency_days"), F.asc("o_custkey")]),
             ("f_score", [F.asc("frequency"), F.asc("o_custkey")]),
             ("m_score", [F.asc("monetary"), F.asc("o_custkey")]),
