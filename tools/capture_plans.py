@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for bench queries into plans/r09/.
+"""Capture .explain("formatted") for bench queries into plans/r10/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
    e.g. python tools/capture_plans.py before          # all batch bench queries
@@ -34,7 +34,7 @@ def main() -> None:
     names = sys.argv[2:] or [n for n in bench.BENCH_QUERIES
                              if n not in STREAMING]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r09")
+        os.path.abspath(__file__))), "plans", "r10")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
