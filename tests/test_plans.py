@@ -596,3 +596,37 @@ class TestBroadcastLintUnit:
         top = docs.select("doc_id").orderBy("doc_id").limit(10)
         ok = docs.join(F.broadcast(top), "doc_id", "left_semi")
         assert broadcast_violations(ok) == []
+
+
+def test_rfm_score_reattach_smj_fallback_shape(spark):
+    """SCALE.md's rfm broadcast-ceiling row, plan-pinned at a synthetic
+    |customers| with broadcast DISABLED (the above-64MB regime): the three
+    (o_custkey, score) joins fall back to key-partitioned SMJ/SHJ, and the
+    ROLLUP side pays exactly ONE hash exchange that the whole chain reuses
+    (each intermediate keeps o_custkey partitioning) — no corpus-sized
+    re-exchange appears when the broadcast stops being free. 4 exchanges
+    total: rollup + one per score frame."""
+    import pyspark.sql.functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n = 200_000
+        per_cust = spark.range(n).select(
+            F.col("id").alias("o_custkey"),
+            (F.col("id") % 365).alias("recency_days"),
+            (F.col("id") % 17).alias("frequency"),
+            (F.col("id") % 1000).cast("double").alias("monetary"))
+        def score(col, name):
+            return per_cust.select(
+                "o_custkey", (F.col(col) % 5 + 1).cast("int").alias(name))
+        scored = (per_cust
+                  .join(score("recency_days", "r_score"), "o_custkey")
+                  .join(score("frequency", "f_score"), "o_custkey")
+                  .join(score("monetary", "m_score"), "o_custkey"))
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        n_exchanges = plan.count("Exchange hashpartitioning(o_custkey")
+        assert n_exchanges == 4, f"{n_exchanges} exchanges\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
