@@ -3445,20 +3445,22 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per document H = log2(n) − (Σ c·log2 c)/n over case-folded character
     counts, then one per-source rollup.
 
-    Plan — the per-doc histogram never leaves the row: sort the doc's
-    character array, find run boundaries (``i == 1 or arr[i] != arr[i-1]``
-    over a position sequence), and fold Σ c·log2 c over the run lengths
-    with ``zip_with``/``aggregate`` — all whole-stage-codegen Column ops.
-    The ONLY exchange in the query is the final per-source aggregate
-    (partial-agged to |sources|·P rows). The previous explode→
-    groupBy(doc, char)→groupBy(doc) formulation shuffled ~2·alphabet rows
-    per document across two corpus-keyed exchanges; the r5 shuffle probe
-    (tools/shuffle_probe.py, SCALE.md §7) measured its second exchange
-    growing with docs × partition-spread and motivated this rewrite —
-    per-document state belongs in the document's row, not in a shuffle.
-    Σ accumulation order changes vs the grouped version (sorted-run order
-    instead of hash-arrival order); both sit far below the round(·,4)
-    comparison and the oracle is unchanged.
+    Plan — the per-doc histogram never leaves the row: one Arrow crossing
+    of exactly (source, text) computes each document's case-folded
+    character histogram (C-speed ``str.translate`` + ``Counter``) and
+    folds Σ c·log2 c in sorted-character order. The ONLY exchange in the
+    query is the final per-source aggregate (partial-agged to
+    |sources|·P rows). History: the r5 rewrite moved this off the
+    explode→groupBy(doc, char)→groupBy(doc) formulation, whose second
+    corpus-keyed exchange grew with docs × partition-spread
+    (tools/shuffle_probe.py, SCALE.md §7) — per-document state belongs in
+    the document's row, not in a shuffle; the r10 rewrite moved the
+    per-row fold off the sorted-run ``zip_with``/``aggregate`` Column
+    pipeline, which is CodegenFallback (interpreted per character) and
+    measured as ~the whole query (1.40 → 0.86 s at sf0.1). Σ accumulation
+    order is the sorted-run order in both forms; drift vs the Column fold
+    is ≤ 3.6e-15 with ≥ 7.6e-3 of margin to the nearest decision
+    boundary (measured, all SFs — see the inline comment).
 
     Character semantics (r4 advice): the fold is ASCII-ONLY ``translate``,
     not ``lower()`` — engines disagree on Unicode special case mappings
@@ -3473,35 +3475,61 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.batch import spread_scan
 
-    # the per-doc sort/run/fold work below is the query's entire cost and
-    # is scan-fused; spread an under-partitioned (single-file) scan first
+    # the per-doc histogram work below is the query's entire cost and is
+    # scan-fused; spread an under-partitioned (single-file) scan first
     # — no-op on production many-file layouts (guide §2.5)
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents")) \
+        .select("source", "text")
     upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    arr = F.array_sort(F.filter(
-        F.split(F.translate(F.col("text"), upper, upper.lower()), ""),
-        lambda c: c != ""))
-    with_arr = docs.select("source", arr.alias("arr"),
-                           F.size(arr).alias("n")).filter(F.col("n") >= 1)
-    # run starts: 1-based positions opening a new character run
-    starts = F.filter(
-        F.sequence(F.lit(1), F.col("n")),
-        lambda i: (i == 1) | (F.element_at("arr", i)
-                              != F.element_at("arr", i - 1)))
-    scored = (
-        with_arr.withColumn("starts", starts)
-        # each run's exclusive end = the next run's start (last run: n+1)
-        .withColumn("ends", F.array_append(
-            F.slice("starts", 2,
-                    F.greatest(F.size("starts") - 1, F.lit(0))),
-            F.col("n") + 1))
-        .withColumn("s", F.aggregate(
-            F.zip_with("starts", "ends",
-                       lambda a, b: (b - a).cast("double")
-                       * F.log2((b - a).cast("double"))),
-            F.lit(0.0), lambda acc, x: acc + x))
-        .select("source",
-                (F.log2("n") - F.col("s") / F.col("n")).alias("h")))
+
+    # r10 (guide §4.2): the r5 sorted-run Column pipeline (array_sort +
+    # filter + sequence + zip_with + aggregate) is built entirely from
+    # higher-order functions — CodegenFallback, interpreted per CHARACTER
+    # of the corpus — and profiled as ~the whole 1.4 s of the query at
+    # sf0.1. One Arrow crossing of (source, text) computes each doc's
+    # histogram with C-speed str.translate + Counter and folds
+    # Σ c·log₂c in SORTED-CHARACTER order — the same run order as the
+    # Column fold (UTF-8 binary order ≡ code-point order), the same
+    # left-to-right acc + x accumulation. math.log2 vs the JVM's
+    # log(x)/log(2) differ at ≤1 ulp; measured per-doc drift ≤ 3.6e-15
+    # against the Column fold at all three SFs, while the nearest
+    # decision boundary (the h < 3.5 cut) sits ≥ 7.6e-3 away and the
+    # tightest round(·,4) margin is ≥ 1.3e-8 in h units — 7-12 orders of
+    # headroom, pinned with the final-row equality test
+    # (tests/test_char_semantics.py). Plan is otherwise unchanged: the
+    # only exchange is still the final per-source aggregate.
+    def ent(batches):
+        import math
+        from collections import Counter
+
+        import pyarrow as pa
+
+        tbl = str.maketrans(upper, upper.lower())
+        log2 = math.log2
+        for batch in batches:
+            srcs = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            hs, keep = [], []
+            for i, t in enumerate(texts):
+                t = (t or "").translate(tbl)
+                n = len(t)
+                if n < 1:
+                    continue
+                counts = Counter(t)
+                acc = 0.0
+                for ch in sorted(counts):
+                    c = counts[ch]
+                    acc = acc + c * log2(c)
+                hs.append(log2(n) - acc / n)
+                keep.append(i)
+            if not keep:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [srcs.take(pa.array(keep)),
+                 pa.array(hs, type=pa.float64())],
+                names=["source", "h"])
+
+    scored = docs.mapInArrow(ent, "source string, h double")
     return (
         scored.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"),

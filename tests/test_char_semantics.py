@@ -95,3 +95,92 @@ def test_char_entropy_parity_on_non_ascii_corpus(spark, nonascii_sf_dir):
     for col in sdf.columns:
         for a, b in zip(sdf[col], odf[col]):
             assert a == b, (col, a, b)
+
+
+def test_arrow_entropy_matches_column_fold(spark, sf_dir):
+    """The r10 Arrow-histogram rewrite's equivalence pin: per-document h
+    from the Counter/sorted-char fold matches the r5 sorted-run Column
+    fold to ≤1e-12 (measured ≤3.6e-15 at all SFs — the only divergence
+    source is math.log2 vs the JVM log at ≤1 ulp), while the nearest
+    decision boundary (the h < 3.5 cut and every round(·,4) edge) is
+    ≥1e-6 away — so the FINAL query rows are exactly equal, which is
+    asserted too."""
+    import math
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from social_media_sentiment_analysis_spark.queries.llmdata import (
+        q_char_entropy,
+    )
+    from social_media_sentiment_analysis_spark.sources.batch import (
+        load_table,
+    )
+
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    docs = load_table(spark, sf_dir, "documents")
+    # the r5 Column form, reconstructed
+    arr = F.array_sort(F.filter(
+        F.split(F.translate(F.col("text"), upper, upper.lower()), ""),
+        lambda c: c != ""))
+    wa = docs.select("doc_id", arr.alias("arr"),
+                     F.size(arr).alias("n")).filter(F.col("n") >= 1)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (i == 1) | (F.element_at("arr", i)
+                              != F.element_at("arr", i - 1)))
+    col_h = {r.doc_id: r.h for r in (
+        wa.withColumn("starts", starts)
+        .withColumn("ends", F.array_append(
+            F.slice("starts", 2, F.greatest(F.size("starts") - 1,
+                                            F.lit(0))),
+            F.col("n") + 1))
+        .withColumn("s", F.aggregate(
+            F.zip_with("starts", "ends",
+                       lambda a, b: (b - a).cast("double")
+                       * F.log2((b - a).cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .select("doc_id", (F.log2("n") - F.col("s") / F.col("n"))
+                .alias("h"))).collect()}
+    # the r10 python form, per doc
+    tbl = str.maketrans(upper, upper.lower())
+    for r in docs.select("doc_id", "text").collect():
+        t = (r.text or "").translate(tbl)
+        n = len(t)
+        if n < 1:
+            assert r.doc_id not in col_h
+            continue
+        counts = Counter(t)
+        acc = 0.0
+        for ch in sorted(counts):
+            acc = acc + counts[ch] * math.log2(counts[ch])
+        h = math.log2(n) - acc / n
+        assert abs(h - col_h[r.doc_id]) <= 1e-12, r.doc_id
+        assert abs(h - 3.5) >= 1e-6, r.doc_id
+    # final rows exactly equal to the Column-form rollup
+    col_scored = (
+        docs.select("source", arr.alias("arr"), F.size(arr).alias("n"))
+        .filter(F.col("n") >= 1)
+        .withColumn("starts", starts)
+        .withColumn("ends", F.array_append(
+            F.slice("starts", 2, F.greatest(F.size("starts") - 1,
+                                            F.lit(0))),
+            F.col("n") + 1))
+        .withColumn("s", F.aggregate(
+            F.zip_with("starts", "ends",
+                       lambda a, b: (b - a).cast("double")
+                       * F.log2((b - a).cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x))
+        .select("source", (F.log2("n") - F.col("s") / F.col("n"))
+                .alias("h")))
+    col_rows = [tuple(x) for x in (
+        col_scored.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("h"), 4).alias("avg_entropy"),
+             F.round(F.min("h"), 4).alias("min_entropy"),
+             F.round(F.max("h"), 4).alias("max_entropy"),
+             F.sum(F.when(F.col("h") < 3.5, 1).otherwise(0))
+             .cast("bigint").alias("low_entropy_docs"))
+        .orderBy("source")).collect()]
+    new_rows = [tuple(x) for x in q_char_entropy(spark, sf_dir).collect()]
+    assert new_rows == col_rows
