@@ -2795,24 +2795,42 @@ def q_streaming_heavy_hitters(spark: SparkSession,
 
     word_arr = F.filter(F.split(F.lower("text"), "[^a-z]+"),
                         lambda t: t != F.lit(""))
-    root = tempfile.mkdtemp(prefix="cms_stream_")
-    try:
-        src_words = (load_table_stream(spark, sf_dir, "documents")
-                     .filter(F.col("lang") == "en")
-                     .select(F.explode(word_arr).alias("word")))
-        q = (cms_sink(src_words, "word", f"{root}/cms", f"{root}/ckpt",
-                      depth=DEFAULT_DEPTH, width=DEFAULT_WIDTH)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-        sketch = read_cms(spark, f"{root}/cms").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-
     words = (load_table(spark, sf_dir, "documents")
              .filter(F.col("lang") == "en")
              .select(F.explode(word_arr).alias("word")))
-    true_counts = words.groupBy("word").agg(
-        F.count(F.lit(1)).alias("true_count"))
+
+    # drain and batch true-count arm are independent until the probe join;
+    # run them as concurrent jobs (guide §2.6, the knn_ivf recipe) so the
+    # corpus word aggregate back-fills cores while the drain sits in
+    # MicroBatchExecution's driver-side machinery (pipeline.py documents
+    # the drain's temporary shuffle-partition dial; it changes no results)
+    def _drain():
+        root = tempfile.mkdtemp(prefix="cms_stream_")
+        try:
+            src_words = (load_table_stream(spark, sf_dir, "documents")
+                         .filter(F.col("lang") == "en")
+                         .select(F.explode(word_arr).alias("word")))
+            q = (cms_sink(src_words, "word", f"{root}/cms", f"{root}/ckpt",
+                          depth=DEFAULT_DEPTH, width=DEFAULT_WIDTH)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return read_cms(spark, f"{root}/cms").localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def _true_counts():
+        return words.groupBy("word").agg(
+            F.count(F.lit(1)).alias("true_count")).localCheckpoint()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        drain_f = pool.submit(inheritable_thread_target(_drain))
+        counts_f = pool.submit(inheritable_thread_target(_true_counts))
+        sketch = drain_f.result()
+        true_counts = counts_f.result()
     total = words.agg(F.count(F.lit(1)).alias("n_total"))
     eps = 2.718281828459045 / DEFAULT_WIDTH
     return (

@@ -609,13 +609,32 @@ def q_streaming_rolling_distinct_hll(spark: SparkSession,
                   .groupBy("day")
                   .agg(F.hll_sketch_agg("user_id", F.lit(_HLL_LGK))
                        .alias("sk")))
-    per_day = drain_stream_to_df(per_day_sk, "stream_hll_day")
+    # the drain and the batch exact arm are independent until the final
+    # join; run them as concurrent jobs (guide §2.6, the knn_ivf recipe)
+    # so the pairs distinct back-fills cores while the drain sits in
+    # MicroBatchExecution's driver-side machinery. (The drain temporarily
+    # dials session shuffle partitions — pipeline.py documents that the
+    # concurrently planned batch arm may plan at the state dial's count,
+    # which changes no results, only task width of a tiny distinct.)
+    from concurrent.futures import ThreadPoolExecutor
 
-    pairs = (load_table(spark, sf_dir, "events")
-             .select(F.date_trunc("day", F.col("ts")).alias("day"),
-                     "user_id")
-             .distinct()
-             .localCheckpoint())  # feeds spine + exact arm + semi-join once
+    from pyspark import inheritable_thread_target
+
+    def _drain():
+        return drain_stream_to_df(per_day_sk, "stream_hll_day")
+
+    def _pairs():
+        return (load_table(spark, sf_dir, "events")
+                .select(F.date_trunc("day", F.col("ts")).alias("day"),
+                        "user_id")
+                .distinct()
+                .localCheckpoint())  # feeds spine + exact arm + semi-join
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        drain_f = pool.submit(inheritable_thread_target(_drain))
+        pairs_f = pool.submit(inheritable_thread_target(_pairs))
+        per_day = drain_f.result()
+        pairs = pairs_f.result()
     spine = pairs.select("day").distinct().withColumnRenamed("day",
                                                              "win_day")
     win_days = F.explode(F.sequence(
