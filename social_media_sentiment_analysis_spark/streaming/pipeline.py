@@ -313,7 +313,20 @@ STREAM_STATE_PARTITIONS = int(os.environ.get(
 def _drain_available_now(spark: SparkSession, writer) -> None:
     """Start an availableNow drain with the state-partition dial applied
     and the session conf restored afterwards (the stream clones the session
-    conf at start, so the override never leaks into later batch queries)."""
+    conf at start, so the override never leaks into later batch queries).
+
+    THREAD-SAFETY CONTRACT (r9 verdict #3): the dial briefly mutates the
+    session-global ``spark.sql.shuffle.partitions`` because a streaming
+    aggregation freezes its state-partition count from the session conf at
+    stream START — there is no per-writer conf to scope it to. A batch
+    query PLANNED inside this window picks up the dial's count for its own
+    shuffles: never a correctness issue (partition count does not change
+    any result), only task width. The engine's own concurrent callers
+    (the drain+batch-arm overlaps in streaming_rolling_distinct_hll /
+    streaming_heavy_hitters, guide §2.6) accept that deliberately — their
+    overlapped arms are small exact aggregates where width is immaterial.
+    External callers planning width-sensitive batch work concurrently with
+    a drain should snapshot/re-set the conf themselves."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(STREAM_STATE_PARTITIONS))
