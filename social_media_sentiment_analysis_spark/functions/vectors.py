@@ -159,13 +159,19 @@ def pair_cosine_lookup(pairs: DataFrame, vec_df: DataFrame,
         import numpy as np
         import pyarrow as pa
 
+        def as_np(col):
+            try:
+                return np.asarray(col)
+            except Exception:       # non-numeric ids: object-array compare
+                return np.asarray(col.to_pylist(), dtype=object)
+
         sid, mt, nrm = bc.value
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            ia = np.searchsorted(sid, np.asarray(batch.column(0)))
-            ib = np.searchsorted(sid, np.asarray(batch.column(1)))
+            ia = np.searchsorted(sid, as_np(batch.column(0)))
+            ib = np.searchsorted(sid, as_np(batch.column(1)))
             acc = np.zeros(n, dtype=np.float64)
             for i in range(mt.shape[0]):
                 # dot's exact op order: acc + (a_i · b_i), left to right —
